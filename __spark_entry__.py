@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark) runs the flagship trend-detection pipeline on sf0.001;
+queries()/oracle_sql() expose every implemented operator from
+SURVEY.md §2 (+ training-data-pipeline extensions) with DuckDB twins.
 """
 
 from __future__ import annotations
@@ -13,26 +11,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gnip_trend_detection_spark import oracles as _oracles
+from gnip_trend_detection_spark import queries as _queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events → 60s counts → rebin to 2-min grid → Poisson
+    `lc` eta per counter → top-50 trending moments."""
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.operators.detect import detect_topk
+    from gnip_trend_detection_spark.operators.models import poisson_lc
+    from gnip_trend_detection_spark.operators.rebin import rebin
+    from gnip_trend_detection_spark.sources.tables import counts_from_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    counts = counts_from_events(spark, sf_dir, 60)
+    rebinned = rebin(counts, binning_unit="minutes", n_binning_unit=2)
+    scored = poisson_lc(rebinned, alpha=0.99)
+    return detect_topk(scored, 50)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_queries.ALL)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _oracles.build()

@@ -1,0 +1,168 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (content-hash groupBy), MinHash+LSH (shingle → 16 hash families
+→ banded bucket equi-join → verified Jaccard), and SimHash-64.
+
+Scale shape: everything is hash-groupBy / equi-join — the LSH
+candidate join shuffles on (band, band_value) buckets, never comparing
+all pairs; verified Jaccard runs only on candidates. At 100 TB this is
+the standard near-dup sweep: linear scans + bucket joins, skew bounded
+by bucket size (hot buckets can be salted or capped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gnip_trend_detection_spark.extras.text import tokens
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group identical content by md5; keep the min doc_id as canonical."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col).cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles joined by single spaces."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j - 1) for j in range(k)]),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """(doc_id, shingles, sig): sig[i] = min over shingles of
+    md5(i ':' shingle) — 16 independent hash families via prefixing,
+    compared as fixed-width lowercase hex (order == numeric order).
+    Docs with fewer than k tokens are dropped (no shingle support)."""
+    t = docs.withColumn("toks", tokens(F.col(text_col))).filter(
+        F.size("toks") >= k
+    )
+    t = t.withColumn("shingles", shingles(F.col("toks"), k))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(
+                    F.concat(i.cast("string"), F.lit(":"), s).cast("binary")
+                ),
+            )
+        ),
+    )
+    return t.select("doc_id", "shingles", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: equi-join on (band, concatenated band rows) —
+    candidates are pairs colliding in >= 1 band, with verified Jaccard
+    over distinct shingles attached (exact i/(na+nb-i))."""
+    n_hashes = 16
+    n_bands = n_hashes // rows_per_band
+
+    # band b concatenates sig rows [b*rows_per_band, (b+1)*rows_per_band)
+    def band_val(b: Column) -> Column:
+        return F.concat(
+            *[F.get(F.col("sig"), b * rows_per_band + j) for j in range(rows_per_band)]
+        )
+
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(b.alias("b"), band_val(b).alias("band_val")),
+            )
+        ).alias("band"),
+    ).select("doc_id", F.col("band.b").alias("b"), F.col("band.band_val").alias("band_val"))
+
+    a = bands.alias("a")
+    bb = bands.alias("bb")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("bb.b"))
+            & (F.col("a.band_val") == F.col("bb.band_val"))
+            & (F.col("a.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    shd = sigs.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).distinct()
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = shd.alias("s1")
+    s2 = shd.alias("s2")
+    inter = (
+        cand.join(s1, F.col("s1.doc_id") == F.col("doc_a"))
+        .join(
+            s2,
+            (F.col("s2.doc_id") == F.col("doc_b"))
+            & (F.col("s2.shingle") == F.col("s1.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.coalesce(F.col("i"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over token md5s weighted by occurrence count,
+    emitted as a 64-char '0'/'1' string (MSB-first per hex nibble)."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tokval"))
+    weighted = tok.groupBy("doc_id", "tokval").agg(F.count(F.lit(1)).alias("w"))
+    h = weighted.withColumn("hx", F.md5(F.col("tokval").cast("binary")))
+    p = F.col("p")
+    hexval = F.conv(
+        F.substr(F.col("hx"), (F.floor(p / 4) + 1).cast("int"), F.lit(1)), 16, 10
+    ).cast("int")
+    bit = (
+        F.floor(hexval / F.pow(F.lit(2.0), (F.lit(3) - p % 4).cast("double"))).cast(
+            "long"
+        )
+        % 2
+    )
+    bits = (
+        h.select("doc_id", "w", "hx", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("p"))
+        .withColumn("contrib", F.col("w") * (2 * bit - 1))
+        .groupBy("doc_id", "p")
+        .agg(F.sum("contrib").alias("acc"))
+    )
+    bitchar = F.when(F.col("acc") > 0, F.lit("1")).otherwise(F.lit("0"))
+    return (
+        bits.withColumn("bitchar", bitchar)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "bitchar"))),
+                    lambda s: s["bitchar"],
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,101 @@
+"""Text-analysis operators for training-data pipelines.
+
+All built-in-function compositions (split/HOFs/md5) — fully JVM-side,
+no Python in the hot path, linear scans with map-side combine only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+LANG_WORDLISTS = {
+    "en": EN_STOPWORDS,
+    "es": ("el", "la", "de", "y", "en", "que", "los", "un", "por", "con"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "dans", "est"),
+    "de": ("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "auf"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = docs.withColumn("toks", tokens(F.col(text_col))).filter(F.size("toks") > 0)
+    n = F.size("toks").cast("double")
+    chars = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.round(chars / n, 4).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic heuristic quality in [0,1]: length, lexical
+    diversity, word length, stopword density — equal weights."""
+    t = docs.withColumn("toks", tokens(F.col(text_col))).filter(F.size("toks") > 0)
+    n = F.size("toks").cast("double")
+    nd = F.size(F.array_distinct("toks")).cast("double")
+    chars = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    stops = F.size(F.filter(F.col("toks"), lambda x: x.isin(*EN_STOPWORDS))).cast(
+        "double"
+    )
+    quality = (
+        F.least(n / 200.0, F.lit(1.0)) * 0.25
+        + (nd / n) * 0.25
+        + F.least((chars / n) / 8.0, F.lit(1.0)) * 0.25
+        + (stops / n) * 0.25
+    )
+    return t.select("doc_id", F.round(quality, 6).alias("quality"))
+
+
+def lang_id(spark: SparkSession, docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram-free heuristic language ID: argmax stopword-hit count
+    against per-language wordlists; ties broken lexicographically;
+    'und' when no list matches. The wordlist is a broadcast dim."""
+    rows = [(lang, w) for lang, ws in LANG_WORDLISTS.items() for w in ws]
+    words = spark.createDataFrame(rows, "lang string, word string")
+    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tokval"))
+    hits = (
+        tok.join(F.broadcast(words), tok["tokval"] == words["word"])
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    best = hits.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lang", F.lit("und")).alias("predicted_lang"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_stopword_hits"),
+        )
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+    """Document fingerprint: minimum md5 over all character k-grams —
+    a winnowing-style rolling-hash signature, stable under reordering
+    of surrounding content."""
+    lt = F.lower(F.col(text_col))
+    t = docs.withColumn("lt", lt).filter(F.length("lt") >= k)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("lt") - (k - 1)),
+        lambda i: F.md5(F.substr(F.col("lt"), i, F.lit(k)).cast("binary")),
+    )
+    return t.select("doc_id", F.array_min(grams).alias("fingerprint"))

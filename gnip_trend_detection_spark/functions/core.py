@@ -1,0 +1,52 @@
+"""Scalar Column helpers shared across operators.
+
+All of these stay JVM-side (no Python UDFs) so they fold into
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Fixed-width binning units the reference supports: it builds the grid
+# step with `datetime.timedelta(**{binning_unit: n})`
+# (reference analysis.py:84), so only timedelta kwargs are legal —
+# months/years are not expressible there and not here.
+UNIT_SECONDS = {
+    "seconds": 1,
+    "minutes": 60,
+    "hours": 3600,
+    "days": 86400,
+    "weeks": 604800,
+}
+
+# datetime_truncate unit name used for the grid anchor
+# (reference analysis.py:82-83 truncates with unit.rstrip('s')).
+TRUNC_UNIT = {
+    "seconds": "second",
+    "minutes": "minute",
+    "hours": "hour",
+    "days": "day",
+    "weeks": "week",
+}
+
+
+def epoch_seconds(col: Column) -> Column:
+    """Epoch seconds as DOUBLE, keeping sub-second precision."""
+    return col.cast("double")
+
+
+def sig_round2(col: Column) -> Column:
+    """Round a positive figure-of-merit to 2 significant digits;
+    non-positive values become 0.
+
+    Mirrors reference analysis.py:186-196:
+    ``round(x, -int(floor(log10(x)))+1) if x > 0 else 0``.
+    Spark's ``round(col, scale)`` needs a literal scale, so the
+    variable-scale rounding is expressed as round(x*10^s)/10^s.
+    Deliberate divergence: SQL HALF_UP instead of Python's banker's
+    rounding (documented; the DuckDB oracle uses the same HALF_UP).
+    """
+    scale = F.pow(F.lit(10.0), (-F.floor(F.log10(col)) + 1).cast("double"))
+    return F.when(col > 0, F.round(col * scale) / scale).otherwise(F.lit(0.0))

@@ -1,0 +1,69 @@
+"""Linear-regression slope model (SURVEY §2.4 M4; reference
+models.py:47-90).
+
+Per point, over each counter's ordered series:
+1. averaged = trailing mean of the last ``averaging_window_size``
+   counts, but 0 until that many counts exist (models.py:66-74 — the
+   warm-up zeros stay in the series and participate in the fit).
+2. result = OLS slope of the last ``regression_window_size`` averaged
+   values (all of them when None) against x = 0..len-1; 0 until
+   ``min_points`` values exist (models.py:76-90).
+3. ``norm_by_mean`` divides y by its mean first; slope(y/ybar) =
+   slope(y)/ybar, so it's a column divide (0 when ybar == 0 —
+   divergence: the reference would produce nan/inf there).
+
+Fully relational: `avg` + `regr_slope` window aggregates — no UDF, no
+shuffle beyond the counter partitioning; x = row_number is
+shift-invariant for the slope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gnip_trend_detection_spark.functions.core import sig_round2
+
+
+def linear_regression_model(
+    rebinned: DataFrame,
+    min_points: int,
+    averaging_window_size: int = 1,
+    regression_window_size: int | None = None,
+    norm_by_mean: bool = False,
+    ts_col: str = "bin_start",
+    sig_round: bool = True,
+) -> DataFrame:
+    w = Window.partitionBy("counter").orderBy(ts_col)
+    c = F.col("count").cast("double")
+    rn = F.row_number().over(w)
+
+    asize = averaging_window_size
+    w_avg = w.rowsBetween(-(asize - 1), 0)
+    averaged = F.when(rn >= asize, F.avg(c).over(w_avg)).otherwise(F.lit(0.0))
+
+    df = rebinned.withColumn("rn", rn).withColumn("averaged", averaged)
+
+    w2 = Window.partitionBy("counter").orderBy(ts_col)
+    if regression_window_size is not None:
+        frame = w2.rowsBetween(-(regression_window_size - 1), 0)
+    else:
+        frame = w2.rowsBetween(Window.unboundedPreceding, 0)
+    x = F.col("rn").cast("double")
+    slope = F.regr_slope(F.col("averaged"), x).over(frame)
+    if norm_by_mean:
+        ybar = F.avg("averaged").over(frame)
+        slope = F.when(ybar != 0, slope / ybar).otherwise(F.lit(0.0))
+    result = F.when(F.col("rn") >= min_points, slope).otherwise(F.lit(0.0))
+    # single-point frames have undefined slope -> the reference's
+    # sklearn fit needs >=1 point but produces 0 variance cases only
+    # when min_points <= 1; guard nulls to 0.
+    result = F.coalesce(result, F.lit(0.0))
+    if sig_round:
+        result = sig_round2(result)
+    return df.select(
+        "counter",
+        F.col(ts_col).alias("interval_start"),
+        c.alias("count"),
+        result.alias("eta"),
+    )

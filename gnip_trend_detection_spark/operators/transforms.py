@@ -1,0 +1,137 @@
+"""Series transformations as array<double> Column functions (SURVEY
+§2.5 T1-T10; reference library.py:99-174).
+
+Each is a pure Column → Column function over ArrayType(DoubleType),
+built from higher-order functions (transform/aggregate/slice) so the
+whole chain stays JVM-side — no Python in the hot path. The chain
+composition (T9) mirrors library.py:39-54: reference chain =
+add_one → unit_normalization → logarithmic_scaling → smoothing →
+sizing; the test chain omits sizing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def add_one(arr: Column) -> Column:
+    """T1 (library.py:99-101)."""
+    return F.transform(arr, lambda x: x + F.lit(1.0))
+
+
+def unit_normalization(arr: Column, reference_length: int, baseline_offset: int) -> Column:
+    """T2 (library.py:103-114): divide by mean of the Python slice
+    series[-(reference_length+offset) : -offset], floored at 1e-5 when
+    the slice sums to 0. Note the reference quirk: offset == 0 makes
+    the slice empty (upper index -0), so the divisor is 1e-5.
+    """
+    n = F.size(arr)
+    lo = F.greatest(F.lit(1), n + 1 - F.lit(reference_length + baseline_offset))
+    hi = n - F.lit(baseline_offset)  # inclusive 1-based upper bound
+    length = F.greatest(hi - lo + 1, F.lit(0))
+    if baseline_offset == 0:
+        # Python series[-(L+0):-0] is series[lo:0] == [] — reference
+        # quirk at library.py:108-110; divisor becomes 1e-5.
+        length = F.lit(0)
+    total = F.aggregate(
+        F.slice(arr, lo, length), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.lit(float(reference_length))
+    denom = F.when(total == 0, F.lit(1e-5)).otherwise(total)
+    return F.transform(arr, lambda x: x / denom)
+
+
+def spike_normalization(arr: Column, alpha: float) -> Column:
+    """T3 (library.py:115-126): |x_i - x_{i-1}|^alpha, 0 stays 0,
+    previous value starts at 0. Not in the default chain."""
+    prev = F.concat(F.array(F.lit(0.0)), F.slice(arr, 1, F.size(arr) - 1))
+    return F.zip_with(
+        arr,
+        prev,
+        lambda c, p: F.when(c == 0, F.lit(0.0)).otherwise(
+            F.pow(F.abs(c - p), F.lit(float(alpha)))
+        ),
+    )
+
+
+def smoothing(arr: Column, n_smooth: int) -> Column:
+    """T4 (library.py:128-137): trailing moving average whose window
+    grows to n_smooth then slides."""
+    idx = F.sequence(F.lit(1), F.size(arr))
+    return F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(arr, F.greatest(F.lit(1), i - (n_smooth - 1)), F.least(i, F.lit(n_smooth))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.least(i, F.lit(n_smooth)).cast("double"),
+    )
+
+
+def index_smoothing(arr: Column, n_smooth: int) -> Column:
+    """T6 (library.py:150-160): mean over [max(0,i-n), i) — excludes
+    the current point, drops element 0, output length n-1. Dead
+    variant kept for parity."""
+    idx = F.sequence(F.lit(2), F.size(arr))
+    return F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(
+                arr,
+                F.greatest(F.lit(1), i - n_smooth),
+                i - F.greatest(F.lit(1), i - n_smooth),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (i - F.greatest(F.lit(1), i - n_smooth)).cast("double"),
+    )
+
+
+def logarithmic_scaling(arr: Column) -> Column:
+    """T7 (library.py:161-168): log10(x), with x <= 0 replaced by 1e-5
+    first (values in (0, 1e-5) pass through unchanged — exact
+    reference behavior, not a max())."""
+    return F.transform(
+        arr, lambda x: F.log10(F.when(x <= 0, F.lit(1e-5)).otherwise(x))
+    )
+
+
+def sizing(arr: Column, reference_length: int) -> Column:
+    """T8 (library.py:170-172): keep the trailing reference_length
+    elements (whole array when shorter)."""
+    n = F.size(arr)
+    start = F.greatest(F.lit(1), n - F.lit(reference_length) + 1)
+    return F.slice(arr, start, F.lit(reference_length))
+
+
+def sliding_subseries(arr: Column, length: int) -> Column:
+    """T10 (library.py:12-19): all contiguous sub-arrays of a given
+    length → array<array<double>>."""
+    n_windows = F.size(arr) - length + 1
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(0))),
+        lambda i: F.slice(arr, i, F.lit(length)),
+    )
+
+
+def reference_chain(
+    arr: Column, reference_length: int, baseline_offset: int, n_smooth: int
+) -> Column:
+    """T9: the library's reference-series chain (library.py:42-47)."""
+    out = add_one(arr)
+    out = unit_normalization(out, reference_length, baseline_offset)
+    out = logarithmic_scaling(out)
+    out = smoothing(out, n_smooth)
+    return sizing(out, reference_length)
+
+
+def test_chain(
+    arr: Column, reference_length: int, baseline_offset: int, n_smooth: int
+) -> Column:
+    """T9: the test-series chain — same minus sizing (library.py:49-53)."""
+    out = add_one(arr)
+    out = unit_normalization(out, reference_length, baseline_offset)
+    out = logarithmic_scaling(out)
+    return smoothing(out, n_smooth)

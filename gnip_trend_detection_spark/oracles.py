@@ -1,0 +1,596 @@
+"""DuckDB oracle SQL for every SQL-expressible query in queries.py.
+
+Every string here is ANSI-ish SQL runnable by DuckDB against the
+pre-registered views (region nation customer supplier part orders
+lineitem events documents embeddings). Each mirrors the *semantics* of
+the matching Spark DataFrame program in queries.py exactly — same
+math, same guards, same rounding — so the driver's row-count + schema
++ value-hash comparison passes.
+
+Float-parity rules used throughout (and in queries.py):
+- casts from double to BIGINT are always preceded by FLOOR/ROUND
+  (DuckDB rounds on cast, Spark truncates — never rely on cast);
+- fixture-derived intervals use dyadic widths (60/80/14400 s) so rebin
+  weights are exactly representable and sums are order-independent;
+- money sums go through CAST(ROUND(x*10^k) AS BIGINT) integer
+  summation (exact, order-independent) and divide back at the end;
+- genuinely order/libm-sensitive outputs (corr, slopes, log10, pow,
+  cosines) are rounded to a fixed number of decimals on both sides;
+- left folds only: DuckDB list_reduce == Spark F.aggregate.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from gnip_trend_detection_spark.functions.poisson_math import poisson_interval
+
+# ---------------------------------------------------------------- helpers
+
+ALPHA = 0.99
+CI_MAX_NU = 500
+
+
+@lru_cache(maxsize=None)
+def ci_width_values() -> tuple[tuple[int, float], ...]:
+    """(nu, interval_width) for integer nu in [1, CI_MAX_NU], from the
+    same poisson_math used by the Spark pandas UDF — so the oracle and
+    the engine share one source of truth for Poisson quantiles."""
+    nus = np.arange(1, CI_MAX_NU + 1, dtype=np.float64)
+    lo, hi = poisson_interval(ALPHA, nus)
+    return tuple((int(n), float(w)) for n, w in zip(nus, hi - lo))
+
+
+def _ci_cte() -> str:
+    rows = ", ".join(f"({n}, {w!r})" for n, w in ci_width_values())
+    return f"ci(nu_i, w) AS (VALUES {rows})"
+
+
+def _sig2(x: str) -> str:
+    """2-significant-digit rounding of a positive value, else 0
+    (reference analysis.py:186-196; HALF_UP — see functions.core)."""
+    s = f"POWER(10.0, CAST(-FLOOR(LOG10({x})) + 1 AS DOUBLE))"
+    return f"CASE WHEN {x} > 0 THEN ROUND(({x}) * {s}) / {s} ELSE 0.0 END"
+
+
+def events_series(interval_sec: int) -> str:
+    """events → (counter, bin_ts BIGINT, count DOUBLE) interval counts."""
+    n = interval_sec
+    return (
+        f"SELECT event_type AS counter, "
+        f"CAST(FLOOR(epoch(ts)/{n})*{n} AS BIGINT) AS bin_ts, "
+        f"CAST(COUNT(*) AS DOUBLE) AS count FROM events GROUP BY 1, 2"
+    )
+
+
+def _events_counts(interval_sec: int) -> str:
+    """events → D1-shaped (counter, s_epoch, dur, cnt)."""
+    n = interval_sec
+    return (
+        f"SELECT event_type AS counter, FLOOR(epoch(ts)/{n})*{n} AS s_epoch, "
+        f"CAST({n} AS DOUBLE) AS dur, CAST(COUNT(*) AS DOUBLE) AS cnt "
+        f"FROM events GROUP BY 1, 2"
+    )
+
+
+def rebin_ctes(counts_sql: str, width: float, trunc_sec: int) -> str:
+    """The rebin pipeline as chained CTEs ending in `reb` (counter,
+    bin_ts BIGINT, duration_sec DOUBLE, count BIGINT).
+
+    Mirrors operators/rebin.py step by step (which in turn mirrors
+    reference analysis.py:21-157): anchor/grid per counter, bounded
+    explode, proportional weights, zero-fill, zero-run compression,
+    grid-index trailing trim, int truncation.
+    """
+    w = float(width)
+    t = trunc_sec
+    return f"""
+counts AS ({counts_sql}),
+data AS (
+  SELECT counter, CAST(s_epoch AS DOUBLE) AS s, CAST(s_epoch AS DOUBLE) + dur AS e, cnt
+  FROM counts WHERE dur > 0
+),
+spans AS (
+  SELECT counter,
+         FLOOR(MIN(s)/{t})*{t} AS anchor,
+         FLOOR(MAX(e)/{t})*{t} AS grid_stop
+  FROM data GROUP BY counter
+),
+spans2 AS (
+  SELECT counter, anchor,
+         CAST(FLOOR((grid_stop - anchor)/{w}) + 1 AS BIGINT) AS n_bins
+  FROM spans
+),
+alloc0 AS (
+  SELECT d.counter, sp.anchor, d.s, d.e, d.cnt,
+         unnest(generate_series(
+           CAST(FLOOR((d.s - sp.anchor)/{w}) AS BIGINT),
+           LEAST(CAST(CEIL((d.e - sp.anchor)/{w}) - 1 AS BIGINT), sp.n_bins - 1)
+         )) AS i
+  FROM data d JOIN spans2 sp USING (counter)
+),
+alloc AS (
+  SELECT counter, i,
+         SUM(cnt * (LEAST(e, anchor + (i+1)*{w}) - GREATEST(s, anchor + i*{w})) / (e - s)) AS raw_count
+  FROM alloc0 GROUP BY counter, i
+),
+grid AS (
+  SELECT counter, anchor, unnest(generate_series(0, n_bins - 1)) AS i FROM spans2
+),
+filled AS (
+  SELECT g.counter, g.anchor, g.i,
+         a.raw_count IS NOT NULL AS present,
+         COALESCE(a.raw_count, 0.0) AS raw,
+         COALESCE(LAG(COALESCE(a.raw_count, 0.0))
+                  OVER (PARTITION BY g.counter ORDER BY g.i), 0.0) AS prev_raw,
+         MAX(CASE WHEN a.raw_count IS NOT NULL THEN g.i END)
+             OVER (PARTITION BY g.counter) AS last_present_i
+  FROM grid g LEFT JOIN alloc a ON g.counter = a.counter AND g.i = a.i
+),
+emitted AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY counter ORDER BY i) AS pos
+  FROM filled WHERE raw <> 0 OR prev_raw <> 0
+),
+reb AS (
+  SELECT counter,
+         CAST(anchor + i*{w} AS BIGINT) AS bin_ts,
+         CAST({w} AS DOUBLE) AS duration_sec,
+         CASE WHEN raw > 0 THEN CAST(FLOOR(raw) AS BIGINT) ELSE 0 END AS count
+  FROM emitted WHERE pos <= last_present_i + 1
+)"""
+
+
+def _poisson_lc_ctes() -> str:
+    """rebin(60s counts → 2-min bins) → lagged-count Poisson eta."""
+    return f"""WITH {rebin_ctes(_events_counts(60), 120.0, 60)},
+scored AS (
+  SELECT counter, bin_ts, CAST(count AS DOUBLE) AS count,
+         LAG(CAST(count AS DOUBLE)) OVER (PARTITION BY counter ORDER BY bin_ts) AS nu
+  FROM reb
+),
+{_ci_cte()},
+eta0 AS (
+  SELECT s.counter, s.bin_ts, s.count,
+         CASE WHEN s.nu IS NULL OR s.nu = 0 OR c.w IS NULL OR c.w = 0 THEN 0.0
+              ELSE ABS(s.count - s.nu) / c.w END AS eta_raw
+  FROM scored s LEFT JOIN ci c ON CAST(FLOOR(s.nu) AS BIGINT) = c.nu_i
+),
+etas AS (
+  SELECT counter, bin_ts, count, {_sig2('eta_raw')} AS eta FROM eta0
+)"""
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def build() -> dict[str, str]:
+    sql: dict[str, str] = {}
+
+    # --- rebin (SURVEY §2.3) ---
+    sql["rebin_contained"] = (
+        f"WITH {rebin_ctes(_events_counts(60), 120.0, 60)} "
+        "SELECT counter, bin_ts, duration_sec, count FROM reb"
+    )
+    sql["rebin_straddle"] = (
+        f"WITH {rebin_ctes(_events_counts(80), 60.0, 60)} "
+        "SELECT counter, bin_ts, duration_sec, count FROM reb"
+    )
+    sql["rebin_span"] = """
+WITH counts AS ({counts}),
+data AS (SELECT counter, CAST(s_epoch AS DOUBLE) AS s, CAST(s_epoch AS DOUBLE)+dur AS e FROM counts)
+SELECT counter,
+       CAST(MIN(s) AS BIGINT) AS min_start,
+       CAST(MAX(e) AS BIGINT) AS max_stop,
+       CAST(FLOOR(MIN(s)/60)*60 AS BIGINT) AS anchor,
+       CAST(FLOOR((FLOOR(MAX(e)/60)*60 - FLOOR(MIN(s)/60)*60)/60.0) + 1 AS BIGINT) AS n_bins
+FROM data GROUP BY counter
+""".format(counts=_events_counts(80))
+
+    # --- Poisson lc (M1) + detection (A6/A7) ---
+    sql["poisson_lc_eta"] = (
+        _poisson_lc_ctes() + " SELECT counter, bin_ts, count, eta FROM etas"
+    )
+    sql["detect_threshold"] = (
+        _poisson_lc_ctes()
+        + " SELECT counter, bin_ts, count, eta FROM etas WHERE eta > 1.0"
+    )
+    sql["detect_top1"] = (
+        _poisson_lc_ctes()
+        + " SELECT counter, bin_ts, count, eta FROM etas"
+        " ORDER BY eta DESC, counter, bin_ts LIMIT 1"
+    )
+
+    # --- Poisson cycle-corrected nu (M2): self-inclusive running mean
+    # per (counter, hour-of-day) — reference models.py:284-298 ---
+    sql["poisson_cycle_nu"] = f"""
+WITH ser AS ({events_series(60)})
+SELECT counter, bin_ts, count,
+       AVG(count) OVER (
+         PARTITION BY counter, CAST(FLOOR(bin_ts/3600) % 24 AS INT)
+         ORDER BY bin_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS nu
+FROM ser
+"""
+
+    # --- Linear-regression slope (M4) ---
+    sql["linreg_slope"] = f"""
+WITH ser AS ({events_series(60)}),
+idx AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY counter ORDER BY bin_ts) AS rn FROM ser
+),
+avgd AS (
+  SELECT counter, bin_ts, count, rn,
+         CASE WHEN rn >= 4 THEN AVG(count) OVER (
+           PARTITION BY counter ORDER BY rn ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         ELSE 0.0 END AS averaged
+  FROM idx
+),
+sl AS (
+  SELECT counter, bin_ts, count, rn,
+         regr_slope(averaged, CAST(rn AS DOUBLE)) OVER (
+           PARTITION BY counter ORDER BY rn ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS slope
+  FROM avgd
+)
+SELECT counter, bin_ts, count,
+       ROUND(CASE WHEN rn >= 8 THEN COALESCE(slope, 0.0) ELSE 0.0 END, 4) AS eta
+FROM sl
+"""
+
+    # --- Mann-Kendall z (M3), trailing window of 20 on 4-h series ---
+    sql["mann_kendall_z"] = f"""
+WITH ser AS ({events_series(14400)}),
+idx AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY counter ORDER BY bin_ts) AS rn FROM ser
+),
+pairs AS (
+  SELECT a.counter, a.rn AS arn, SUM(SIGN(j.count - k.count)) AS s
+  FROM idx a
+  JOIN idx j ON j.counter = a.counter AND j.rn <= a.rn AND j.rn >= a.rn - 19
+  JOIN idx k ON k.counter = a.counter AND k.rn < j.rn AND k.rn >= a.rn - 19
+  GROUP BY 1, 2
+),
+ties AS (
+  SELECT counter, arn, SUM(tp*(tp-1)*(2*tp+5)) AS tie_term FROM (
+    SELECT a.counter, a.rn AS arn, j.count AS v, COUNT(*) AS tp
+    FROM idx a JOIN idx j ON j.counter = a.counter AND j.rn <= a.rn AND j.rn >= a.rn - 19
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+),
+calc AS (
+  SELECT i.counter, i.bin_ts, i.count,
+         LEAST(i.rn, 20) AS n,
+         CAST(COALESCE(p.s, 0) AS DOUBLE) AS s,
+         CAST(t.tie_term AS DOUBLE) AS tie_term
+  FROM idx i
+  LEFT JOIN pairs p ON p.counter = i.counter AND p.arn = i.rn
+  JOIN ties t ON t.counter = i.counter AND t.arn = i.rn
+),
+z AS (
+  SELECT counter, bin_ts, count,
+         CASE WHEN n < 2 THEN 0.0
+              WHEN s > 0 THEN (s-1)/SQRT((n*(n-1)*(2*n+5) - tie_term)/18.0)
+              WHEN s < 0 THEN (s+1)/SQRT((n*(n-1)*(2*n+5) - tie_term)/18.0)
+              ELSE 0.0 END AS z
+  FROM calc
+)
+SELECT counter, bin_ts, count, {_sig2('z')} AS eta FROM z
+"""
+
+    # --- correlations (A4/A5), timestamp-aligned (reference bug fixed) ---
+    sql["correlation_pairs"] = f"""
+WITH ser AS ({events_series(3600)})
+SELECT a.counter AS counter_a, b.counter AS counter_b,
+       ROUND(CORR(a.count, b.count), 4) AS r,
+       COUNT(*) AS n_bins
+FROM ser a JOIN ser b ON a.bin_ts = b.bin_ts AND a.counter < b.counter
+GROUP BY 1, 2
+"""
+
+    # --- series transformations (T1-T10) over embeddings ---
+    arr = "[CAST(x AS DOUBLE) for x in embedding]"
+    sql["transform_add_one"] = (
+        f"SELECT vec_id, [ROUND(x + 1.0, 6) for x in {arr}] AS arr FROM embeddings"
+    )
+    # unit_normalization L=32 off=8: divisor = sum(py_slice[-(40):-8])/32
+    sql["transform_unit_norm"] = f"""
+WITH e AS (SELECT vec_id, {arr} AS a FROM embeddings),
+d AS (
+  SELECT vec_id, a,
+         CASE WHEN len(a) - 8 < GREATEST(1, len(a) + 1 - 40) THEN 0.0
+              ELSE list_reduce(list_slice(a, GREATEST(1, len(a) + 1 - 40), len(a) - 8),
+                               (x, y) -> x + y) / 32.0 END AS total
+  FROM e
+)
+SELECT vec_id,
+       [ROUND(x / (CASE WHEN total = 0 THEN 0.00001 ELSE total END), 6) for x in a] AS arr
+FROM d
+"""
+    sql["transform_log_scale"] = (
+        f"SELECT vec_id, [ROUND(LOG10(CASE WHEN x <= 0 THEN 0.00001 ELSE x END), 6) "
+        f"for x in {arr}] AS arr FROM embeddings"
+    )
+    sql["transform_smooth"] = f"""
+WITH e AS (SELECT vec_id, {arr} AS a FROM embeddings)
+SELECT vec_id,
+       [ROUND(list_reduce(list_slice(a, GREATEST(1, i - 4), i), (x, y) -> x + y)
+              / CAST(LEAST(i, 5) AS DOUBLE), 6)
+        for i in generate_series(1, len(a))] AS arr
+FROM e
+"""
+    sql["transform_spike_norm"] = f"""
+WITH e AS (SELECT vec_id, {arr} AS a FROM embeddings)
+SELECT vec_id,
+       [ROUND(CASE WHEN a[i] = 0 THEN 0.0
+                   ELSE POWER(ABS(a[i] - (CASE WHEN i = 1 THEN 0.0 ELSE a[i-1] END)), 1.2)
+              END, 6)
+        for i in generate_series(1, len(a))] AS arr
+FROM e
+"""
+    sql["transform_sizing"] = f"""
+WITH e AS (SELECT vec_id, {arr} AS a FROM embeddings)
+SELECT vec_id,
+       [ROUND(x, 6) for x in list_slice(a, GREATEST(1, len(a) - 39), len(a))] AS arr
+FROM e
+"""
+    sql["transform_sliding"] = f"""
+WITH e AS (SELECT vec_id, {arr} AS a FROM embeddings)
+SELECT vec_id,
+       [[ROUND(x, 6) for x in list_slice(a, i, i + 59)]
+        for i in generate_series(1, len(a) - 59)] AS windows
+FROM e
+"""
+    # full test chain: add_one → unit_norm(32,8) → log10 → smooth(5)
+    sql["transform_chain_test"] = """
+WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) + 1.0 for x in embedding] AS t1 FROM embeddings),
+d AS (
+  SELECT vec_id, t1,
+         CASE WHEN len(t1) - 8 < GREATEST(1, len(t1) + 1 - 40) THEN 0.0
+              ELSE list_reduce(list_slice(t1, GREATEST(1, len(t1) + 1 - 40), len(t1) - 8),
+                               (x, y) -> x + y) / 32.0 END AS total
+  FROM e
+),
+t2 AS (
+  SELECT vec_id,
+         [x / (CASE WHEN total = 0 THEN 0.00001 ELSE total END) for x in t1] AS a
+  FROM d
+),
+t3 AS (
+  SELECT vec_id, [LOG10(CASE WHEN x <= 0 THEN 0.00001 ELSE x END) for x in a] AS a FROM t2
+)
+SELECT vec_id,
+       [ROUND(list_reduce(list_slice(a, GREATEST(1, i - 4), i), (x, y) -> x + y)
+              / CAST(LEAST(i, 5) AS DOUBLE), 6)
+        for i in generate_series(1, len(a))] AS arr
+FROM t3
+"""
+
+    # --- dedup / text (north-star extensions) ---
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    sql["dedup_exact"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY 1
+"""
+    sql["minhash_signatures"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+          for i in generate_series(1, len(toks) - 2)] AS shingles
+  FROM t WHERE len(toks) >= 3
+)
+SELECT doc_id,
+       [list_aggregate([md5(CAST(i AS VARCHAR) || ':' || s) for s in shingles], 'min')
+        for i in generate_series(0, 15)] AS sig
+FROM sh
+"""
+    sql["lsh_candidate_pairs"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT d.doc_id + 1000000 AS doc_id,
+         array_to_string(list_slice({toks}, 1, 40), ' ') AS text
+  FROM documents d WHERE d.doc_id % 5 = 0
+),
+t AS (SELECT doc_id, {toks} AS toks FROM corpus),
+sh AS (
+  SELECT doc_id,
+         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+          for i in generate_series(1, len(toks) - 2)] AS shingles
+  FROM t WHERE len(toks) >= 3
+),
+sigs AS (
+  SELECT doc_id, shingles,
+         [list_aggregate([md5(CAST(i AS VARCHAR) || ':' || s) for s in shingles], 'min')
+          for i in generate_series(0, 15)] AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b, sig[2*b + 1] || sig[2*b + 2] AS band_val
+  FROM (SELECT doc_id, sig, unnest(generate_series(0, 7)) AS b FROM sigs)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+  FROM bands a JOIN bands bb
+    ON a.b = bb.b AND a.band_val = bb.band_val AND a.doc_id < bb.doc_id
+),
+shd AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN shd s1 ON s1.doc_id = c.doc_a
+  JOIN shd s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+    sql["simhash64"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, tokval, COUNT(*) AS w FROM (
+    SELECT doc_id, unnest(toks) AS tokval FROM t
+  ) GROUP BY 1, 2
+),
+h AS (SELECT doc_id, md5(tokval) AS hx, w FROM tok),
+bits AS (
+  SELECT doc_id, p,
+         SUM(w * (2 * (CAST(FLOOR(
+             (strpos('0123456789abcdef', substr(hx, CAST(FLOOR(p/4.0) AS INT) + 1, 1)) - 1)
+             / POWER(2.0, 3 - (p % 4))) AS BIGINT) % 2) - 1)) AS acc
+  FROM (SELECT doc_id, hx, w, unnest(generate_series(0, 63)) AS p FROM h)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       string_agg(CASE WHEN acc > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
+FROM bits GROUP BY doc_id
+"""
+    sql["text_token_stats"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       ROUND(list_reduce([CAST(length(x) AS DOUBLE) for x in toks], (a, b) -> a + b)
+             / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len
+FROM t WHERE len(toks) > 0
+"""
+    stop_en = "'the','a','of','and','to','in','is','on','for','with'"
+    sql["text_quality"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+         list_reduce([CAST(length(x) AS DOUBLE) for x in toks], (a, b) -> a + b) AS chars,
+         CAST(len(list_filter(toks, x -> x IN ({stop_en}))) AS DOUBLE) AS stops
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       ROUND(LEAST(n / 200.0, 1.0) * 0.25 + (nd / n) * 0.25
+             + LEAST((chars / n) / 8.0, 1.0) * 0.25 + (stops / n) * 0.25, 6) AS quality
+FROM m
+"""
+    langwords = (
+        "('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),('en','in'),"
+        "('en','is'),('en','on'),('en','for'),('en','with'),"
+        "('es','el'),('es','la'),('es','de'),('es','y'),('es','en'),('es','que'),"
+        "('es','los'),('es','un'),('es','por'),('es','con'),"
+        "('fr','le'),('fr','la'),('fr','de'),('fr','et'),('fr','les'),('fr','des'),"
+        "('fr','un'),('fr','une'),('fr','dans'),('fr','est'),"
+        "('de','der'),('de','die'),('de','das'),('de','und'),('de','in'),('de','den'),"
+        "('de','von'),('de','zu'),('de','mit'),('de','auf')"
+    )
+    sql["text_lang_id"] = f"""
+WITH words(lang, word) AS (VALUES {langwords}),
+t AS (SELECT doc_id, unnest({toks}) AS tokval FROM documents),
+hits AS (
+  SELECT t.doc_id, w.lang, COUNT(*) AS n_hits
+  FROM t JOIN words w ON t.tokval = w.word
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang, n_hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lang) AS rk
+  FROM hits
+)
+SELECT d.doc_id,
+       COALESCE(b.lang, 'und') AS predicted_lang,
+       COALESCE(b.n_hits, 0) AS n_stopword_hits
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+"""
+    sql["doc_fingerprint"] = """
+WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents)
+SELECT doc_id,
+       list_aggregate([md5(substr(lt, i, 8)) for i in generate_series(1, length(lt) - 7)],
+                      'min') AS fingerprint
+FROM t WHERE length(lt) >= 8
+"""
+
+    # --- similarity search over embeddings ---
+    vec = "[CAST(x AS DOUBLE) for x in embedding]"
+    sql["cosine_neardup_pairs"] = f"""
+WITH e AS (SELECT vec_id, {vec} AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         SQRT(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm
+  FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_reduce([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))],
+                         (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_reduce([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))],
+                  (x, y) -> x + y) / (a.nrm * b.nrm) > 0.4
+"""
+    sql["ann_topk"] = f"""
+WITH e AS (SELECT vec_id, {vec} AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         SQRT(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm
+  FROM e
+),
+q AS (SELECT * FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         ROUND(list_reduce([q.v[i] * n.v[i] for i in generate_series(1, len(q.v))],
+                           (x, y) -> x + y) / (q.nrm * n.nrm), 6) AS cosine
+  FROM q JOIN n ON q.vec_id <> n.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+    # --- classic OLAP showcase ---
+    sql["tpch_q1_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+    sql["sessionize"] = """
+WITH ev AS (SELECT user_id, epoch(ts) AS e FROM events),
+x AS (
+  SELECT user_id, e,
+         CASE WHEN LAG(e) OVER w IS NULL OR e - LAG(e) OVER w > 1800.0
+              THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY e)
+),
+s AS (
+  SELECT user_id, e,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM x
+)
+SELECT user_id, sess AS session_idx, COUNT(*) AS n_events,
+       CAST(FLOOR(MIN(e)) AS BIGINT) AS session_start
+FROM s GROUP BY 1, 2
+"""
+    sql["top_users_per_event"] = """
+WITH c AS (SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2)
+SELECT event_type, user_id, n, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rk
+  FROM c
+) WHERE rk <= 3
+"""
+    sql["multimodal_meta"] = """
+SELECT doc_id, length(text) AS n_chars_measured, sha256(text) AS content_sha
+FROM documents
+"""
+    return sql

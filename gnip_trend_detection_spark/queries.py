@@ -1,0 +1,384 @@
+"""Named engine queries: name → (spark, sf_dir) → DataFrame.
+
+One entry per implemented operator from SURVEY.md §2 plus the
+training-data-pipeline extensions. Each has a matching DuckDB oracle
+in oracles.py (same math, same rounding, same column names/aliases) —
+see oracles.py for the float-parity rules.
+
+Interval widths for derived fixtures are chosen dyadic-friendly
+(60/80/120/3600/14400 s) so rebin weights are exactly representable
+and aggregation order cannot change results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gnip_trend_detection_spark.extras import dedup, similarity, text
+from gnip_trend_detection_spark.operators import transforms
+from gnip_trend_detection_spark.operators.correlate import pair_correlations
+from gnip_trend_detection_spark.operators.detect import detect_threshold, detect_topk
+from gnip_trend_detection_spark.operators.models import (
+    linear_regression_model,
+    mann_kendall,
+    poisson_cycle,
+    poisson_lc,
+)
+from gnip_trend_detection_spark.operators.rebin import rebin
+from gnip_trend_detection_spark.sources.tables import counts_from_events, load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _epoch_long(col):
+    return col.cast("double").cast("long")
+
+
+def _events_series(spark: SparkSession, sf_dir: str, interval_sec: int) -> DataFrame:
+    """events → (counter, bin_ts long, count double) — matches
+    oracles.events_series."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(ev["ts"].cast("double") / interval_sec) * interval_sec).cast(
+        "long"
+    )
+    return ev.groupBy(
+        ev["event_type"].alias("counter"), bucket.alias("bin_ts")
+    ).agg(F.count(F.lit(1)).cast("double").alias("count"))
+
+
+def _series_ts(spark: SparkSession, sf_dir: str, interval_sec: int) -> DataFrame:
+    """Same series with a timestamp column for window models."""
+    ser = _events_series(spark, sf_dir, interval_sec)
+    return ser.select(
+        "counter", F.timestamp_seconds("bin_ts").alias("bin_start"), "count"
+    )
+
+
+def _rebinned_2min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = counts_from_events(spark, sf_dir, 60)
+    return rebin(counts, binning_unit="minutes", n_binning_unit=2)
+
+
+def _poisson_output(df: DataFrame) -> DataFrame:
+    return df.select(
+        "counter",
+        _epoch_long(F.col("interval_start")).alias("bin_ts"),
+        "count",
+        "eta",
+    )
+
+
+# --------------------------------------------------------------- rebin
+
+
+def q_rebin_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _rebinned_2min(spark, sf_dir)
+    return out.select(
+        "counter", _epoch_long(F.col("bin_start")).alias("bin_ts"), "duration_sec", "count"
+    )
+
+
+def q_rebin_straddle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = counts_from_events(spark, sf_dir, 80)
+    out = rebin(counts, binning_unit="minutes", n_binning_unit=1)
+    return out.select(
+        "counter", _epoch_long(F.col("bin_start")).alias("bin_ts"), "duration_sec", "count"
+    )
+
+
+def q_rebin_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = counts_from_events(spark, sf_dir, 80)
+    s = F.col("interval_start").cast("double")
+    e = s + F.col("duration_sec")
+    data = counts.select("counter", s.alias("s"), e.alias("e"))
+    anchor = F.floor(F.min("s") / 60) * 60
+    grid_stop = F.floor(F.max("e") / 60) * 60
+    return data.groupBy("counter").agg(
+        F.floor(F.min("s")).cast("long").alias("min_start"),
+        F.floor(F.max("e")).cast("long").alias("max_stop"),
+        anchor.cast("long").alias("anchor"),
+        (F.floor((grid_stop - anchor) / 60.0) + 1).cast("long").alias("n_bins"),
+    )
+
+
+# --------------------------------------------------------------- models
+
+
+def q_poisson_lc_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _poisson_output(poisson_lc(_rebinned_2min(spark, sf_dir), alpha=0.99))
+
+
+def q_detect_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = poisson_lc(_rebinned_2min(spark, sf_dir), alpha=0.99)
+    return _poisson_output(detect_threshold(scored, theta=1.0))
+
+
+def q_detect_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _poisson_output(poisson_lc(_rebinned_2min(spark, sf_dir), alpha=0.99))
+    return scored.orderBy(F.desc("eta"), F.asc("counter"), F.asc("bin_ts")).limit(1)
+
+
+def q_poisson_cycle_nu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ser = _series_ts(spark, sf_dir, 60)
+    out = poisson_cycle(ser, period_list="hour", include_nu=True)
+    return out.select(
+        "counter", _epoch_long(F.col("interval_start")).alias("bin_ts"), "count", "nu"
+    )
+
+
+def q_linreg_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ser = _series_ts(spark, sf_dir, 60)
+    out = linear_regression_model(
+        ser,
+        min_points=8,
+        averaging_window_size=4,
+        regression_window_size=24,
+        sig_round=False,
+    )
+    return out.select(
+        "counter",
+        _epoch_long(F.col("interval_start")).alias("bin_ts"),
+        "count",
+        F.round("eta", 4).alias("eta"),
+    )
+
+
+def q_mann_kendall_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ser = _series_ts(spark, sf_dir, 14400)
+    out = mann_kendall(ser, window_size=20, sig_round=True)
+    return _poisson_output(out)
+
+
+def q_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ser = _series_ts(spark, sf_dir, 3600)
+    return pair_correlations(ser, round_digits=4)
+
+
+# ----------------------------------------------------- transforms (T1-T10)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("a")
+    )
+
+
+def _round_arr(col, digits: int = 6):
+    return F.transform(col, lambda x: F.round(x, digits))
+
+
+def q_transform_add_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return e.select("vec_id", _round_arr(transforms.add_one(F.col("a"))).alias("arr"))
+
+
+def q_transform_unit_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return e.select(
+        "vec_id",
+        _round_arr(transforms.unit_normalization(F.col("a"), 32, 8)).alias("arr"),
+    )
+
+
+def q_transform_log_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return e.select(
+        "vec_id", _round_arr(transforms.logarithmic_scaling(F.col("a"))).alias("arr")
+    )
+
+
+def q_transform_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return e.select(
+        "vec_id", _round_arr(transforms.smoothing(F.col("a"), 5)).alias("arr")
+    )
+
+
+def q_transform_spike_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return e.select(
+        "vec_id",
+        _round_arr(transforms.spike_normalization(F.col("a"), 1.2)).alias("arr"),
+    )
+
+
+def q_transform_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return e.select(
+        "vec_id", _round_arr(transforms.sizing(F.col("a"), 40)).alias("arr")
+    )
+
+
+def q_transform_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    wins = transforms.sliding_subseries(F.col("a"), 60)
+    return e.select(
+        "vec_id",
+        F.transform(wins, lambda w: _round_arr(w)).alias("windows"),
+    )
+
+
+def q_transform_chain_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    chained = transforms.test_chain(
+        F.col("a"), reference_length=32, baseline_offset=8, n_smooth=5
+    )
+    return e.select("vec_id", _round_arr(chained).alias("arr"))
+
+
+# ------------------------------------------------------- dedup / text
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return dedup.exact_duplicates(docs.unionByName(dupes))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir)).select("doc_id", "sig")
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    truncated = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(text.tokens(F.col("text")), 1, 40), " ").alias("text"),
+    )
+    corpus = docs.unionByName(truncated)
+    sigs = dedup.minhash_signatures(corpus)
+    return dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
+
+
+def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash64(_docs(spark, sf_dir))
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(spark, _docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+# ------------------------------------------------------- similarity
+
+
+def q_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, threshold=0.4)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+# ------------------------------------------------------- OLAP showcase
+
+
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c, k: F.sum(F.round(c * k).cast("long")).cast("double") / float(k)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        cents(F.col("l_quantity"), 100).alias("sum_qty"),
+        cents(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+        cents(disc_price, 10000).alias("sum_disc_price"),
+        cents(charge, 1000000).alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("double").alias("e")
+    )
+    w = Window.partitionBy("user_id").orderBy("e")
+    brk = F.when(
+        F.lag("e").over(w).isNull() | ((F.col("e") - F.lag("e").over(w)) > 1800.0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("brk", brk).withColumn(
+        "sess",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", F.col("sess").alias("session_idx")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(F.min("e")).cast("long").alias("session_start"),
+    )
+
+
+def q_top_users_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return c.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("content_sha"),
+    )
+
+
+# --------------------------------------------------------------- registry
+
+ALL: dict[str, QueryFn] = {
+    "rebin_contained": q_rebin_contained,
+    "rebin_straddle": q_rebin_straddle,
+    "rebin_span": q_rebin_span,
+    "poisson_lc_eta": q_poisson_lc_eta,
+    "detect_threshold": q_detect_threshold,
+    "detect_top1": q_detect_top1,
+    "poisson_cycle_nu": q_poisson_cycle_nu,
+    "linreg_slope": q_linreg_slope,
+    "mann_kendall_z": q_mann_kendall_z,
+    "correlation_pairs": q_correlation_pairs,
+    "transform_add_one": q_transform_add_one,
+    "transform_unit_norm": q_transform_unit_norm,
+    "transform_log_scale": q_transform_log_scale,
+    "transform_smooth": q_transform_smooth,
+    "transform_spike_norm": q_transform_spike_norm,
+    "transform_sizing": q_transform_sizing,
+    "transform_sliding": q_transform_sliding,
+    "transform_chain_test": q_transform_chain_test,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "simhash64": q_simhash64,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "cosine_neardup_pairs": q_cosine_neardup_pairs,
+    "ann_topk": q_ann_topk,
+    "tpch_q1_pricing": q_tpch_q1_pricing,
+    "sessionize": q_sessionize,
+    "top_users_per_event": q_top_users_per_event,
+    "multimodal_meta": q_multimodal_meta,
+}

@@ -1,0 +1,85 @@
+"""Local replica of the driver's oracle-parity check.
+
+Runs each queries()[name] on Spark and its oracle_sql()[name] on
+DuckDB over the same parquet fixtures, then compares row count, sorted
+column names, and order-insensitive values (with float tolerance used
+only to *report* near-misses — the assertion is exact-ish equality
+after canonicalization, matching a value-hash comparison).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0  # normalize -0.0
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    try:
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            return v.replace(tzinfo=None).isoformat()
+    except ImportError:
+        pass
+    if hasattr(v, "item"):  # numpy scalar
+        return _canon(v.item())
+    return v
+
+
+def compare(spark_df, con, sql, name=""):
+    spark_cols = sorted(spark_df.columns)
+    spark_rows = [
+        tuple(_canon(row[c]) for c in spark_cols) for row in spark_df.collect()
+    ]
+    duck = con.sql(sql)
+    duck_cols_raw = list(duck.columns)
+    duck_cols = sorted(duck_cols_raw)
+    idx = [duck_cols_raw.index(c) for c in duck_cols]
+    duck_rows = [tuple(_canon(r[i]) for i in idx) for r in duck.fetchall()]
+
+    assert spark_cols == duck_cols, (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_sorted = sorted(spark_rows, key=repr)
+    d_sorted = sorted(duck_rows, key=repr)
+    mismatches = [
+        (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)}/{len(s_sorted)} row mismatches; "
+        f"first: spark={mismatches[0][0]} duck={mismatches[0][1]}"
+    )
