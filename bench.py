@@ -1,0 +1,77 @@
+"""Benchmark the engine's headline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "rebin_contained",
+    "rebin_straddle",
+    "poisson_lc_eta",
+    "poisson_cycle_nu",
+    "linreg_slope",
+    "mann_kendall_z",
+    "correlation_pairs",
+    "transform_chain_test",
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash64",
+    "text_quality",
+    "doc_fingerprint",
+    "cosine_neardup_pairs",
+    "ann_topk",
+    "tpch_q1_pricing",
+    "sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from gnip_trend_detection_spark import queries as q
+    from gnip_trend_detection_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # warm the JVM + parquet footers outside the timed region
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = q.ALL[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -116,22 +116,54 @@ def sliding_subseries(arr: Column, length: int) -> Column:
     )
 
 
-def reference_chain(
-    arr: Column, reference_length: int, baseline_offset: int, n_smooth: int
-) -> Column:
-    """T9: the library's reference-series chain (library.py:42-47)."""
-    out = add_one(arr)
-    out = unit_normalization(out, reference_length, baseline_offset)
-    out = logarithmic_scaling(out)
-    out = smoothing(out, n_smooth)
-    return sizing(out, reference_length)
+def stage_barrier(col: Column) -> Column:
+    """Always-true non-deterministic guard.
+
+    Composing array stages where a later stage's per-element lambda
+    references an earlier stage that itself contains whole-array
+    aggregates makes Catalyst inline the full upstream tree into
+    every element evaluation (CollapseProject) — codegen blows up
+    multiplicatively (measured: 149s → 2.5s on the 4-stage chain at
+    sf0.1). Wrapping a stage output in a non-deterministic-but-
+    constant guard pins it to its own projection, so each stage is
+    evaluated once per row. No shuffle, no caching.
+    """
+    return F.when(F.rand() >= F.lit(-1.0), col)
 
 
-def test_chain(
-    arr: Column, reference_length: int, baseline_offset: int, n_smooth: int
-) -> Column:
-    """T9: the test-series chain — same minus sizing (library.py:49-53)."""
-    out = add_one(arr)
-    out = unit_normalization(out, reference_length, baseline_offset)
-    out = logarithmic_scaling(out)
-    return smoothing(out, n_smooth)
+def apply_chain(df, input_col: str, output_col: str, stages) -> "DataFrame":
+    """T9 (library.py:68-84): fold an array column through an ordered
+    list of Column transformations, one barriered projection per
+    stage."""
+    cur = input_col
+    for i, stage in enumerate(stages):
+        last = i == len(stages) - 1
+        nxt = output_col if last else f"__chain_{i}"
+        out = stage(F.col(cur))
+        df = df.withColumn(nxt, out if last else stage_barrier(out))
+        if cur != input_col:
+            df = df.drop(cur)
+        cur = nxt
+    return df
+
+
+def reference_stages(reference_length: int, baseline_offset: int, n_smooth: int):
+    """The library's reference-series chain (library.py:42-47):
+    add_one → unit_normalization → log10 → smoothing → sizing."""
+    return [
+        add_one,
+        lambda a: unit_normalization(a, reference_length, baseline_offset),
+        logarithmic_scaling,
+        lambda a: smoothing(a, n_smooth),
+        lambda a: sizing(a, reference_length),
+    ]
+
+
+def test_stages(reference_length: int, baseline_offset: int, n_smooth: int):
+    """The test-series chain — same minus sizing (library.py:49-53)."""
+    return [
+        add_one,
+        lambda a: unit_normalization(a, reference_length, baseline_offset),
+        logarithmic_scaling,
+        lambda a: smoothing(a, n_smooth),
+    ]

@@ -224,10 +224,10 @@ def q_transform_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_transform_chain_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    chained = transforms.test_chain(
-        F.col("a"), reference_length=32, baseline_offset=8, n_smooth=5
+    out = transforms.apply_chain(
+        e, "a", "arr", transforms.test_stages(reference_length=32, baseline_offset=8, n_smooth=5)
     )
-    return e.select("vec_id", _round_arr(chained).alias("arr"))
+    return out.select("vec_id", _round_arr(F.col("arr")).alias("arr"))
 
 
 # ------------------------------------------------------- dedup / text
