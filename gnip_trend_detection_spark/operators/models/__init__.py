@@ -4,10 +4,12 @@ from gnip_trend_detection_spark.operators.models.poisson import (
 )
 from gnip_trend_detection_spark.operators.models.mann_kendall import mann_kendall
 from gnip_trend_detection_spark.operators.models.linreg import linear_regression_model
+from gnip_trend_detection_spark.operators.models.wdt import weighted_data_templates
 
 __all__ = [
     "poisson_lc",
     "poisson_cycle",
     "mann_kendall",
     "linear_regression_model",
+    "weighted_data_templates",
 ]

@@ -1,0 +1,157 @@
+"""WeightedDataTemplates — the Nikolov data-driven template model
+(SURVEY §2.4 M5/M6; reference models.py:92-224; paper trends.tex
+§3.3).
+
+Per point t of each counter series:
+  1. no result until `reference_length` points exist or while the
+     trailing sum is 0 (models.py:155-161) → eta = 0 (after the first
+     update the reference's weights are 0.0, so get_result returns
+     0 / SMALL_NUMBER = 0);
+  2. transform the trailing `reference_length` counts through the
+     library's *test* chain (models.py:163-167);
+  3. test series s = last `series_length` transformed points;
+  4. for each library series r: weight(r) = exp(-lambda * min over all
+     length-`series_length` sub-windows r_s of d(r_s, s))
+     (models.py:194-213);
+  5. eta = sum_{r in R+} w / max(sum_{r in R-} w, 0.001)
+     (models.py:171-192, SMALL_NUMBER floor only when the denominator
+     is exactly 0).
+
+Distances (models.py:226-236): the reference's "euclidean" is
+actually L1 — kept under the name 'l1' (default, code-compatible);
+'sq_l2' implements the paper's squared-L2 (trends.tex:417-419).
+
+Spark shape: trailing history via ordered collect_list window →
+test-chain stages (barriered projections) → **broadcast** cross join
+against the (tiny, O(100..1000)-row) library → sub-window min
+distance via array HOFs → hash-agg sum by is_trend → ratio. One
+shuffle for the counter window; the scoring join is broadcast (no
+shuffle); the final agg is keyed by (counter, point) with map-side
+combine. `score_latest_only` cuts the per-point history duplication
+for production use (score only each counter's newest point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gnip_trend_detection_spark.functions.core import sig_round2
+from gnip_trend_detection_spark.operators import transforms
+
+SMALL_NUMBER = 0.001
+
+
+def _l1(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+DISTANCES = {"l1": _l1, "sq_l2": _sq_l2}
+
+
+def min_subwindow_distance(ref: Column, test: Column, length: int, distance: str) -> Column:
+    """min over all length-L contiguous sub-windows of `ref` of
+    d(sub, test) — reference models.py:194-213 + library.py:12-19."""
+    d = DISTANCES[distance]
+    dists = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ref) - length + 1, F.lit(1))),
+        lambda i: d(F.slice(ref, i, F.lit(length)), test),
+    )
+    # ref shorter than the window: no sub-series → the reference keeps
+    # min_distance = float_max → weight exp(-max) == 0 (models.py:206)
+    return F.when(F.size(ref) >= length, F.array_min(dists)).otherwise(
+        F.lit(float("inf"))
+    )
+
+
+def weighted_data_templates(
+    rebinned: DataFrame,
+    library: DataFrame,
+    series_length: int = 50,
+    reference_length: int = 210,
+    lam: float = 1.0,
+    distance: str = "l1",
+    baseline_offset: int = 40,
+    n_smooth: int = 80,
+    ts_col: str = "bin_start",
+    score_latest_only: bool = False,
+    sig_round: bool = True,
+) -> DataFrame:
+    """A3 series + library(series_id, is_trend, points) → D4 etas."""
+    w = Window.partitionBy("counter").orderBy(ts_col)
+    hist = F.collect_list(F.col("count").cast("double")).over(
+        w.rowsBetween(-(reference_length - 1), 0)
+    )
+    df = rebinned.select(
+        "counter",
+        F.col(ts_col).alias("interval_start"),
+        F.col("count").cast("double").alias("count"),
+        F.row_number().over(w).alias("rn"),
+        hist.alias("hist"),
+    )
+    if score_latest_only:
+        last = Window.partitionBy("counter")
+        df = df.withColumn("__max_rn", F.max("rn").over(last)).filter(
+            F.col("rn") == F.col("__max_rn")
+        ).drop("__max_rn")
+
+    warm = (F.col("rn") >= reference_length) & (
+        F.aggregate(F.col("hist"), F.lit(0.0), lambda a, x: a + x) != 0
+    )
+    df = df.withColumn("warm", warm)
+
+    cold = df.filter(~F.col("warm")).select(
+        "counter", "interval_start", "count", F.lit(0.0).alias("eta_raw")
+    )
+    hot = df.filter(F.col("warm"))
+
+    # test transformation chain over the trailing history, then keep
+    # the last series_length points (models.py:163-169)
+    hot = transforms.apply_chain(
+        hot,
+        "hist",
+        "transformed",
+        transforms.test_stages(reference_length, baseline_offset, n_smooth),
+    )
+    hot = hot.withColumn(
+        "test_series", transforms.sizing(F.col("transformed"), series_length)
+    ).drop("transformed", "hist")
+
+    lib = library.select(
+        "series_id", "is_trend", F.col("points").alias("ref_points")
+    )
+    pairs = hot.crossJoin(F.broadcast(lib))
+    mind = min_subwindow_distance(
+        F.col("ref_points"), F.col("test_series"), series_length, distance
+    )
+    weight = F.exp(-F.lit(float(lam)) * mind)
+    scored = (
+        pairs.withColumn("weight", weight)
+        .groupBy("counter", "interval_start", "count")
+        .agg(
+            F.sum(F.when(F.col("is_trend"), F.col("weight")).otherwise(0.0)).alias("tw"),
+            F.sum(F.when(~F.col("is_trend"), F.col("weight")).otherwise(0.0)).alias("nw"),
+        )
+        .select(
+            "counter",
+            "interval_start",
+            "count",
+            (
+                F.col("tw")
+                / F.when(F.col("nw") == 0, F.lit(SMALL_NUMBER)).otherwise(F.col("nw"))
+            ).alias("eta_raw"),
+        )
+    )
+    out = scored.unionByName(cold)
+    eta = sig_round2(F.col("eta_raw")) if sig_round else F.col("eta_raw")
+    return out.select("counter", "interval_start", "count", eta.alias("eta"))

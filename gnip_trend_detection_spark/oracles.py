@@ -278,6 +278,68 @@ z AS (
 SELECT counter, bin_ts, count, {_sig2('z')} AS eta FROM z
 """
 
+    # --- WeightedDataTemplates (M5/M6): hourly series vs the
+    # embeddings-derived library; L1 distance, lambda=0.5; test chain
+    # add_one → unit_norm(12,3) → log10 → smooth(3) → last 6 pts ---
+    sql["wdt_eta"] = f"""
+WITH ser AS ({events_series(3600)}),
+h AS (
+  SELECT counter, bin_ts, count,
+         ROW_NUMBER() OVER w AS rn,
+         list(count) OVER (PARTITION BY counter ORDER BY bin_ts
+                           ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS hist
+  FROM ser WINDOW w AS (PARTITION BY counter ORDER BY bin_ts)
+),
+lib AS (
+  SELECT vec_id AS series_id, vec_id % 2 = 0 AS is_trend,
+         [CAST(x AS DOUBLE) for x in list_slice(embedding, 1, 24)] AS ref_points
+  FROM embeddings WHERE vec_id < 64
+),
+warm AS (
+  SELECT *, rn >= 12 AND list_reduce(hist, (a, b) -> a + b) <> 0 AS warm FROM h
+),
+t1 AS (SELECT counter, bin_ts, count, [x + 1.0 for x in hist] AS a FROM warm WHERE warm),
+t2 AS (
+  SELECT counter, bin_ts, count,
+         [x / (CASE WHEN total = 0 THEN 0.00001 ELSE total END) for x in a] AS a
+  FROM (
+    SELECT *, CASE WHEN len(a) - 3 < GREATEST(1, len(a) + 1 - 15) THEN 0.0
+                   ELSE list_reduce(list_slice(a, GREATEST(1, len(a) + 1 - 15), len(a) - 3),
+                                    (x, y) -> x + y) / 12.0 END AS total
+    FROM t1
+  )
+),
+t3 AS (SELECT counter, bin_ts, count,
+              [LOG10(CASE WHEN x <= 0 THEN 0.00001 ELSE x END) for x in a] AS a FROM t2),
+t4 AS (
+  SELECT counter, bin_ts, count,
+         [list_reduce(list_slice(a, GREATEST(1, i - 2), i), (x, y) -> x + y)
+          / CAST(LEAST(i, 3) AS DOUBLE) for i in generate_series(1, len(a))] AS a
+  FROM t3
+),
+test AS (
+  SELECT counter, bin_ts, count, list_slice(a, len(a) - 5, len(a)) AS s FROM t4
+),
+pairs AS (
+  SELECT t.counter, t.bin_ts, t.count, l.is_trend,
+         EXP(-0.5 * list_aggregate(
+           [list_reduce([ABS(l.ref_points[i + j - 1] - t.s[j]) for j in generate_series(1, 6)],
+                        (x, y) -> x + y)
+            for i in generate_series(1, len(l.ref_points) - 5)], 'min')) AS w
+  FROM test t CROSS JOIN lib l
+),
+agg AS (
+  SELECT counter, bin_ts, count,
+         SUM(CASE WHEN is_trend THEN w ELSE 0.0 END) AS tw,
+         SUM(CASE WHEN NOT is_trend THEN w ELSE 0.0 END) AS nw
+  FROM pairs GROUP BY 1, 2, 3
+)
+SELECT counter, bin_ts, count,
+       ROUND(tw / (CASE WHEN nw = 0 THEN 0.001 ELSE nw END), 4) AS eta FROM agg
+UNION ALL
+SELECT counter, bin_ts, count, 0.0 AS eta FROM warm WHERE NOT warm
+"""
+
     # --- correlations (A4/A5), timestamp-aligned (reference bug fixed) ---
     sql["correlation_pairs"] = f"""
 WITH ser AS ({events_series(3600)})

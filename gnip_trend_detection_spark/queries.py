@@ -26,6 +26,7 @@ from gnip_trend_detection_spark.operators.models import (
     mann_kendall,
     poisson_cycle,
     poisson_lc,
+    weighted_data_templates,
 )
 from gnip_trend_detection_spark.operators.rebin import rebin
 from gnip_trend_detection_spark.sources.tables import counts_from_events, load_table
@@ -150,6 +151,42 @@ def q_mann_kendall_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     ser = _series_ts(spark, sf_dir, 14400)
     out = mann_kendall(ser, window_size=20, sig_round=True)
     return _poisson_output(out)
+
+
+def _wdt_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic small library from the embeddings fixture:
+    series_id = vec_id < 64, is_trend = even id, points = first 24
+    dims as double. Broadcast-sized by construction (SURVEY J2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("series_id"),
+        (F.col("vec_id") % 2 == 0).alias("is_trend"),
+        F.slice(F.col("embedding").cast("array<double>"), 1, 24).alias("points"),
+    )
+
+
+def q_wdt_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5/M6 WeightedDataTemplates over hourly event series vs the
+    embeddings-derived library (L1 distance, lambda=0.5)."""
+    ser = _series_ts(spark, sf_dir, 3600)
+    lib = _wdt_library(spark, sf_dir)
+    out = weighted_data_templates(
+        ser,
+        lib,
+        series_length=6,
+        reference_length=12,
+        lam=0.5,
+        distance="l1",
+        baseline_offset=3,
+        n_smooth=3,
+        sig_round=False,
+    )
+    return out.select(
+        "counter",
+        _epoch_long(F.col("interval_start")).alias("bin_ts"),
+        "count",
+        F.round("eta", 4).alias("eta"),
+    )
 
 
 def q_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,6 +395,7 @@ ALL: dict[str, QueryFn] = {
     "poisson_cycle_nu": q_poisson_cycle_nu,
     "linreg_slope": q_linreg_slope,
     "mann_kendall_z": q_mann_kendall_z,
+    "wdt_eta": q_wdt_eta,
     "correlation_pairs": q_correlation_pairs,
     "transform_add_one": q_transform_add_one,
     "transform_unit_norm": q_transform_unit_norm,

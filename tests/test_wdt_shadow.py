@@ -1,0 +1,132 @@
+"""Shadow test for WeightedDataTemplates: an independent pure-Python
+implementation of the documented algorithm (paper trends.tex §3.3 +
+SURVEY §2.4 M5/M6 semantics) cross-checked against the Spark operator.
+
+This is written from the spec, not the reference source: per-point
+trailing history, test-chain transform, sub-window min L1 distance,
+exp(-lambda*d) weights, trend/non-trend ratio with the 0.001 floor.
+"""
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_LEN = 12
+SER_LEN = 6
+N_SMOOTH = 3
+OFFSET = 3
+LAM = 0.5
+
+
+def _transform_test(series):
+    # add_one
+    s = [x + 1.0 for x in series]
+    # unit normalization over slice [-(REF_LEN+OFFSET):-OFFSET]
+    sl = s[-(REF_LEN + OFFSET) : -OFFSET] if OFFSET else []
+    total = sum(sl) / float(REF_LEN)
+    if total == 0:
+        total = 1e-5
+    s = [x / total for x in s]
+    # log10 with <=0 -> 1e-5
+    s = [math.log10(x if x > 0 else 1e-5) for x in s]
+    # trailing mean, window grows to N_SMOOTH
+    out = []
+    for i in range(len(s)):
+        w = s[max(0, i - (N_SMOOTH - 1)) : i + 1]
+        out.append(sum(w) / len(w))
+    return out
+
+
+def _eta_series(counts, library):
+    etas = []
+    for t in range(len(counts)):
+        hist = counts[max(0, t - REF_LEN + 1) : t + 1]
+        if t + 1 < REF_LEN or sum(hist) == 0:
+            etas.append(0.0)
+            continue
+        test = _transform_test(hist)[-SER_LEN:]
+        tw = nw = 0.0
+        for is_trend, ref in library:
+            best = float("inf")
+            for i in range(len(ref) - SER_LEN + 1):
+                d = sum(abs(a - b) for a, b in zip(ref[i : i + SER_LEN], test))
+                best = min(best, d)
+            wgt = math.exp(-LAM * best) if best != float("inf") else 0.0
+            if is_trend:
+                tw += wgt
+            else:
+                nw += wgt
+        etas.append(tw / (nw if nw != 0 else 0.001))
+    return etas
+
+
+@pytest.fixture(scope="module")
+def fixture_data():
+    counts = [1, 2, 1, 3, 2, 1, 2, 9, 15, 22, 30, 25, 18, 9, 4, 2, 1, 1, 2, 3]
+    library = [
+        (True, [0.1, 0.2, 0.5, 1.1, 2.0, 3.1, 2.4, 1.0, 0.4, 0.2]),
+        (True, [0.0, 0.1, 0.3, 0.9, 1.8, 2.2, 1.5, 0.8]),
+        (False, [0.5, 0.5, 0.6, 0.5, 0.4, 0.5, 0.6, 0.5, 0.5]),
+        (False, [0.2, 0.25, 0.2, 0.3, 0.2, 0.25, 0.22, 0.2]),
+    ]
+    return counts, library
+
+
+def test_wdt_matches_shadow(spark, fixture_data):
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.operators.models import weighted_data_templates
+
+    counts, library = fixture_data
+    rows = [
+        ("c1", float(i * 3600), float(c)) for i, c in enumerate(counts)
+    ]
+    ser = spark.createDataFrame(rows, "counter string, e double, count double").select(
+        "counter", F.timestamp_seconds("e").alias("bin_start"), "count"
+    )
+    lib = spark.createDataFrame(
+        [(i, t, pts) for i, (t, pts) in enumerate(library)],
+        "series_id long, is_trend boolean, points array<double>",
+    )
+    out = weighted_data_templates(
+        ser,
+        lib,
+        series_length=SER_LEN,
+        reference_length=REF_LEN,
+        lam=LAM,
+        distance="l1",
+        baseline_offset=OFFSET,
+        n_smooth=N_SMOOTH,
+        sig_round=False,
+    )
+    got = {
+        r["interval_start"].timestamp(): r["eta"]
+        for r in out.collect()
+    }
+    expected = _eta_series(counts, library)
+    assert len(got) == len(expected)
+    for i, exp in enumerate(expected):
+        assert got[i * 3600.0] == pytest.approx(exp, rel=1e-9), f"point {i}"
+
+
+def test_import_pickle_library(spark):
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.operators.library import import_pickle_library
+
+    path = "/root/reference/example/library.pkl"
+    if not os.path.exists(path):
+        pytest.skip("reference library.pkl not present")
+    lib = import_pickle_library(spark, path)
+    counts = {
+        r["is_trend"]: r["n"]
+        for r in lib.groupBy("is_trend").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # measured in SURVEY §1 D7: 496 trends + 500 non-trends, length 150
+    assert counts == {True: 496, False: 500}
+    lens = lib.select(F.size("points").alias("l")).distinct().collect()
+    assert {r["l"] for r in lens} == {150}
