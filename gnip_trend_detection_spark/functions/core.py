@@ -50,3 +50,15 @@ def sig_round2(col: Column) -> Column:
     """
     scale = F.pow(F.lit(10.0), (-F.floor(F.log10(col)) + 1).cast("double"))
     return F.when(col > 0, F.round(col * scale) / scale).otherwise(F.lit(0.0))
+
+
+def sig_round2_py(x: float) -> float:
+    """Python-scalar twin of :func:`sig_round2` (same HALF_UP), used by
+    the streaming stateful models so batch and stream emit identical
+    etas."""
+    import math
+
+    if not (x > 0) or not math.isfinite(x):
+        return 0.0
+    scale = 10.0 ** (-math.floor(math.log10(x)) + 1)
+    return math.floor(x * scale + 0.5) / scale

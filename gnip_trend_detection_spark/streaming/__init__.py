@@ -1,0 +1,13 @@
+from gnip_trend_detection_spark.streaming.rebin import streaming_rebin
+from gnip_trend_detection_spark.streaming.models import (
+    score_stream_poisson_lc,
+    score_stream_poisson_cycle,
+    score_stream_mann_kendall,
+)
+
+__all__ = [
+    "streaming_rebin",
+    "score_stream_poisson_lc",
+    "score_stream_poisson_cycle",
+    "score_stream_mann_kendall",
+]

@@ -1,0 +1,144 @@
+"""Batch/stream parity (SURVEY §2.9 / build-plan Phase 6).
+
+The events fixture is replayed as a file stream (3 time-ordered
+parquet slices, one per micro-batch via maxFilesPerTrigger=1 +
+availableNow). Every streaming operator must emit exactly what its
+batch twin computes over the same rows.
+"""
+
+import math
+import os
+import shutil
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark):
+    """Counts (60s intervals from events) written as 3 time-ordered
+    parquet slices so each micro-batch is a contiguous time range."""
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.sources.tables import counts_from_events
+
+    counts = counts_from_events(spark, SF, 60).cache()
+    lo, hi = counts.agg(
+        F.min("interval_start").cast("double"), F.max("interval_start").cast("double")
+    ).first()
+    edges = [lo + (hi - lo) * i / 3 for i in range(1, 3)]
+    base = tempfile.mkdtemp(prefix="stream_replay_")
+    slices = [
+        counts.filter(F.col("interval_start").cast("double") < edges[0]),
+        counts.filter(
+            (F.col("interval_start").cast("double") >= edges[0])
+            & (F.col("interval_start").cast("double") < edges[1])
+        ),
+        counts.filter(F.col("interval_start").cast("double") >= edges[1]),
+    ]
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(f"{base}/batch_{i}")
+        # one file per slice dir → flatten into numbered files
+    flat = tempfile.mkdtemp(prefix="stream_replay_flat_")
+    for i in range(3):
+        d = f"{base}/batch_{i}"
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        shutil.copy(f"{d}/{part}", f"{flat}/{i:03d}.parquet")
+    shutil.rmtree(base)
+    yield flat, counts
+    counts.unpersist()
+    shutil.rmtree(flat, ignore_errors=True)
+
+
+def _read_stream(spark, flat):
+    return (
+        spark.readStream.schema(
+            "counter string, interval_start timestamp, duration_sec double, count double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+
+
+def _run_to_completion(sdf, output_mode, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def _rows_map(rows, keycols, valcol):
+    return {tuple(r[k] for k in keycols): r[valcol] for r in rows}
+
+
+def test_streaming_rebin_matches_batch(spark, replay_dir):
+    from gnip_trend_detection_spark.streaming import streaming_rebin
+
+    flat, counts = replay_dir
+    stream_out = streaming_rebin(_read_stream(spark, flat), "minutes", 2)
+    _run_to_completion(stream_out, "complete", "rebin_stream")
+    got = _rows_map(
+        spark.sql("select * from rebin_stream").collect(),
+        ("counter", "bin_start"),
+        "count",
+    )
+
+    batch_out = streaming_rebin(counts, "minutes", 2)
+    want = _rows_map(batch_out.collect(), ("counter", "bin_start"), "count")
+
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-12), k
+
+
+@pytest.mark.parametrize(
+    "stream_fn_name,batch_fn_name,kwargs",
+    [
+        ("score_stream_poisson_lc", "poisson_lc", {}),
+        ("score_stream_poisson_cycle", "poisson_cycle", {}),
+        ("score_stream_mann_kendall", "mann_kendall", {"window_size": 20}),
+    ],
+)
+def test_stateful_scoring_matches_batch(
+    spark, replay_dir, stream_fn_name, batch_fn_name, kwargs
+):
+    from gnip_trend_detection_spark import streaming as st
+    from gnip_trend_detection_spark.operators import models as batch_models
+
+    flat, counts = replay_dir
+    series = counts.select("counter", "interval_start", "count").withColumnRenamed(
+        "interval_start", "bin_start"
+    )
+
+    stream_in = _read_stream(spark, flat).select(
+        "counter", "interval_start", "count"
+    )
+    sdf = getattr(st, stream_fn_name)(stream_in, **kwargs)
+    name = f"score_{batch_fn_name}"
+    _run_to_completion(sdf, "update", name)
+    got = _rows_map(
+        spark.sql(f"select * from {name}").collect(),
+        ("counter", "interval_start"),
+        "eta",
+    )
+
+    want_df = getattr(batch_models, batch_fn_name)(series, **kwargs)
+    want = _rows_map(want_df.collect(), ("counter", "interval_start"), "eta")
+
+    assert set(got) == set(want)
+    mismatches = [
+        (k, got[k], v)
+        for k, v in want.items()
+        if not math.isclose(got[k], v, rel_tol=1e-9, abs_tol=1e-12)
+    ]
+    assert not mismatches, mismatches[:5]
