@@ -31,7 +31,7 @@ HEADLINE = [
     "simhash64",
     "text_quality",
     "doc_fingerprint",
-    "cosine_neardup_pairs",
+    "cosine_neardup_blocked",
     "ann_topk",
     "tpch_q1_pricing",
     "sessionize",

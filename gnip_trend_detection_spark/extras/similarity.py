@@ -54,6 +54,88 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All pairs with cosine > threshold via block-matrix multiply —
+    the 100 TB scale path for exact near-dup detection.
+
+    Normalized vectors are grouped into ``n_blocks`` blocks
+    (one shuffle); the O(n^2) work becomes n_blocks^2/2 block pairs,
+    each scored with ONE numpy matmul (A @ B.T) instead of millions of
+    interpreted per-pair folds. On a cluster, blocks distribute across
+    executors and each task is a dense BLAS call — the same plan shape
+    at 2k or 200M vectors (pick n_blocks so a block's matrix fits in
+    executor memory; candidates out of the matmul stream straight into
+    the filter, never materializing the full n^2 matrix).
+
+    Results match :func:`cosine_pairs` up to float summation order
+    (SIMD/pairwise in BLAS vs left fold); emitted cosines are raw —
+    rounding happens here with F.round like every other query.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = _normed(embeddings)
+    unit = n.select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
+        (F.col("vec_id") % n_blocks).alias("blk"),
+    )
+    blocks = unit.groupBy("blk").agg(
+        F.collect_list("vec_id").alias("ids"), F.collect_list("u").alias("vecs")
+    )
+    pairs = (
+        blocks.alias("a")
+        .join(F.broadcast(blocks.alias("b")), F.col("a.blk") <= F.col("b.blk"))
+        .select(
+            F.col("a.blk").alias("blk_a"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("a.vecs").alias("vecs_a"),
+            F.col("b.blk").alias("blk_b"),
+            F.col("b.ids").alias("ids_b"),
+            F.col("b.vecs").alias("vecs_b"),
+        )
+    )
+
+    out_schema = "vec_a long, vec_b long, cos_raw double"
+
+    def score(iterator):
+        for pdf in iterator:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.vstack([np.asarray(v, dtype=np.float64) for v in row.vecs_a])
+                B = np.vstack([np.asarray(v, dtype=np.float64) for v in row.vecs_b])
+                C = A @ B.T
+                ii, jj = np.nonzero(C > threshold)
+                if ii.size == 0:
+                    continue
+                ia, ib, cs = ids_a[ii], ids_b[jj], C[ii, jj]
+                lo = np.minimum(ia, ib)
+                hi = np.maximum(ia, ib)
+                keep = lo < hi  # drops self-pairs; same-block dupes below
+                df = pd.DataFrame(
+                    {"vec_a": lo[keep], "vec_b": hi[keep], "cos_raw": cs[keep]}
+                )
+                if row.blk_a == row.blk_b:
+                    df = df.drop_duplicates(["vec_a", "vec_b"])
+                outs.append(df)
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame({"vec_a": [], "vec_b": [], "cos_raw": []})
+            )
+
+    return pairs.mapInPandas(score, out_schema).select(
+        "vec_a", "vec_b", F.round("cos_raw", round_digits).alias("cosine")
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -77,6 +159,80 @@ def brute_force_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_mod: int = 50,
+    nprobe: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index:
+
+    1. centroids — here a deterministic subset (vec_id % centroid_mod
+       == 0) so the oracle can reproduce them; production would plug
+       k-means centroids from a sampled fit into the same plan;
+    2. every vector is assigned to its nearest centroid (broadcast
+       join against the small centroid set — ONE pass, no n^2);
+    3. each query probes its ``nprobe`` nearest centroids and scores
+       only the vectors in those cells.
+
+    Scored cosines are rounded before ranking and ties break by
+    neighbor id, so results are reproducible across engines. At scale
+    the cell assignment is the partitioning key — cells are the unit
+    of data locality, and probe fan-out reads nprobe/n_cells of the
+    data instead of all of it.
+    """
+    from pyspark.sql import Window
+
+    n = _normed(embeddings)
+    cents = _normed(embeddings.filter(F.col("vec_id") % centroid_mod == 0)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+    def nearest(df: DataFrame, id_col: str, keep: int) -> DataFrame:
+        cos = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("ccos"), F.asc("centroid_id")
+        )
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn("ccos", F.round(cos, round_digits))
+            .withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= keep)
+            .drop("cv", "cnrm", "ccos", "crk")
+        )
+
+    assigned = nearest(n, "vec_id", 1).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nnrm"),
+        "centroid_id",
+    )
+    probes = nearest(_normed(queries), "vec_id", nprobe).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        "centroid_id",
+    )
+
+    cos = dot(F.col("qv"), F.col("nv")) / (F.col("qnrm") * F.col("nnrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        probes.join(assigned, "centroid_id")
+        .filter(F.col("query_id") != F.col("n_id"))
+        .select(
+            "query_id",
+            F.col("n_id").alias("neighbor_id"),
+            F.round(cos, round_digits).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
 
 
 def lsh_bucketed_topk(

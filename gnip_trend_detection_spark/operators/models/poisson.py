@@ -96,6 +96,7 @@ def poisson_cycle(
     alpha: float = 0.99,
     ts_col: str = "bin_start",
     include_nu: bool = False,
+    ci_nu_floor: bool = False,
 ) -> DataFrame:
     """Cycle-corrected Poisson: nu = running self-inclusive mean per
     period key (models.py:284-298)."""
@@ -122,7 +123,12 @@ def poisson_cycle(
             c.alias("count"),
             F.col("nu"),
         )
-    df = df.withColumn("ci_width", _ci_width_udf(alpha)(F.col("nu")))
+    # ci_nu_floor quantizes the CI lookup to floor(nu) — the oracle-
+    # checkable variant (an integer-indexed CI table is expressible in
+    # SQL; exact fractional-nu quantiles are not). eta's numerator
+    # still uses the exact nu; nu in (0,1) yields eta 0 on both sides.
+    nu_for_ci = F.floor(F.col("nu")).cast("double") if ci_nu_floor else F.col("nu")
+    df = df.withColumn("ci_width", _ci_width_udf(alpha)(nu_for_ci))
     return df.select(
         "counter",
         F.col(ts_col).alias("interval_start"),

@@ -214,6 +214,28 @@ SELECT counter, bin_ts, count,
 FROM ser
 """
 
+    # --- full M2 eta: floor-quantized CI lookup (see poisson_cycle
+    # ci_nu_floor) — numerator keeps the exact running-mean nu ---
+    sql["poisson_cycle_eta"] = f"""
+WITH ser AS ({events_series(60)}),
+m AS (
+  SELECT counter, bin_ts, count,
+         AVG(count) OVER (
+           PARTITION BY counter, CAST(FLOOR(bin_ts/3600) % 24 AS INT)
+           ORDER BY bin_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS nu
+  FROM ser
+),
+{_ci_cte()},
+eta0 AS (
+  SELECT m.counter, m.bin_ts, m.count,
+         CASE WHEN m.nu = 0 OR c.w IS NULL OR c.w = 0 THEN 0.0
+              ELSE ABS(m.count - m.nu) / c.w END AS eta_raw
+  FROM m LEFT JOIN ci c ON CAST(FLOOR(m.nu) AS BIGINT) = c.nu_i
+)
+SELECT counter, bin_ts, count, {_sig2('eta_raw')} AS eta FROM eta0
+"""
+
     # --- Linear-regression slope (M4) ---
     sql["linreg_slope"] = f"""
 WITH ser AS ({events_series(60)}),
@@ -595,6 +617,10 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_reduce([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))],
                   (x, y) -> x + y) / (a.nrm * b.nrm) > 0.4
 """
+    # blocked variant computes identical pairs (BLAS summation order
+    # differs from the fold by ~1 ulp; 6-digit rounding absorbs it)
+    sql["cosine_neardup_blocked"] = sql["cosine_neardup_pairs"]
+
     sql["ann_topk"] = f"""
 WITH e AS (SELECT vec_id, {vec} AS v FROM embeddings),
 n AS (
@@ -608,6 +634,45 @@ scored AS (
          ROUND(list_reduce([q.v[i] * n.v[i] for i in generate_series(1, len(q.v))],
                            (x, y) -> x + y) / (q.nrm * n.nrm), 6) AS cosine
   FROM q JOIN n ON q.vec_id <> n.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+    sql["ann_ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, {vec} AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         SQRT(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm
+  FROM e
+),
+cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0),
+asgn0 AS (
+  SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         ROUND(list_reduce([n.v[i] * c.cv[i] for i in generate_series(1, len(n.v))],
+                           (x, y) -> x + y) / (n.nrm * c.cnrm), 6) AS ccos
+  FROM n CROSS JOIN cents c
+),
+asgn AS (
+  SELECT vec_id AS n_id, v AS nv, nrm AS nnrm, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS crk
+    FROM asgn0
+  ) WHERE crk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS crk
+    FROM asgn0 WHERE vec_id < 10
+  ) WHERE crk <= 3
+),
+scored AS (
+  SELECT p.query_id, a.n_id AS neighbor_id,
+         ROUND(list_reduce([p.qv[i] * a.nv[i] for i in generate_series(1, len(p.qv))],
+                           (x, y) -> x + y) / (p.qnrm * a.nnrm), 6) AS cosine
+  FROM probes p JOIN asgn a USING (centroid_id)
+  WHERE p.query_id <> a.n_id
 )
 SELECT query_id, neighbor_id, cosine, rk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
@@ -654,5 +719,43 @@ SELECT event_type, user_id, n, rk FROM (
     sql["multimodal_meta"] = """
 SELECT doc_id, length(text) AS n_chars_measured, sha256(text) AS content_sha
 FROM documents
+"""
+    # fake decode: header fields derived from md5(payload) — the SQL
+    # twin of extras/multimodal._fake_header (payload = utf-8 text,
+    # ASCII-verified fixture so byte ops == char ops)
+    sql["multimodal_decode"] = """
+WITH m AS (
+  SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         md5(text) AS h
+  FROM documents
+)
+SELECT doc_id, media_type,
+       16 + ascii(substr(h, 1, 1)) % 64 AS width,
+       16 + ascii(substr(h, 2, 1)) % 64 AS height,
+       1 + ascii(substr(h, 3, 1)) % 3 AS n_channels,
+       ROUND((ascii(substr(h, 4, 1)) * 256 + ascii(substr(h, 5, 1))) / 65535.0, 6)
+         AS mean_intensity,
+       h AS content_md5
+FROM m
+"""
+    hexval = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    digest_byte = (
+        f"({hexval.format(p='2*i + 1')} * 16 + {hexval.format(p='2*i + 2')})"
+    )
+    sql["multimodal_features"] = f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT doc_id,
+       [ROUND({digest_byte} / 255.0, 6) for i in generate_series(0, 7)] AS features
+FROM m
+"""
+    sql["multimodal_frames"] = """
+WITH v AS (
+  SELECT doc_id, text, CAST(CEIL(length(text) / 32.0) AS INT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, i AS frame_idx, md5(substr(text, i * 32 + 1, 32)) AS frame_md5
+FROM (SELECT doc_id, text, unnest(generate_series(0, GREATEST(n_frames - 1, 0), 2)) AS i
+      FROM v)
+WHERE length(substr(text, i * 32 + 1, 32)) > 0
 """
     return sql

@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gnip_trend_detection_spark.extras import dedup, similarity, text
+from gnip_trend_detection_spark.extras import dedup, multimodal, similarity, text
 from gnip_trend_detection_spark.operators import transforms
 from gnip_trend_detection_spark.operators.correlate import pair_correlations
 from gnip_trend_detection_spark.operators.detect import detect_threshold, detect_topk
@@ -128,6 +128,14 @@ def q_poisson_cycle_nu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "counter", _epoch_long(F.col("interval_start")).alias("bin_ts"), "count", "nu"
     )
+
+
+def q_poisson_cycle_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full M2: cycle-corrected Poisson eta with the floor-quantized
+    CI lookup (oracle-checkable scipy quantiles)."""
+    ser = _series_ts(spark, sf_dir, 60)
+    out = poisson_cycle(ser, period_list="hour", alpha=0.99, ci_nu_floor=True)
+    return _poisson_output(out)
 
 
 def q_linreg_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,10 +333,25 @@ def q_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(emb, threshold=0.4)
 
 
+def q_cosine_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of cosine_neardup_pairs: block-matrix numpy
+    matmul instead of per-pair folds; same oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_blocked(emb, threshold=0.4)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.brute_force_topk(emb, queries, k=5)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path: deterministic centroids (vec_id % 50 == 0),
+    nprobe=3 — exact-SQL-reproducible, so oracle-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, centroid_mod=50, nprobe=3)
 
 
 # ------------------------------------------------------- OLAP showcase
@@ -383,6 +406,35 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media payloads → decoded header fields via the Arrow-
+    batched mapInPandas stage (deterministic fake codec)."""
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    return multimodal.decode_media(media).select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "n_channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "content_md5",
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select(
+        "doc_id", F.transform("features", lambda x: F.round(x, 6)).alias("features")
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    frames = multimodal.sample_frames(media, frame_bytes=32, every_n=2)
+    return frames.select("doc_id", "frame_idx", F.md5("frame_payload").alias("frame_md5"))
+
+
 # --------------------------------------------------------------- registry
 
 ALL: dict[str, QueryFn] = {
@@ -393,6 +445,7 @@ ALL: dict[str, QueryFn] = {
     "detect_threshold": q_detect_threshold,
     "detect_top1": q_detect_top1,
     "poisson_cycle_nu": q_poisson_cycle_nu,
+    "poisson_cycle_eta": q_poisson_cycle_eta,
     "linreg_slope": q_linreg_slope,
     "mann_kendall_z": q_mann_kendall_z,
     "wdt_eta": q_wdt_eta,
@@ -414,9 +467,14 @@ ALL: dict[str, QueryFn] = {
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "cosine_neardup_pairs": q_cosine_neardup_pairs,
+    "cosine_neardup_blocked": q_cosine_neardup_blocked,
     "ann_topk": q_ann_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "sessionize": q_sessionize,
     "top_users_per_event": q_top_users_per_event,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
 }

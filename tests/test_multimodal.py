@@ -1,0 +1,81 @@
+"""Multimodal plumbing: schema, batching, frame slicing, codec gate."""
+
+import hashlib
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    from gnip_trend_detection_spark.extras import multimodal
+    from gnip_trend_detection_spark.sources.tables import load_table
+
+    return multimodal.media_from_documents(load_table(spark, SF, "documents")).cache()
+
+
+def test_real_codec_gate(media):
+    from gnip_trend_detection_spark.extras import multimodal
+
+    with pytest.raises(NotImplementedError, match="codecs"):
+        multimodal.decode_media(media, use_real_codec=True)
+
+
+def test_decode_deterministic_and_typed(spark, media):
+    from gnip_trend_detection_spark.extras import multimodal
+
+    out = multimodal.decode_media(media)
+    assert dict(out.dtypes) == {
+        "doc_id": "bigint",
+        "media_type": "string",
+        "width": "int",
+        "height": "int",
+        "n_channels": "int",
+        "mean_intensity": "double",
+        "content_md5": "string",
+    }
+    row = out.orderBy("doc_id").first()
+    assert 16 <= row["width"] < 80 and 1 <= row["n_channels"] <= 3
+    assert 0.0 <= row["mean_intensity"] <= 1.0
+
+
+def test_frames_are_payload_slices(spark, media):
+    from gnip_trend_detection_spark.extras import multimodal
+
+    frames = multimodal.sample_frames(media, frame_bytes=32, every_n=2)
+    sample = frames.orderBy("doc_id", "frame_idx").limit(5).collect()
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in media.filter(media["media_type"] == "video").limit(50).collect()
+    }
+    assert sample, "no video frames produced"
+    for r in sample:
+        p = payloads[r["doc_id"]]
+        start = r["frame_idx"] * 32
+        assert bytes(r["frame_payload"]) == p[start : start + 32]
+        assert r["frame_idx"] % 2 == 0
+
+
+def test_features_match_local_md5(spark, media):
+    from gnip_trend_detection_spark.extras import multimodal
+
+    feats = {
+        r["doc_id"]: r["features"]
+        for r in multimodal.extract_features(media, dim=8).limit(20).collect()
+    }
+    payloads = {
+        r["doc_id"]: bytes(r["payload"]) for r in media.limit(200).collect()
+    }
+    checked = 0
+    for doc_id, fv in feats.items():
+        if doc_id not in payloads:
+            continue
+        digest = hashlib.md5(payloads[doc_id]).digest()
+        assert fv == pytest.approx([digest[i] / 255.0 for i in range(8)])
+        checked += 1
+    assert checked > 0
