@@ -20,7 +20,8 @@ HEADLINE = [
     "rebin_contained",
     "rebin_straddle",
     "poisson_lc_eta",
-    "poisson_cycle_nu",
+    "poisson_cycle_eta",
+    "wdt_eta",
     "linreg_slope",
     "mann_kendall_z",
     "correlation_pairs",
@@ -32,7 +33,8 @@ HEADLINE = [
     "text_quality",
     "doc_fingerprint",
     "cosine_neardup_blocked",
-    "ann_topk",
+    "ann_ivf_topk",
+    "multimodal_decode",
     "tpch_q1_pricing",
     "sessionize",
 ]

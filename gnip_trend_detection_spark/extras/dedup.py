@@ -34,29 +34,52 @@ def shingles(toks: Column, k: int = 3) -> Column:
     )
 
 
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the affine hash families
+    h_i(x) = (a_i * x + b_i) mod P. a < 2^31 keeps a*x + b < 2^63
+    (no 64-bit overflow for x < 2^32). Shared with the DuckDB oracle."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, 2**31), rnd.randrange(0, 2**31)) for _ in range(n_hashes)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", n_hashes: int = 16, k: int = 3
 ) -> DataFrame:
-    """(doc_id, shingles, sig): sig[i] = min over shingles of
-    md5(i ':' shingle) — 16 independent hash families via prefixing,
-    compared as fixed-width lowercase hex (order == numeric order).
+    """(doc_id, shingles, sig): ONE md5 per shingle (its first 8 hex
+    chars as a 32-bit int), then ``n_hashes`` affine families
+    (a_i*h + b_i) mod P — the standard universal-hashing MinHash. The
+    expensive digest runs once per shingle instead of once per
+    (family, shingle): 16x less hashing on the scan-dominated path.
     Docs with fewer than k tokens are dropped (no shingle support)."""
     t = docs.withColumn("toks", tokens(F.col(text_col))).filter(
         F.size("toks") >= k
     )
     t = t.withColumn("shingles", shingles(F.col("toks"), k))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.md5(
-                    F.concat(i.cast("string"), F.lit(":"), s).cast("binary")
-                ),
-            )
+    t = t.withColumn(
+        "h32",
+        F.transform(
+            F.col("shingles"),
+            lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast(
+                "long"
+            ),
         ),
     )
-    return t.select("doc_id", "shingles", sig.alias("sig"))
+    params = minhash_params(n_hashes)
+
+    def family(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("h32"), family(a, b))) for a, b in params]
+    )
+    return t.select("doc_id", "shingles", sig.alias("sig")).drop("h32")
 
 
 def lsh_candidate_pairs(
@@ -68,10 +91,15 @@ def lsh_candidate_pairs(
     n_hashes = 16
     n_bands = n_hashes // rows_per_band
 
-    # band b concatenates sig rows [b*rows_per_band, (b+1)*rows_per_band)
+    # band b joins sig rows [b*rows_per_band, (b+1)*rows_per_band) with
+    # ':' (unambiguous for the integer signatures)
     def band_val(b: Column) -> Column:
-        return F.concat(
-            *[F.get(F.col("sig"), b * rows_per_band + j) for j in range(rows_per_band)]
+        return F.concat_ws(
+            ":",
+            *[
+                F.get(F.col("sig"), b * rows_per_band + j).cast("string")
+                for j in range(rows_per_band)
+            ],
         )
 
     bands = sigs.select(

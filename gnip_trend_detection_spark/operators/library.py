@@ -42,8 +42,13 @@ def build_library(
 
 
 def merge_libraries(a: DataFrame, b: DataFrame) -> DataFrame:
-    """reference library.py:86-97 `combine`: refuse duplicate sides.
-    Relationally: plain union, but assert disjoint series_ids."""
+    """reference library.py:86-97 `combine`: refuses to merge
+    libraries sharing series. Relationally: union after an eager
+    disjointness check on series_id (a tiny semi-join — libraries are
+    O(100..1000) rows)."""
+    dups = a.join(b, "series_id", "left_semi").limit(1).count()
+    if dups:
+        raise ValueError("libraries share series_ids; refusing to merge")
     return a.unionByName(b)
 
 

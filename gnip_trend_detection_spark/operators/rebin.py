@@ -75,18 +75,34 @@ def rebin(
         "counter", s.alias("s"), e.alias("e"), F.col("count").cast("double").alias("count")
     )
 
-    spans = data.groupBy("counter").agg(
-        F.date_trunc(trunc, F.timestamp_seconds(F.min("s"))).cast("double").alias("anchor"),
-        F.date_trunc(trunc, F.timestamp_seconds(F.max("e"))).cast("double").alias("grid_stop"),
+    # per-counter span (R1/R2) via partition windows — ONE pass over
+    # the input instead of a separate agg + re-scan + join; the counter
+    # exchange is shared with the allocation stage below and reused by
+    # the grid branch (ReuseExchange), so the source is scanned once.
+    w_span = Window.partitionBy("counter")
+    ann = (
+        data.withColumn(
+            "anchor",
+            F.date_trunc(trunc, F.timestamp_seconds(F.min("s").over(w_span))).cast(
+                "double"
+            ),
+        )
+        .withColumn(
+            "grid_stop",
+            F.date_trunc(trunc, F.timestamp_seconds(F.max("e").over(w_span))).cast(
+                "double"
+            ),
+        )
+        .withColumn(
+            "n_bins",
+            (F.floor((F.col("grid_stop") - F.col("anchor")) / width) + 1).cast("long"),
+        )
     )
-    spans = spans.withColumn(
-        "n_bins",
-        (F.floor((F.col("grid_stop") - F.col("anchor")) / width) + 1).cast("long"),
-    )
+    spans = ann.select("counter", "anchor", "n_bins").distinct()
 
     # bounded explode: each input row touches bins [i0, i1]
     alloc = (
-        data.join(F.broadcast(spans), "counter")
+        ann
         .withColumn("i0", F.floor((F.col("s") - F.col("anchor")) / width).cast("long"))
         .withColumn(
             "i1",

@@ -188,6 +188,32 @@ SELECT counter,
 FROM data GROUP BY counter
 """.format(counts=_events_counts(80))
 
+    # F2 whole-interval time-range + F4 whitelist, then rebin
+    filtered_counts = f"""
+SELECT * FROM ({_events_counts(80)})
+WHERE counter IN ('click','view','error')
+  AND s_epoch >= 1704672000 AND s_epoch + dur <= 1705881600
+"""
+    sql["rebin_filtered"] = (
+        f"WITH {rebin_ctes(filtered_counts, 120.0, 60)} "
+        "SELECT counter, bin_ts, duration_sec, count FROM reb"
+    )
+
+    # R11 plot-time re-rebin over the lc-scored series
+    sql["plot_rebin"] = (
+        _poisson_lc_ctes()
+        + """,
+grp AS (
+  SELECT counter, bin_ts, count, eta,
+         CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY counter ORDER BY bin_ts) - 1) / 3)
+              AS BIGINT) AS g
+  FROM etas
+)
+SELECT counter, MAX(bin_ts) AS bin_ts, SUM(count) AS count, ROUND(AVG(eta), 6) AS eta
+FROM grp GROUP BY counter, g
+"""
+    )
+
     # --- Poisson lc (M1) + detection (A6/A7) ---
     sql["poisson_lc_eta"] = (
         _poisson_lc_ctes() + " SELECT counter, bin_ts, count, eta FROM etas"
@@ -418,6 +444,14 @@ SELECT vec_id,
        [ROUND(x, 6) for x in list_slice(a, GREATEST(1, len(a) - 39), len(a))] AS arr
 FROM e
 """
+    sql["transform_index_smooth"] = f"""
+WITH e AS (SELECT vec_id, {arr} AS a FROM embeddings)
+SELECT vec_id,
+       [ROUND(list_reduce(list_slice(a, GREATEST(1, i - 4), i - 1), (x, y) -> x + y)
+              / CAST(i - GREATEST(1, i - 4) AS DOUBLE), 6)
+        for i in generate_series(2, len(a))] AS arr
+FROM e
+"""
     sql["transform_sliding"] = f"""
 WITH e AS (SELECT vec_id, {arr} AS a FROM embeddings)
 SELECT vec_id,
@@ -461,19 +495,36 @@ WITH corpus AS (
 SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
 FROM corpus GROUP BY 1
 """
-    sql["minhash_signatures"] = f"""
-WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    from gnip_trend_detection_spark.extras.dedup import (
+        MINHASH_PRIME,
+        minhash_params,
+    )
+
+    mh_params = minhash_params(16)
+    sig_exprs = ", ".join(
+        f"list_aggregate([({a} * h + {b}) % {MINHASH_PRIME} for h in h32], 'min')"
+        for a, b in mh_params
+    )
+    minhash_ctes = f"""
+t AS (SELECT doc_id, {{toks}} AS toks FROM {{src}}),
 sh AS (
   SELECT doc_id,
          [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
           for i in generate_series(1, len(toks) - 2)] AS shingles
   FROM t WHERE len(toks) >= 3
-)
-SELECT doc_id,
-       [list_aggregate([md5(CAST(i AS VARCHAR) || ':' || s) for s in shingles], 'min')
-        for i in generate_series(0, 15)] AS sig
-FROM sh
-"""
+),
+hs AS (
+  SELECT doc_id, shingles,
+         [('0x' || substr(md5(s), 1, 8))::BIGINT for s in shingles] AS h32
+  FROM sh
+),
+sigs AS (SELECT doc_id, shingles, [{sig_exprs}] AS sig FROM hs)"""
+
+    sql["minhash_signatures"] = (
+        "WITH "
+        + minhash_ctes.format(toks=toks, src="documents")
+        + " SELECT doc_id, sig FROM sigs"
+    )
     sql["lsh_candidate_pairs"] = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -482,21 +533,10 @@ WITH corpus AS (
          array_to_string(list_slice({toks}, 1, 40), ' ') AS text
   FROM documents d WHERE d.doc_id % 5 = 0
 ),
-t AS (SELECT doc_id, {toks} AS toks FROM corpus),
-sh AS (
-  SELECT doc_id,
-         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-          for i in generate_series(1, len(toks) - 2)] AS shingles
-  FROM t WHERE len(toks) >= 3
-),
-sigs AS (
-  SELECT doc_id, shingles,
-         [list_aggregate([md5(CAST(i AS VARCHAR) || ':' || s) for s in shingles], 'min')
-          for i in generate_series(0, 15)] AS sig
-  FROM sh
-),
+{minhash_ctes.format(toks=toks, src="corpus")},
 bands AS (
-  SELECT doc_id, b, sig[2*b + 1] || sig[2*b + 2] AS band_val
+  SELECT doc_id, b,
+         CAST(sig[2*b + 1] AS VARCHAR) || ':' || CAST(sig[2*b + 2] AS VARCHAR) AS band_val
   FROM (SELECT doc_id, sig, unnest(generate_series(0, 7)) AS b FROM sigs)
 ),
 cand AS (
@@ -593,11 +633,15 @@ SELECT d.doc_id,
        COALESCE(b.n_hits, 0) AS n_stopword_hits
 FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
 """
+    # Karp-Rabin: Horner fold (acc*257 + codepoint) % (2^31-1) per
+    # 8-gram, min over positions — twin of extras/text.fingerprint
     sql["doc_fingerprint"] = """
 WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents)
 SELECT doc_id,
-       list_aggregate([md5(substr(lt, i, 8)) for i in generate_series(1, length(lt) - 7)],
-                      'min') AS fingerprint
+       list_aggregate(
+         [list_reduce([ascii(substr(lt, i + j, 1)) for j in generate_series(0, 7)],
+                      (a, c) -> (CAST(a AS BIGINT) * 257 + c) % 2147483647)
+          for i in generate_series(1, length(lt) - 7)], 'min') AS fingerprint
 FROM t WHERE length(lt) >= 8
 """
 

@@ -105,6 +105,42 @@ def q_rebin_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rebin_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 time-range predicate (whole interval must fit) + F4 counter
+    whitelist, applied before rebin — both push down to the scan."""
+    counts = counts_from_events(spark, sf_dir, 80).filter(
+        F.col("counter").isin("click", "view", "error")
+    )
+    out = rebin(
+        counts,
+        binning_unit="minutes",
+        n_binning_unit=2,
+        start_time="2024-01-08 00:00:00",
+        stop_time="2024-01-22 00:00:00",
+    )
+    return out.select(
+        "counter", _epoch_long(F.col("bin_start")).alias("bin_ts"), "duration_sec", "count"
+    )
+
+
+def q_plot_rebin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11 plot-time re-rebin: every 3 consecutive scored rows →
+    sum(count), avg(eta), last timestamp (reference analysis.py:243-268)."""
+    rebinned = _rebinned_2min(spark, sf_dir)
+    from gnip_trend_detection_spark.operators.models import poisson_lc
+
+    scored = poisson_lc(rebinned, alpha=0.99)
+    w = Window.partitionBy("counter").orderBy("interval_start")
+    grouped = scored.withColumn(
+        "grp", F.floor((F.row_number().over(w) - 1) / 3)
+    ).groupBy("counter", "grp")
+    return grouped.agg(
+        F.sum("count").alias("count"),
+        F.round(F.avg("eta"), 6).alias("eta"),
+        _epoch_long(F.max("interval_start")).alias("bin_ts"),
+    ).select("counter", "bin_ts", "count", "eta")
+
+
 # --------------------------------------------------------------- models
 
 
@@ -264,6 +300,17 @@ def q_transform_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.transform(wins, lambda w: _round_arr(w)).alias("windows"),
+    )
+
+
+def q_transform_index_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 index_smoothing (dead reference variant, kept for parity):
+    mean over [max(0,i-n), i) — excludes current, drops element 0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.transform("embedding", lambda x: x.cast("double"))
+    out = transforms.index_smoothing(arr, 4)
+    return emb.select(
+        "vec_id", F.transform(out, lambda x: F.round(x, 6)).alias("arr")
     )
 
 
@@ -441,6 +488,8 @@ ALL: dict[str, QueryFn] = {
     "rebin_contained": q_rebin_contained,
     "rebin_straddle": q_rebin_straddle,
     "rebin_span": q_rebin_span,
+    "rebin_filtered": q_rebin_filtered,
+    "plot_rebin": q_plot_rebin,
     "poisson_lc_eta": q_poisson_lc_eta,
     "detect_threshold": q_detect_threshold,
     "detect_top1": q_detect_top1,
@@ -457,6 +506,7 @@ ALL: dict[str, QueryFn] = {
     "transform_spike_norm": q_transform_spike_norm,
     "transform_sizing": q_transform_sizing,
     "transform_sliding": q_transform_sliding,
+    "transform_index_smooth": q_transform_index_smooth,
     "transform_chain_test": q_transform_chain_test,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,

@@ -41,7 +41,13 @@ def _transform_test(series):
     return out
 
 
-def _eta_series(counts, library):
+def _dist(a, b, kind):
+    if kind == "l1":
+        return sum(abs(x - y) for x, y in zip(a, b))
+    return sum((x - y) ** 2 for x, y in zip(a, b))
+
+
+def _eta_series(counts, library, distance="l1"):
     etas = []
     for t in range(len(counts)):
         hist = counts[max(0, t - REF_LEN + 1) : t + 1]
@@ -53,7 +59,7 @@ def _eta_series(counts, library):
         for is_trend, ref in library:
             best = float("inf")
             for i in range(len(ref) - SER_LEN + 1):
-                d = sum(abs(a - b) for a, b in zip(ref[i : i + SER_LEN], test))
+                d = _dist(ref[i : i + SER_LEN], test, distance)
                 best = min(best, d)
             wgt = math.exp(-LAM * best) if best != float("inf") else 0.0
             if is_trend:
@@ -76,7 +82,8 @@ def fixture_data():
     return counts, library
 
 
-def test_wdt_matches_shadow(spark, fixture_data):
+@pytest.mark.parametrize("distance", ["l1", "sq_l2"])
+def test_wdt_matches_shadow(spark, fixture_data, distance):
     from pyspark.sql import functions as F
 
     from gnip_trend_detection_spark.operators.models import weighted_data_templates
@@ -98,7 +105,7 @@ def test_wdt_matches_shadow(spark, fixture_data):
         series_length=SER_LEN,
         reference_length=REF_LEN,
         lam=LAM,
-        distance="l1",
+        distance=distance,
         baseline_offset=OFFSET,
         n_smooth=N_SMOOTH,
         sig_round=False,
@@ -107,7 +114,7 @@ def test_wdt_matches_shadow(spark, fixture_data):
         r["interval_start"].timestamp(): r["eta"]
         for r in out.collect()
     }
-    expected = _eta_series(counts, library)
+    expected = _eta_series(counts, library, distance)
     assert len(got) == len(expected)
     for i, exp in enumerate(expected):
         assert got[i * 3600.0] == pytest.approx(exp, rel=1e-9), f"point {i}"
