@@ -87,9 +87,16 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded LSH: equi-join on (band, concatenated band rows) —
     candidates are pairs colliding in >= 1 band, with verified Jaccard
-    over distinct shingles attached (exact i/(na+nb-i))."""
+    over distinct shingles attached (exact i/(na+nb-i)).
+
+    The signature/shingle relation feeds four plan branches (bands,
+    both sides of the intersection join, sizes); persisting it stops
+    Spark's lineage recompute from re-tokenizing and re-hashing the
+    corpus once per branch — at 100 TB this intermediate is exactly
+    what you'd checkpoint to storage before the self-join."""
     n_hashes = 16
     n_bands = n_hashes // rows_per_band
+    sigs = sigs.persist()
 
     # band b joins sig rows [b*rows_per_band, (b+1)*rows_per_band) with
     # ':' (unambiguous for the integer signatures)
@@ -127,7 +134,7 @@ def lsh_candidate_pairs(
 
     shd = sigs.select(
         "doc_id", F.explode("shingles").alias("shingle")
-    ).distinct()
+    ).distinct().persist()
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = shd.alias("s1")
     s2 = shd.alias("s2")

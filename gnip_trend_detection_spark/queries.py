@@ -224,6 +224,7 @@ def q_wdt_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
         baseline_offset=3,
         n_smooth=3,
         sig_round=False,
+        impl="numpy",
     )
     return out.select(
         "counter",

@@ -3,6 +3,8 @@ from gnip_trend_detection_spark.streaming.models import (
     score_stream_poisson_lc,
     score_stream_poisson_cycle,
     score_stream_mann_kendall,
+    score_stream_linreg,
+    score_stream_wdt,
 )
 
 __all__ = [
@@ -10,4 +12,6 @@ __all__ = [
     "score_stream_poisson_lc",
     "score_stream_poisson_cycle",
     "score_stream_mann_kendall",
+    "score_stream_linreg",
+    "score_stream_wdt",
 ]

@@ -158,6 +158,153 @@ def score_stream_poisson_cycle(
     )
 
 
+def score_stream_linreg(
+    stream: DataFrame,
+    min_points: int,
+    averaging_window_size: int = 1,
+    regression_window_size: int | None = None,
+    norm_by_mean: bool = False,
+    sig_round: bool = True,
+) -> DataFrame:
+    """Streaming twin of operators.models.linear_regression_model.
+
+    State: the trailing count buffer (averaging) + the averaged-value
+    buffer (regression) + the global row index. With a bounded
+    ``regression_window_size`` state is O(window); unbounded keeps the
+    averaged history per counter (same caveat as the batch unbounded
+    frame — SURVEY §7 risks)."""
+    import numpy as np
+
+    state_schema = T.StructType(
+        [
+            T.StructField("counts", T.ArrayType(T.DoubleType())),
+            T.StructField("avgs", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    asize = averaging_window_size
+    rsize = regression_window_size
+
+    def fn(key, pdfs, state: GroupState):
+        (counter,) = key
+        pdf = _concat_sorted(pdfs)
+        if state.exists:
+            counts, avgs, n = state.get
+            counts, avgs = list(counts), list(avgs)
+        else:
+            counts, avgs, n = [], [], 0
+        etas = []
+        for c in pdf["count"].astype(float):
+            n += 1
+            counts.append(c)
+            if len(counts) > asize:
+                counts = counts[-asize:]
+            avgs.append(sum(counts) / asize if n >= asize else 0.0)
+            if rsize is not None and len(avgs) > rsize:
+                avgs = avgs[-rsize:]
+            if n < min_points or len(avgs) < 2:
+                etas.append(0.0)
+                continue
+            y = np.asarray(avgs, dtype=float)
+            x = np.arange(n - len(avgs) + 1, n + 1, dtype=float)
+            vx = (x * x).mean() - x.mean() ** 2
+            slope = ((x * y).mean() - x.mean() * y.mean()) / vx if vx else 0.0
+            if norm_by_mean:
+                ybar = y.mean()
+                slope = slope / ybar if ybar else 0.0
+            etas.append(slope)
+        state.update((counts, avgs, n))
+        out = _emit(counter, pdf, etas)
+        if not sig_round:
+            out["eta"] = etas
+        yield out
+
+    return stream.groupBy("counter").applyInPandasWithState(
+        fn, OUT_SCHEMA, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def score_stream_wdt(
+    stream: DataFrame,
+    library_rows: list[tuple[bool, list[float]]],
+    series_length: int,
+    reference_length: int,
+    lam: float = 1.0,
+    distance: str = "l1",
+    baseline_offset: int = 40,
+    n_smooth: int = 80,
+    sig_round: bool = True,
+) -> DataFrame:
+    """Streaming twin of operators.models.weighted_data_templates.
+
+    The library ships to executors inside the function closure (the
+    stream-side equivalent of the batch broadcast join — libraries are
+    O(100..1000) rows). State: the trailing count buffer, O(reference
+    length) per counter."""
+    import math as _math
+
+    import numpy as np
+
+    lib = [(bool(t), np.asarray(p, dtype=float)) for t, p in library_rows]
+    state_schema = T.StructType([T.StructField("buf", T.ArrayType(T.DoubleType()))])
+
+    def transform_test(hist: np.ndarray) -> np.ndarray:
+        s = hist + 1.0
+        lo = max(0, s.size - (reference_length + baseline_offset))
+        hi = s.size - baseline_offset
+        total = s[lo:hi].sum() / reference_length if hi > lo else 0.0
+        if total == 0 or baseline_offset == 0:
+            total = 1e-5
+        s = s / total
+        s = np.log10(np.where(s <= 0, 1e-5, s))
+        out = np.empty_like(s)
+        csum = np.cumsum(s)
+        for i in range(s.size):
+            j = max(0, i - (n_smooth - 1))
+            out[i] = (csum[i] - (csum[j - 1] if j else 0.0)) / (i - j + 1)
+        return out
+
+    def eta_for(buf: list[float]) -> float:
+        if len(buf) < reference_length or sum(buf) == 0:
+            return 0.0
+        test = transform_test(np.asarray(buf, dtype=float))[-series_length:]
+        tw = nw = 0.0
+        for is_trend, ref in lib:
+            if ref.size < series_length:
+                continue  # no sub-window: weight exp(-inf) == 0
+            wins = np.lib.stride_tricks.sliding_window_view(ref, series_length)
+            if distance == "l1":
+                d = np.abs(wins - test).sum(axis=1).min()
+            else:
+                d = ((wins - test) ** 2).sum(axis=1).min()
+            w = _math.exp(-lam * d)
+            if is_trend:
+                tw += w
+            else:
+                nw += w
+        return tw / (nw if nw != 0 else 0.001)
+
+    def fn(key, pdfs, state: GroupState):
+        (counter,) = key
+        pdf = _concat_sorted(pdfs)
+        buf: list[float] = list(state.get[0]) if state.exists else []
+        etas = []
+        for c in pdf["count"].astype(float):
+            buf.append(c)
+            if len(buf) > reference_length:
+                buf = buf[-reference_length:]
+            etas.append(eta_for(buf))
+        state.update((buf,))
+        out = _emit(counter, pdf, etas)
+        if not sig_round:
+            out["eta"] = etas
+        yield out
+
+    return stream.groupBy("counter").applyInPandasWithState(
+        fn, OUT_SCHEMA, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def score_stream_mann_kendall(stream: DataFrame, window_size: int = 20) -> DataFrame:
     """Streaming twin of operators.models.mann_kendall (trailing
     window z)."""

@@ -108,3 +108,38 @@ def test_csv_loader_parses_reference_layout(spark):
     assert len(rows) == 737
     assert {r["counter"] for r in rows} == {"#scotus"}
     assert all(r["duration_sec"] == 3600.0 for r in rows)
+
+
+LEGACY = "/root/reference/example/scotus.txt"
+
+
+@pytest.mark.skipif(not os.path.exists(LEGACY), reason="scotus.txt absent")
+def test_legacy_loader_derives_start_from_stop(spark):
+    """D2 layout (SURVEY §1): col 0 is the STOP time; start = stop -
+    duration; in-scan rule filter trims both sides."""
+    from gnip_trend_detection_spark.sources.csv import load_counts_legacy_csv
+
+    counts = load_counts_legacy_csv(spark, LEGACY, rule_name=" #scotus ")
+    rows = counts.collect()
+    assert len(rows) == 737
+    assert all(r["duration_sec"] == 3600.0 for r in rows)
+    # spot-check: first line's stop 2014-08-24 00:00:00 → start -1h
+    starts = sorted(r["interval_start"] for r in rows)
+    assert starts[0].isoformat() == "2014-08-23T23:00:00"
+
+    none = load_counts_legacy_csv(spark, LEGACY, rule_name="#nope")
+    assert none.count() == 0
+
+
+def test_directory_walk_postfix_filter(spark, tmp_path):
+    """S2: recursive dir scan with filename-postfix glob."""
+    import shutil
+
+    from gnip_trend_detection_spark.sources.csv import load_counts_csv
+
+    nested = tmp_path / "a" / "b"
+    nested.mkdir(parents=True)
+    shutil.copy(EXAMPLE, nested / "x.counts.csv")
+    shutil.copy(EXAMPLE, tmp_path / "ignored.other")
+    counts = load_counts_csv(spark, str(tmp_path), postfix=".counts.csv")
+    assert counts.count() == 737

@@ -45,10 +45,18 @@ def replay_dir(spark):
         sl.coalesce(1).write.parquet(f"{base}/batch_{i}")
         # one file per slice dir → flatten into numbered files
     flat = tempfile.mkdtemp(prefix="stream_replay_flat_")
+    import time as _time
+
+    t0 = _time.time() - 600
     for i in range(3):
         d = f"{base}/batch_{i}"
         part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
-        shutil.copy(f"{d}/{part}", f"{flat}/{i:03d}.parquet")
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.copy(f"{d}/{part}", dst)
+        # FileStreamSource orders by modification time; identical
+        # mtimes make the replay order (and thus the state fold)
+        # nondeterministic — pin strictly increasing mtimes.
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
     shutil.rmtree(base)
     yield flat, counts
     counts.unpersist()
@@ -101,16 +109,20 @@ def test_streaming_rebin_matches_batch(spark, replay_dir):
         assert got[k] == pytest.approx(v, rel=1e-12), k
 
 
+LINREG_KW = {"min_points": 5, "averaging_window_size": 3, "regression_window_size": 12}
+
+
 @pytest.mark.parametrize(
-    "stream_fn_name,batch_fn_name,kwargs",
+    "stream_fn_name,batch_fn_name,kwargs,tol",
     [
-        ("score_stream_poisson_lc", "poisson_lc", {}),
-        ("score_stream_poisson_cycle", "poisson_cycle", {}),
-        ("score_stream_mann_kendall", "mann_kendall", {"window_size": 20}),
+        ("score_stream_poisson_lc", "poisson_lc", {}, 1e-9),
+        ("score_stream_poisson_cycle", "poisson_cycle", {}, 1e-9),
+        ("score_stream_mann_kendall", "mann_kendall", {"window_size": 20}, 1e-9),
+        ("score_stream_linreg", "linear_regression_model", LINREG_KW, 1e-6),
     ],
 )
 def test_stateful_scoring_matches_batch(
-    spark, replay_dir, stream_fn_name, batch_fn_name, kwargs
+    spark, replay_dir, stream_fn_name, batch_fn_name, kwargs, tol
 ):
     from gnip_trend_detection_spark import streaming as st
     from gnip_trend_detection_spark.operators import models as batch_models
@@ -139,6 +151,56 @@ def test_stateful_scoring_matches_batch(
     mismatches = [
         (k, got[k], v)
         for k, v in want.items()
-        if not math.isclose(got[k], v, rel_tol=1e-9, abs_tol=1e-12)
+        if not math.isclose(got[k], v, rel_tol=tol, abs_tol=1e-12)
+    ]
+    assert not mismatches, mismatches[:5]
+
+
+def test_streaming_wdt_matches_batch(spark, replay_dir):
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.operators.models import weighted_data_templates
+    from gnip_trend_detection_spark.sources.tables import load_table
+    from gnip_trend_detection_spark.streaming import models as stm
+
+    flat, counts = replay_dir
+    emb = load_table(spark, SF, "embeddings")
+    lib_df = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("series_id"),
+        (F.col("vec_id") % 2 == 0).alias("is_trend"),
+        F.slice(F.col("embedding").cast("array<double>"), 1, 20).alias("points"),
+    )
+    kw = dict(
+        series_length=5,
+        reference_length=10,
+        lam=0.5,
+        distance="l1",
+        baseline_offset=2,
+        n_smooth=3,
+    )
+
+    stream_in = _read_stream(spark, flat).select("counter", "interval_start", "count")
+    lib_rows = [(r["is_trend"], r["points"]) for r in lib_df.collect()]
+    sdf = stm.score_stream_wdt(stream_in, lib_rows, **kw)
+    _run_to_completion(sdf, "update", "score_wdt")
+    got = _rows_map(
+        spark.sql("select * from score_wdt").collect(),
+        ("counter", "interval_start"),
+        "eta",
+    )
+
+    series = counts.select("counter", "interval_start", "count").withColumnRenamed(
+        "interval_start", "bin_start"
+    )
+    want = _rows_map(
+        weighted_data_templates(series, lib_df, **kw).collect(),
+        ("counter", "interval_start"),
+        "eta",
+    )
+    assert set(got) == set(want)
+    mismatches = [
+        (k, got[k], v)
+        for k, v in want.items()
+        if not math.isclose(got[k], v, rel_tol=1e-6, abs_tol=1e-9)
     ]
     assert not mismatches, mismatches[:5]

@@ -78,12 +78,15 @@ def fixture_data():
         (True, [0.0, 0.1, 0.3, 0.9, 1.8, 2.2, 1.5, 0.8]),
         (False, [0.5, 0.5, 0.6, 0.5, 0.4, 0.5, 0.6, 0.5, 0.5]),
         (False, [0.2, 0.25, 0.2, 0.3, 0.2, 0.25, 0.22, 0.2]),
+        # shorter than series_length: no sub-window, weight 0
+        (True, [0.9, 1.0, 0.8]),
     ]
     return counts, library
 
 
 @pytest.mark.parametrize("distance", ["l1", "sq_l2"])
-def test_wdt_matches_shadow(spark, fixture_data, distance):
+@pytest.mark.parametrize("impl", ["hof", "numpy"])
+def test_wdt_matches_shadow(spark, fixture_data, distance, impl):
     from pyspark.sql import functions as F
 
     from gnip_trend_detection_spark.operators.models import weighted_data_templates
@@ -109,6 +112,7 @@ def test_wdt_matches_shadow(spark, fixture_data, distance):
         baseline_offset=OFFSET,
         n_smooth=N_SMOOTH,
         sig_round=False,
+        impl=impl,
     )
     got = {
         r["interval_start"].timestamp(): r["eta"]
