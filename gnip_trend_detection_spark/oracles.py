@@ -75,7 +75,9 @@ def _events_counts(interval_sec: int) -> str:
     )
 
 
-def rebin_ctes(counts_sql: str, width: float, trunc_sec: int) -> str:
+def rebin_ctes(
+    counts_sql: str, width: float, trunc_sec: int, float_counts: bool = False
+) -> str:
     """The rebin pipeline as chained CTEs ending in `reb` (counter,
     bin_ts BIGINT, duration_sec DOUBLE, count BIGINT).
 
@@ -86,6 +88,11 @@ def rebin_ctes(counts_sql: str, width: float, trunc_sec: int) -> str:
     """
     w = float(width)
     t = trunc_sec
+    count_expr = (
+        "CASE WHEN raw > 0 THEN raw ELSE 0.0 END"
+        if float_counts
+        else "CASE WHEN raw > 0 THEN CAST(FLOOR(raw) AS BIGINT) ELSE 0 END"
+    )
     return f"""
 counts AS ({counts_sql}),
 data AS (
@@ -137,7 +144,7 @@ reb AS (
   SELECT counter,
          CAST(anchor + i*{w} AS BIGINT) AS bin_ts,
          CAST({w} AS DOUBLE) AS duration_sec,
-         CASE WHEN raw > 0 THEN CAST(FLOOR(raw) AS BIGINT) ELSE 0 END AS count
+         {count_expr} AS count
   FROM emitted WHERE pos <= last_present_i + 1
 )"""
 
@@ -197,6 +204,15 @@ WHERE counter IN ('click','view','error')
     sql["rebin_filtered"] = (
         f"WITH {rebin_ctes(filtered_counts, 120.0, 60)} "
         "SELECT counter, bin_ts, duration_sec, count FROM reb"
+    )
+
+    value_counts = (
+        "SELECT event_type AS counter, FLOOR(epoch(ts)/120)*120 AS s_epoch, "
+        "CAST(120 AS DOUBLE) AS dur, SUM(value) AS cnt FROM events GROUP BY 1, 2"
+    )
+    sql["rebin_value_weighted"] = (
+        f"WITH {rebin_ctes(value_counts, 240.0, 60, float_counts=True)} "
+        "SELECT counter, bin_ts, duration_sec, ROUND(count, 6) AS count FROM reb"
     )
 
     # R11 plot-time re-rebin over the lc-scored series
@@ -482,6 +498,36 @@ SELECT vec_id,
               / CAST(LEAST(i, 5) AS DOUBLE), 6)
         for i in generate_series(1, len(a))] AS arr
 FROM t3
+"""
+
+    # full reference chain = test chain + trailing sizing(32)
+    sql["transform_chain_reference"] = """
+WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) + 1.0 for x in embedding] AS t1 FROM embeddings),
+d AS (
+  SELECT vec_id, t1,
+         CASE WHEN len(t1) - 8 < GREATEST(1, len(t1) + 1 - 40) THEN 0.0
+              ELSE list_reduce(list_slice(t1, GREATEST(1, len(t1) + 1 - 40), len(t1) - 8),
+                               (x, y) -> x + y) / 32.0 END AS total
+  FROM e
+),
+t2 AS (
+  SELECT vec_id,
+         [x / (CASE WHEN total = 0 THEN 0.00001 ELSE total END) for x in t1] AS a
+  FROM d
+),
+t3 AS (
+  SELECT vec_id, [LOG10(CASE WHEN x <= 0 THEN 0.00001 ELSE x END) for x in a] AS a FROM t2
+),
+t4 AS (
+  SELECT vec_id,
+         [list_reduce(list_slice(a, GREATEST(1, i - 4), i), (x, y) -> x + y)
+          / CAST(LEAST(i, 5) AS DOUBLE)
+          for i in generate_series(1, len(a))] AS a
+  FROM t3
+)
+SELECT vec_id,
+       [ROUND(x, 6) for x in list_slice(a, GREATEST(1, len(a) - 31), len(a))] AS arr
+FROM t4
 """
 
     # --- dedup / text (north-star extensions) ---

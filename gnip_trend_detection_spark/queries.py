@@ -323,6 +323,32 @@ def q_transform_chain_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", _round_arr(F.col("arr")).alias("arr"))
 
 
+def q_transform_chain_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 full reference chain (library build path): test chain +
+    trailing sizing to reference_length (library.py:42-47)."""
+    e = _emb(spark, sf_dir)
+    out = transforms.apply_chain(
+        e,
+        "a",
+        "arr",
+        transforms.reference_stages(reference_length=32, baseline_offset=8, n_smooth=5),
+    )
+    return out.select("vec_id", _round_arr(F.col("arr")).alias("arr"))
+
+
+def q_rebin_value_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebin over value-weighted interval sums (counts = sum(value)
+    per interval) — the measure-column variant of the D1 adapter."""
+    counts = counts_from_events(spark, sf_dir, 120, weight_by_value=True)
+    out = rebin(counts, binning_unit="minutes", n_binning_unit=4, keep_float_counts=True)
+    return out.select(
+        "counter",
+        _epoch_long(F.col("bin_start")).alias("bin_ts"),
+        "duration_sec",
+        F.round("count", 6).alias("count"),
+    )
+
+
 # ------------------------------------------------------- dedup / text
 
 
@@ -509,6 +535,8 @@ ALL: dict[str, QueryFn] = {
     "transform_sliding": q_transform_sliding,
     "transform_index_smooth": q_transform_index_smooth,
     "transform_chain_test": q_transform_chain_test,
+    "transform_chain_reference": q_transform_chain_reference,
+    "rebin_value_weighted": q_rebin_value_weighted,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,

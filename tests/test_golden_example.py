@@ -131,6 +131,25 @@ def test_legacy_loader_derives_start_from_stop(spark):
     assert none.count() == 0
 
 
+def test_malformed_rows_dropped(spark, tmp_path):
+    """F5: bad dates / missing fields / junk numerics drop out as
+    nulls and are filtered — never an exception, never a bad row."""
+    from gnip_trend_detection_spark.sources.csv import load_counts_csv
+
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "20240101000000, 60,5,ok\n"
+        "not-a-date, 60,5,bad_date\n"
+        "20240101000100, 60,,missing_count\n"
+        "20240101000200, sixty,5,bad_duration\n"
+        "20240101000300, 60,7,ok\n"
+        ",,,\n"
+    )
+    rows = load_counts_csv(spark, str(p)).collect()
+    assert {r["counter"] for r in rows} == {"ok"}
+    assert sorted(r["count"] for r in rows) == [5.0, 7.0]
+
+
 def test_directory_walk_postfix_filter(spark, tmp_path):
     """S2: recursive dir scan with filename-postfix glob."""
     import shutil
