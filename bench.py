@@ -50,8 +50,10 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
-    # warm the JVM + parquet footers outside the timed region
+    # warm the JVM, parquet footers, and the noop sink path outside the
+    # timed region (the first write otherwise pays one-time init)
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    spark.range(100).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
