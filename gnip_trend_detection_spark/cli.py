@@ -1,0 +1,101 @@
+"""CLI — drop-in equivalents of the reference's pipeline scripts
+(SURVEY §3 E1/E2/E3: trend_rebin.py, trend_analyze.py,
+trend_detector.py, trend_analyze_many.py) over the engine APIs.
+
+    python -m gnip_trend_detection_spark rebin   -i counts.csv -c config.cfg -o out/
+    python -m gnip_trend_detection_spark analyze -i counts.csv -c config.cfg -o out/
+    python -m gnip_trend_detection_spark detect  -i analyzed/  -t 3.0
+
+Input is the reference's CSV layout (modern D1 by default, legacy D2
+via --legacy); config is the reference's INI layout. Output is CSV
+(directory of part files — the distributed replacement for the
+reference's stdout stream). `analyze` runs the full rebin → model
+pipeline on every counter at once: the reference's per-counter
+mp.Pool fan-out is the shuffle partitioning (SURVEY E3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="gnip_trend_detection_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(s):
+        s.add_argument("-i", "--input", required=True, help="CSV file/dir/glob")
+        s.add_argument("-c", "--config", help="INI config (reference layout)")
+        s.add_argument("-o", "--output", required=True, help="output directory")
+        s.add_argument("--legacy", action="store_true", help="legacy stop-time CSV (D2)")
+        s.add_argument("--rule", help="counter/rule filter (legacy scan pushdown)")
+        s.add_argument("--postfix", help="recursive dir walk filename postfix")
+
+    common(sub.add_parser("rebin", help="re-grid counts onto an even time grid"))
+    common(sub.add_parser("analyze", help="rebin + per-point model scoring"))
+
+    d = sub.add_parser("detect", help="threshold report over analyzed CSV")
+    d.add_argument("-i", "--input", required=True, help="analyzed CSV file/dir")
+    d.add_argument("-t", "--theta", type=float, required=True)
+    d.add_argument("-o", "--output", help="output dir (default: print to stdout)")
+    return p
+
+
+def _load_counts(spark, args):
+    from gnip_trend_detection_spark.sources.csv import (
+        load_counts_csv,
+        load_counts_legacy_csv,
+    )
+
+    if args.legacy:
+        return load_counts_legacy_csv(spark, args.input, rule_name=args.rule)
+    df = load_counts_csv(spark, args.input, postfix=args.postfix)
+    if args.rule:
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("counter") == args.rule.strip())
+    return df
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from gnip_trend_detection_spark.pipeline import (
+        PipelineConfig,
+        TrendPipeline,
+        load_config,
+    )
+    from gnip_trend_detection_spark.session import get_spark
+
+    spark = get_spark(app_name=f"gnip-cli-{args.cmd}")
+
+    if args.cmd == "detect":
+        from pyspark.sql import functions as F
+
+        from gnip_trend_detection_spark.operators.detect import detect_threshold
+
+        df = spark.read.schema(
+            "counter string, interval_start timestamp, count double, eta double"
+        ).option("header", True).csv(args.input)
+        out = detect_threshold(df, args.theta)
+        if args.output:
+            out.write.option("header", True).mode("overwrite").csv(args.output)
+        else:
+            for r in out.orderBy(F.desc("eta")).collect():
+                print(
+                    f"{r['counter']},{r['interval_start'].isoformat()},"
+                    f"{r['count']},{r['eta']}"
+                )
+        return 0
+
+    cfg = load_config(args.config) if args.config else PipelineConfig()
+    pipe = TrendPipeline(cfg)
+    counts = _load_counts(spark, args)
+    result = pipe.rebin(counts) if args.cmd == "rebin" else pipe.run(counts)
+    result.write.option("header", True).mode("overwrite").csv(args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,70 @@
+"""CLI end-to-end on the reference's own example data."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+EXAMPLE = "/root/reference/example/example.csv"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(EXAMPLE), reason="reference example.csv not present"
+)
+
+INI = """
+[rebin]
+binning_unit = hours
+n_binning_unit = 2
+
+[analyze]
+model_name = Poisson
+
+[Poisson_model]
+mode = lc
+alpha = 0.99
+"""
+
+
+def _read_csv_dir(spark, path, schema):
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def test_cli_rebin_analyze_detect(spark, tmp_path):
+    from gnip_trend_detection_spark.cli import main
+
+    cfg = tmp_path / "config.cfg"
+    cfg.write_text(INI)
+    rebin_out = str(tmp_path / "rebinned")
+    analyzed_out = str(tmp_path / "analyzed")
+    detect_out = str(tmp_path / "detected")
+
+    assert main(["rebin", "-i", EXAMPLE, "-c", str(cfg), "-o", rebin_out]) == 0
+    reb = _read_csv_dir(
+        spark,
+        rebin_out,
+        "counter string, bin_start timestamp, duration_sec double, count long",
+    )
+    rows = reb.collect()
+    assert len(rows) > 300 and all(r["duration_sec"] == 7200.0 for r in rows)
+
+    assert main(["analyze", "-i", EXAMPLE, "-c", str(cfg), "-o", analyzed_out]) == 0
+    ana = _read_csv_dir(
+        spark,
+        analyzed_out,
+        "counter string, interval_start timestamp, count double, eta double",
+    )
+    arows = ana.collect()
+    assert len(arows) == len(rows)
+    assert any(r["eta"] > 0 for r in arows)
+
+    assert main(["detect", "-i", analyzed_out, "-t", "1.0", "-o", detect_out]) == 0
+    det = _read_csv_dir(
+        spark,
+        detect_out,
+        "counter string, interval_start timestamp, count double, eta double",
+    )
+    drows = det.collect()
+    assert all(r["eta"] > 1.0 for r in drows)
+    assert len(drows) == sum(1 for r in arows if r["eta"] > 1.0)

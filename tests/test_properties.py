@@ -1,0 +1,149 @@
+"""Property tests (SURVEY §5.3): invariants that must hold for any
+input, generated with hypothesis.
+
+Spark jobs are slow per-example, so each property batches ALL
+hypothesis-generated cases into ONE DataFrame run (keyed by case id)
+and asserts per-case — full coverage, constant job count.
+"""
+
+import math
+import os
+import sys
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+counts_lists = st.lists(
+    st.integers(min_value=0, max_value=1000), min_size=1, max_size=30
+)
+
+
+def _rebin_total(spark, cases):
+    """Run rebin over many (case, series) at once; return per-case
+    output totals (float counts to avoid truncation loss)."""
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.operators.rebin import rebin
+
+    rows = []
+    for cid, (vals, dur, gap) in enumerate(cases):
+        for i, v in enumerate(vals):
+            rows.append((f"c{cid}", float(i * gap), float(dur), float(v)))
+    df = spark.createDataFrame(
+        rows, "counter string, s double, duration_sec double, count double"
+    ).select(
+        "counter",
+        F.timestamp_seconds("s").alias("interval_start"),
+        "duration_sec",
+        "count",
+    )
+    out = rebin(df, binning_unit="minutes", n_binning_unit=1, keep_float_counts=True)
+    got = {
+        r["counter"]: r["t"]
+        for r in out.groupBy("counter").agg(F.sum("count").alias("t")).collect()
+    }
+    return got
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            counts_lists,
+            st.sampled_from([30.0, 60.0, 90.0, 150.0]),  # interval duration
+            st.sampled_from([30, 60, 120]),  # spacing between starts
+        ),
+        min_size=1,
+        max_size=1,
+    )
+)
+def test_rebin_conserves_total_count(spark_prop, cases):
+    """R6 weights per input row sum to 1 when the grid covers the
+    whole input span (the rebin grid always does, by construction —
+    analysis.py:88-98) → total output == total input."""
+    got = _rebin_total(spark_prop, cases)
+    for cid, (vals, dur, gap) in enumerate(cases):
+        want = float(sum(vals))
+        assert got.get(f"c{cid}", 0.0) == pytest.approx(want, rel=1e-9, abs=1e-9), (
+            cid,
+            vals,
+            dur,
+            gap,
+        )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.1, max_value=1e4, allow_nan=False),
+        min_size=3,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_mk_z_sign_matches_monotone_direction(values):
+    """MK z > 0 on strictly increasing series, z < 0 on strictly
+    decreasing (pure numpy kernel — no Spark needed)."""
+    import numpy as np
+
+    from gnip_trend_detection_spark.operators.models.mann_kendall import _mk_z
+
+    inc = np.sort(np.asarray(values))
+    assert _mk_z(inc) > 0
+    assert _mk_z(inc[::-1]) < 0
+    assert _mk_z(inc) == pytest.approx(-_mk_z(inc[::-1]))
+
+
+def test_sig_round2_properties():
+    """M7: 2-significant-digit rounding — idempotent, scale-covariant
+    over powers of ten, 0 for non-positive."""
+    from gnip_trend_detection_spark.functions.core import sig_round2_py
+
+    from decimal import Decimal
+
+    for x in [0.00123456, 0.5, 1.0, 3.14159, 99.4, 99.5, 1234.5, 8.7e9]:
+        r = sig_round2_py(x)
+        assert sig_round2_py(r) == r
+        assert sig_round2_py(x * 1000) == pytest.approx(r * 1000, rel=1e-12)
+        sig_digits = Decimal(str(r)).normalize().as_tuple().digits
+        assert len(sig_digits) <= 2, (x, r, sig_digits)
+    assert sig_round2_py(0.0) == 0.0
+    assert sig_round2_py(-5.0) == 0.0
+    assert sig_round2_py(float("nan")) == 0.0
+    assert sig_round2_py(float("inf")) == 0.0
+
+
+def test_unit_normalization_scale_invariant(spark):
+    """T2: unit normalization cancels any constant count scaling
+    (trends.tex §3.3's volume-independence rationale). Note the FULL
+    test chain is only approximately scale-invariant because add_one
+    runs first (reference library.py:42-47) — the exact invariant
+    lives in T2, asserted here."""
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.operators import transforms
+
+    base = [1.0, 2.0, 1.0, 3.0, 2.0, 1.0, 2.0, 9.0, 15.0, 22.0, 30.0, 25.0]
+    df = spark.createDataFrame(
+        [(s,) for s in (1.0, 37.0, 0.25)], "scale double"
+    ).select(
+        "scale",
+        F.transform(
+            F.array(*[F.lit(v) for v in base]), lambda x: x * F.col("scale")
+        ).alias("arr"),
+    )
+    out = df.select(
+        "scale",
+        transforms.unit_normalization(F.col("arr"), 8, 2).alias("normed"),
+    ).collect()
+    ref = [r for r in out if r["scale"] == 1.0][0]["normed"]
+    for r in out:
+        assert r["normed"] == pytest.approx(ref, rel=1e-12), r["scale"]
+
+
+@pytest.fixture(scope="module")
+def spark_prop(spark):
+    return spark
