@@ -30,7 +30,9 @@ HEADLINE = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash64",
+    "ngram_jaccard",
     "text_quality",
+    "text_bpe_tokens",
     "doc_fingerprint",
     "cosine_neardup_blocked",
     "ann_ivf_topk",

@@ -165,6 +165,68 @@ def lsh_candidate_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Character n-gram Jaccard for candidate pairs sharing a
+    rolling-hash fingerprint bucket (extras.text.fingerprint) —
+    min-hash collision ⇒ likely shared content, so the quadratic
+    verify runs only inside buckets (equi-join, never all pairs)."""
+    from gnip_trend_detection_spark.extras.text import fingerprint
+
+    fp = fingerprint(docs, text_col)
+    a, b = fp.alias("a"), fp.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.fingerprint") == F.col("b.fingerprint"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
+    lt = F.lower(F.col(text_col))
+    grams = (
+        docs.select("doc_id", lt.alias("lt"))
+        .filter(F.length("lt") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("lt") - (n - 1)),
+                    lambda i: F.substring(F.col("lt"), i, n),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .persist()  # feeds both intersection sides + sizes
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    g1, g2 = grams.alias("g1"), grams.alias("g2")
+    inter = (
+        cand.join(g1, F.col("g1.doc_id") == F.col("doc_a"))
+        .join(
+            g2,
+            (F.col("g2.doc_id") == F.col("doc_b"))
+            & (F.col("g2.gram") == F.col("g1.gram")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.coalesce(F.col("i"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash over token md5s weighted by occurrence count,
     emitted as a 64-char '0'/'1' string (MSB-first per hex nibble —

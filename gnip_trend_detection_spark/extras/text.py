@@ -40,6 +40,27 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting for LLM-data budgeting: whitespace words vs a
+    BPE-ish segmentation (letter runs / digit runs / single
+    punctuation — a cheap deterministic proxy for subword tokenizers)
+    plus bytes-per-token, all JVM-side regex."""
+    lt = F.lower(F.col(text_col))
+    t = docs.withColumn("lt", lt).withColumn(
+        "bpe", F.regexp_extract_all(F.col("lt"), F.lit(BPE_ISH), 0)
+    )
+    n_bpe = F.size("bpe")
+    return t.filter(n_bpe > 0).select(
+        "doc_id",
+        F.size(tokens(F.col("lt"))).alias("n_words"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.length("lt").cast("double") / n_bpe, 4).alias("bytes_per_token"),
+    )
+
+
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic heuristic quality in [0,1]: length, lexical
     diversity, word length, stopword density — equal weights."""

@@ -635,6 +635,19 @@ SELECT doc_id,
              / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len
 FROM t WHERE len(toks) > 0
 """
+    sql["text_bpe_tokens"] = f"""
+WITH t AS (
+  SELECT doc_id, lower(text) AS lt,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe
+  FROM documents
+)
+SELECT doc_id,
+       len({toks.replace("lower(text)", "lt")}) AS n_words,
+       n_bpe AS n_bpe_tokens,
+       ROUND(CAST(length(lt) AS DOUBLE) / n_bpe, 4) AS bytes_per_token
+FROM t WHERE n_bpe > 0
+"""
+
     stop_en = "'the','a','of','and','to','in','is','on','for','with'"
     sql["text_quality"] = f"""
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
@@ -679,6 +692,47 @@ SELECT d.doc_id,
        COALESCE(b.n_hits, 0) AS n_stopword_hits
 FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
 """
+    fp_expr = """list_aggregate(
+         [list_reduce([ascii(substr(lt, i + j, 1)) for j in generate_series(0, 7)],
+                      (a, c) -> (CAST(a AS BIGINT) * 257 + c) % 2147483647)
+          for i in generate_series(1, length(lt) - 7)], 'min')"""
+    sql["ngram_jaccard"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, substr(text, 1, 200) FROM documents WHERE doc_id % 7 = 0
+),
+fp AS (
+  SELECT doc_id, {fp_expr} AS fingerprint
+  FROM (SELECT doc_id, lower(text) AS lt FROM corpus) WHERE length(lt) >= 8
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+),
+grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest([substr(lt, i, 3) for i in generate_series(1, length(lt) - 2)]) AS gram
+    FROM (SELECT doc_id, lower(text) AS lt FROM corpus) WHERE length(lt) >= 3
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN grams g1 ON g1.doc_id = c.doc_a
+  JOIN grams g2 ON g2.doc_id = c.doc_b AND g2.gram = g1.gram
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
     # Karp-Rabin: Horner fold (acc*257 + codepoint) % (2^31-1) per
     # 8-gram, min over positions — twin of extras/text.fingerprint
     sql["doc_fingerprint"] = """

@@ -379,12 +379,27 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram Jaccard over fingerprint-bucket candidates; corpus
+    includes truncated twins so buckets actually collide."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    truncated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.substring(F.col("text"), 1, 200).alias("text"),
+    )
+    return dedup.ngram_jaccard_pairs(docs.unionByName(truncated))
+
+
 def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_docs(spark, sf_dir))
 
 
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_stats(_docs(spark, sf_dir))
+
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_token_stats(_docs(spark, sf_dir))
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,7 +556,9 @@ ALL: dict[str, QueryFn] = {
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "simhash64": q_simhash64,
+    "ngram_jaccard": q_ngram_jaccard,
     "text_token_stats": q_text_token_stats,
+    "text_bpe_tokens": q_text_bpe_tokens,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
