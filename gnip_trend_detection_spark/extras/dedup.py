@@ -166,25 +166,51 @@ def lsh_candidate_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", n: int = 3
+    docs: DataFrame, text_col: str = "text", n: int = 3, max_bucket: int = 20
 ) -> DataFrame:
     """Character n-gram Jaccard for candidate pairs sharing a
     rolling-hash fingerprint bucket (extras.text.fingerprint) —
     min-hash collision ⇒ likely shared content, so the quadratic
-    verify runs only inside buckets (equi-join, never all pairs)."""
+    verify runs only inside buckets (equi-join, never all pairs).
+
+    ``max_bucket`` drops pathological hot buckets (boilerplate minima
+    shared by hundreds of docs) whose within-bucket pair count would
+    go quadratic — the skew cap measured necessary at sf0.1, where one
+    templated bucket held 342 docs (353k pairs)."""
+    from pyspark.sql import Window
+
     from gnip_trend_detection_spark.extras.text import fingerprint
 
     fp = fingerprint(docs, text_col)
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+    fp = (
+        fp.withColumn("__bn", bucket_n)
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+        .persist()  # both sides of the candidate self-join
+    )
     a, b = fp.alias("a"), fp.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.fingerprint") == F.col("b.fingerprint"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .persist()
+    )
+    # n-gram sets are only needed for docs that appear in a candidate
+    # pair — the semi-join prunes the explode+distinct to that subset
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
 
     lt = F.lower(F.col(text_col))
     grams = (
         docs.select("doc_id", lt.alias("lt"))
+        .join(F.broadcast(cand_docs), "doc_id", "left_semi")
         .filter(F.length("lt") >= n)
         .select(
             "doc_id",

@@ -702,9 +702,14 @@ WITH corpus AS (
   UNION ALL
   SELECT doc_id + 2000000, substr(text, 1, 200) FROM documents WHERE doc_id % 7 = 0
 ),
-fp AS (
+fp0 AS (
   SELECT doc_id, {fp_expr} AS fingerprint
   FROM (SELECT doc_id, lower(text) AS lt FROM corpus) WHERE length(lt) >= 8
+),
+fp AS (
+  SELECT doc_id, fingerprint FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY fingerprint) AS bn FROM fp0
+  ) WHERE bn <= 20
 ),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
