@@ -907,4 +907,38 @@ FROM (SELECT doc_id, text, unnest(generate_series(0, GREATEST(n_frames - 1, 0), 
       FROM v)
 WHERE length(substr(text, i * 32 + 1, 32)) > 0
 """
+
+    # --- serialize array outputs for the driver comparator -------------
+    # The driver canonicalizes results through pandas sort_values, which
+    # cannot hash list cells; every array-valued oracle is therefore
+    # exploded to (id..., idx, val) scalar rows. DuckDB zips parallel
+    # unnests positionally, so generate_series pairs with the elements.
+    def _unnest(name: str, id_cols: list[str], arr_col: str) -> None:
+        ids = ", ".join(id_cols)
+        sql[name] = (
+            f"SELECT {ids}, unnest(generate_series(1, len({arr_col}))) - 1 AS idx, "
+            f"unnest({arr_col}) AS val FROM ({sql[name]})"
+        )
+
+    for q in (
+        "transform_add_one",
+        "transform_unit_norm",
+        "transform_log_scale",
+        "transform_smooth",
+        "transform_spike_norm",
+        "transform_sizing",
+        "transform_index_smooth",
+        "transform_chain_test",
+        "transform_chain_reference",
+    ):
+        _unnest(q, ["vec_id"], "arr")
+    _unnest("minhash_signatures", ["doc_id"], "sig")
+    _unnest("multimodal_features", ["doc_id"], "features")
+    # nested array<array<double>> → double unnest to (vec_id, widx, idx, val)
+    sql["transform_sliding"] = f"""
+SELECT vec_id, widx, unnest(generate_series(1, len(w))) - 1 AS idx, unnest(w) AS val
+FROM (SELECT vec_id, unnest(generate_series(1, len(windows))) - 1 AS widx,
+             unnest(windows) AS w
+      FROM ({sql["transform_sliding"]}))
+"""
     return sql

@@ -253,55 +253,75 @@ def _round_arr(col, digits: int = 6):
     return F.transform(col, lambda x: F.round(x, digits))
 
 
+def _explode_arr(df: DataFrame, id_cols: list[str], arr_col: str) -> DataFrame:
+    """Serialize an array column for the oracle comparator: one scalar
+    row per element as (id..., idx long, val). The driver's pandas
+    canonicalizer cannot hash list cells, so array-valued results must
+    leave the query boundary exploded (DuckDB twin: zipped unnest)."""
+    out = df.select(*id_cols, F.posexplode(arr_col).alias("idx", "val"))
+    return out.withColumn("idx", F.col("idx").cast("long"))
+
+
 def q_transform_add_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    return e.select("vec_id", _round_arr(transforms.add_one(F.col("a"))).alias("arr"))
+    out = e.select("vec_id", _round_arr(transforms.add_one(F.col("a"))).alias("arr"))
+    return _explode_arr(out, ["vec_id"], "arr")
 
 
 def q_transform_unit_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    return e.select(
+    out = e.select(
         "vec_id",
         _round_arr(transforms.unit_normalization(F.col("a"), 32, 8)).alias("arr"),
     )
+    return _explode_arr(out, ["vec_id"], "arr")
 
 
 def q_transform_log_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    return e.select(
+    out = e.select(
         "vec_id", _round_arr(transforms.logarithmic_scaling(F.col("a"))).alias("arr")
     )
+    return _explode_arr(out, ["vec_id"], "arr")
 
 
 def q_transform_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    return e.select(
+    out = e.select(
         "vec_id", _round_arr(transforms.smoothing(F.col("a"), 5)).alias("arr")
     )
+    return _explode_arr(out, ["vec_id"], "arr")
 
 
 def q_transform_spike_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    return e.select(
+    out = e.select(
         "vec_id",
         _round_arr(transforms.spike_normalization(F.col("a"), 1.2)).alias("arr"),
     )
+    return _explode_arr(out, ["vec_id"], "arr")
 
 
 def q_transform_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    return e.select(
+    out = e.select(
         "vec_id", _round_arr(transforms.sizing(F.col("a"), 40)).alias("arr")
     )
+    return _explode_arr(out, ["vec_id"], "arr")
 
 
 def q_transform_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     wins = transforms.sliding_subseries(F.col("a"), 60)
-    return e.select(
+    out = e.select(
         "vec_id",
         F.transform(wins, lambda w: _round_arr(w)).alias("windows"),
     )
+    # nested array<array<double>> → (vec_id, widx, idx, val) scalars
+    outer = out.select(
+        "vec_id", F.posexplode("windows").alias("widx", "w")
+    ).withColumn("widx", F.col("widx").cast("long"))
+    return _explode_arr(outer, ["vec_id", "widx"], "w")
 
 
 def q_transform_index_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,9 +330,10 @@ def q_transform_index_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     arr = F.transform("embedding", lambda x: x.cast("double"))
     out = transforms.index_smoothing(arr, 4)
-    return emb.select(
+    res = emb.select(
         "vec_id", F.transform(out, lambda x: F.round(x, 6)).alias("arr")
     )
+    return _explode_arr(res, ["vec_id"], "arr")
 
 
 def q_transform_chain_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,7 +341,8 @@ def q_transform_chain_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = transforms.apply_chain(
         e, "a", "arr", transforms.test_stages(reference_length=32, baseline_offset=8, n_smooth=5)
     )
-    return out.select("vec_id", _round_arr(F.col("arr")).alias("arr"))
+    out = out.select("vec_id", _round_arr(F.col("arr")).alias("arr"))
+    return _explode_arr(out, ["vec_id"], "arr")
 
 
 def q_transform_chain_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,7 +355,8 @@ def q_transform_chain_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arr",
         transforms.reference_stages(reference_length=32, baseline_offset=8, n_smooth=5),
     )
-    return out.select("vec_id", _round_arr(F.col("arr")).alias("arr"))
+    out = out.select("vec_id", _round_arr(F.col("arr")).alias("arr"))
+    return _explode_arr(out, ["vec_id"], "arr")
 
 
 def q_rebin_value_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,7 +388,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_signatures(_docs(spark, sf_dir)).select("doc_id", "sig")
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir)).select("doc_id", "sig")
+    return _explode_arr(sigs, ["doc_id"], "sig")
 
 
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,9 +537,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     feats = multimodal.extract_features(media, dim=8)
-    return feats.select(
+    out = feats.select(
         "doc_id", F.transform("features", lambda x: F.round(x, 6)).alias("features")
     )
+    return _explode_arr(out, ["doc_id"], "features")
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

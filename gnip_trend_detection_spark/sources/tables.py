@@ -26,6 +26,12 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    # parquet reader rejects unless nanos are surfaced as long. Set the
+    # conf at runtime (it is runtime-settable and idempotent) so the
+    # loader works on ANY session, not just ours — the harness builds
+    # its own bare SparkSession.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong: exact integer

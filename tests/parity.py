@@ -59,9 +59,18 @@ def _canon(v):
 
 def compare(spark_df, con, sql, name=""):
     spark_cols = sorted(spark_df.columns)
-    spark_rows = [
-        tuple(_canon(row[c]) for c in spark_cols) for row in spark_df.collect()
-    ]
+    collected = spark_df.collect()
+    spark_rows = [tuple(_canon(row[c]) for c in spark_cols) for row in collected]
+
+    # Replicate the DRIVER's canonicalizer: it builds a pandas frame and
+    # sort_values over every column, which raises TypeError on list
+    # cells. Any query that would crash the driver must crash here too.
+    import pandas as pd
+
+    pdf = pd.DataFrame([tuple(row[c] for c in spark_cols) for row in collected],
+                       columns=spark_cols)
+    if len(pdf):
+        pdf.sort_values(by=list(pdf.columns))
     duck = con.sql(sql)
     duck_cols_raw = list(duck.columns)
     duck_cols = sorted(duck_cols_raw)
