@@ -4,8 +4,9 @@
 
 Per point t of each counter series:
   1. no result until `reference_length` points exist or while the
-     trailing sum is 0 (models.py:155-161) → eta = 0 (after the first
-     update the reference's weights are 0.0, so get_result returns
+     FULL series-so-far sums to 0 (models.py:155-161:
+     sum(self.total_series) == 0) → eta = 0 (after the first update
+     the reference's weights are 0.0, so get_result returns
      0 / SMALL_NUMBER = 0);
   2. transform the trailing `reference_length` counts through the
      library's *test* chain (models.py:163-167);
@@ -106,12 +107,20 @@ def weighted_data_templates(
     hist = F.collect_list(F.col("count").cast("double")).over(
         w.rowsBetween(-(reference_length - 1), 0)
     )
+    # warm gate checks the FULL series-so-far sum (reference
+    # models.py:158 sum(self.total_series) == 0), not just the trailing
+    # window — a counter with nonzero history that goes all-zero for
+    # >= reference_length bins still gets scored.
+    running_total = F.sum(F.col("count").cast("double")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
     df = rebinned.select(
         "counter",
         F.col(ts_col).alias("interval_start"),
         F.col("count").cast("double").alias("count"),
         F.row_number().over(w).alias("rn"),
         hist.alias("hist"),
+        running_total.alias("running_total"),
     )
     if score_latest_only:
         last = Window.partitionBy("counter")
@@ -119,15 +128,13 @@ def weighted_data_templates(
             F.col("rn") == F.col("__max_rn")
         ).drop("__max_rn")
 
-    warm = (F.col("rn") >= reference_length) & (
-        F.aggregate(F.col("hist"), F.lit(0.0), lambda a, x: a + x) != 0
-    )
+    warm = (F.col("rn") >= reference_length) & (F.col("running_total") != 0)
     df = df.withColumn("warm", warm)
 
     cold = df.filter(~F.col("warm")).select(
         "counter", "interval_start", "count", F.lit(0.0).alias("eta_raw")
     )
-    hot = df.filter(F.col("warm"))
+    hot = df.filter(F.col("warm")).drop("running_total")
 
     # test transformation chain over the trailing history, then keep
     # the last series_length points (models.py:163-169)

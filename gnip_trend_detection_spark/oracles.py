@@ -351,7 +351,9 @@ h AS (
   SELECT counter, bin_ts, count,
          ROW_NUMBER() OVER w AS rn,
          list(count) OVER (PARTITION BY counter ORDER BY bin_ts
-                           ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS hist
+                           ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS hist,
+         SUM(count) OVER (PARTITION BY counter ORDER BY bin_ts
+                          ROWS UNBOUNDED PRECEDING) AS running_total
   FROM ser WINDOW w AS (PARTITION BY counter ORDER BY bin_ts)
 ),
 lib AS (
@@ -360,7 +362,8 @@ lib AS (
   FROM embeddings WHERE vec_id < 64
 ),
 warm AS (
-  SELECT *, rn >= 12 AND list_reduce(hist, (a, b) -> a + b) <> 0 AS warm FROM h
+  -- full series-so-far sum (reference models.py:158), not trailing window
+  SELECT *, rn >= 12 AND running_total <> 0 AS warm FROM h
 ),
 t1 AS (SELECT counter, bin_ts, count, [x + 1.0 for x in hist] AS a FROM warm WHERE warm),
 t2 AS (

@@ -246,7 +246,15 @@ def score_stream_wdt(
     import numpy as np
 
     lib = [(bool(t), np.asarray(p, dtype=float)) for t, p in library_rows]
-    state_schema = T.StructType([T.StructField("buf", T.ArrayType(T.DoubleType()))])
+    # state carries the trailing buffer PLUS the full-series running sum:
+    # the reference's warm gate is sum(self.total_series) == 0
+    # (models.py:158), which the capped buffer alone cannot answer
+    state_schema = T.StructType(
+        [
+            T.StructField("buf", T.ArrayType(T.DoubleType())),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
 
     def transform_test(hist: np.ndarray) -> np.ndarray:
         s = hist + 1.0
@@ -264,8 +272,8 @@ def score_stream_wdt(
             out[i] = (csum[i] - (csum[j - 1] if j else 0.0)) / (i - j + 1)
         return out
 
-    def eta_for(buf: list[float]) -> float:
-        if len(buf) < reference_length or sum(buf) == 0:
+    def eta_for(buf: list[float], total: float) -> float:
+        if len(buf) < reference_length or total == 0:
             return 0.0
         test = transform_test(np.asarray(buf, dtype=float))[-series_length:]
         tw = nw = 0.0
@@ -287,14 +295,16 @@ def score_stream_wdt(
     def fn(key, pdfs, state: GroupState):
         (counter,) = key
         pdf = _concat_sorted(pdfs)
-        buf: list[float] = list(state.get[0]) if state.exists else []
+        buf: list[float]
+        buf, total = (list(state.get[0]), state.get[1]) if state.exists else ([], 0.0)
         etas = []
         for c in pdf["count"].astype(float):
             buf.append(c)
+            total += c
             if len(buf) > reference_length:
                 buf = buf[-reference_length:]
-            etas.append(eta_for(buf))
-        state.update((buf,))
+            etas.append(eta_for(buf, total))
+        state.update((buf, total))
         out = _emit(counter, pdf, etas)
         if not sig_round:
             out["eta"] = etas

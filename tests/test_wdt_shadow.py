@@ -51,7 +51,9 @@ def _eta_series(counts, library, distance="l1"):
     etas = []
     for t in range(len(counts)):
         hist = counts[max(0, t - REF_LEN + 1) : t + 1]
-        if t + 1 < REF_LEN or sum(hist) == 0:
+        # warm gate tests the FULL series-so-far (reference models.py:158
+        # sum(self.total_series) == 0), not the trailing window
+        if t + 1 < REF_LEN or sum(counts[: t + 1]) == 0:
             etas.append(0.0)
             continue
         test = _transform_test(hist)[-SER_LEN:]
@@ -120,6 +122,43 @@ def test_wdt_matches_shadow(spark, fixture_data, distance, impl):
     }
     expected = _eta_series(counts, library, distance)
     assert len(got) == len(expected)
+    for i, exp in enumerate(expected):
+        assert got[i * 3600.0] == pytest.approx(exp, rel=1e-9), f"point {i}"
+
+
+def test_wdt_warm_gate_full_series(spark, fixture_data):
+    """A counter with nonzero history that then goes all-zero for
+    >= reference_length bins must still be scored (the reference gates
+    on sum of the FULL series, not the trailing window)."""
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.operators.models import weighted_data_templates
+
+    _, library = fixture_data
+    counts = [5.0] + [0.0] * 19  # trailing 12-window sum hits 0 from t=13
+    rows = [("c1", float(i * 3600), c) for i, c in enumerate(counts)]
+    ser = spark.createDataFrame(rows, "counter string, e double, count double").select(
+        "counter", F.timestamp_seconds("e").alias("bin_start"), "count"
+    )
+    lib = spark.createDataFrame(
+        [(i, t, pts) for i, (t, pts) in enumerate(library)],
+        "series_id long, is_trend boolean, points array<double>",
+    )
+    out = weighted_data_templates(
+        ser,
+        lib,
+        series_length=SER_LEN,
+        reference_length=REF_LEN,
+        lam=LAM,
+        distance="l1",
+        baseline_offset=OFFSET,
+        n_smooth=N_SMOOTH,
+        sig_round=False,
+        impl="hof",
+    )
+    got = {r["interval_start"].timestamp(): r["eta"] for r in out.collect()}
+    expected = _eta_series(counts, library, "l1")
+    assert any(e != 0.0 for e in expected[REF_LEN:]), "case must exercise the gate"
     for i, exp in enumerate(expected):
         assert got[i * 3600.0] == pytest.approx(exp, rel=1e-9), f"point {i}"
 
