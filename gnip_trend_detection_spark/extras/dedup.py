@@ -207,46 +207,44 @@ def ngram_jaccard_pairs(
         .distinct()
     )
 
+    # per-doc DISTINCT gram set as a row-local array: array_distinct
+    # replaces the old explode+distinct (which shuffled every gram row
+    # through two joins). Candidates are bucket-capped and few, so the
+    # pairwise set intersection is array_intersect on joined arrays —
+    # two small-side joins instead of a gram-row double shuffle.
     lt = F.lower(F.col(text_col))
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("lt") - (n - 1)),
+            lambda i: F.substring(F.col("lt"), i, n),
+        )
+    )
     grams = (
         docs.select("doc_id", lt.alias("lt"))
         .join(F.broadcast(cand_docs), "doc_id", "left_semi")
         .filter(F.length("lt") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("lt") - (n - 1)),
-                    lambda i: F.substring(F.col("lt"), i, n),
-                )
-            ).alias("gram"),
-        )
-        .distinct()
-        .persist()  # feeds both intersection sides + sizes
+        .select("doc_id", gram_arr.alias("grams"))
+        .withColumn("sz", F.size("grams"))
+        .persist()  # feeds both sides of the pair join
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    g1, g2 = grams.alias("g1"), grams.alias("g2")
-    inter = (
-        cand.join(g1, F.col("g1.doc_id") == F.col("doc_a"))
-        .join(
-            g2,
-            (F.col("g2.doc_id") == F.col("doc_b"))
-            & (F.col("g2.gram") == F.col("g1.gram")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    # candidate docs all carry >= 8 chars (fingerprint precondition), so
+    # every pair side has a gram row and inner joins lose nothing
     return (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        cand.join(ga, F.col("ga.doc_id") == F.col("doc_a"))
+        .join(gb, F.col("gb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ga.grams", "gb.grams")).alias("i"),
+            F.col("ga.sz").alias("sa"),
+            F.col("gb.sz").alias("sb"),
+        )
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.coalesce(F.col("i"), F.lit(0)).cast("double")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.coalesce(F.col("i"), F.lit(0))),
+                F.col("i").cast("double") / (F.col("sa") + F.col("sb") - F.col("i")),
                 6,
             ).alias("jaccard"),
         )

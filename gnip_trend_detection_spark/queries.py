@@ -257,9 +257,21 @@ def _explode_arr(df: DataFrame, id_cols: list[str], arr_col: str) -> DataFrame:
     """Serialize an array column for the oracle comparator: one scalar
     row per element as (id..., idx long, val). The driver's pandas
     canonicalizer cannot hash list cells, so array-valued results must
-    leave the query boundary exploded (DuckDB twin: zipped unnest)."""
-    out = df.select(*id_cols, F.posexplode(arr_col).alias("idx", "val"))
-    return out.withColumn("idx", F.col("idx").cast("long"))
+    leave the query boundary exploded (DuckDB twin: zipped unnest).
+
+    posexplode_outer, NOT posexplode: for a plain generate, Catalyst's
+    InferFiltersFromGenerate synthesizes `size(arr) > 0 AND isnotnull`
+    and pushes it below every projection, INLINING the whole upstream
+    expression tree into a scan-level filter that re-evaluates it
+    several times per row — measured 2.5s → 255s on
+    transform_chain_test at sf0.1. The outer generate infers no filter;
+    the isnotnull(idx) post-filter restores inner semantics (drops the
+    null row an empty/null array would emit) and cannot be pushed below
+    the Generate because idx is generated."""
+    out = df.select(*id_cols, F.posexplode_outer(arr_col).alias("idx", "val"))
+    return out.filter(F.col("idx").isNotNull()).withColumn(
+        "idx", F.col("idx").cast("long")
+    )
 
 
 def q_transform_add_one(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,9 +330,13 @@ def q_transform_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(wins, lambda w: _round_arr(w)).alias("windows"),
     )
     # nested array<array<double>> → (vec_id, widx, idx, val) scalars
-    outer = out.select(
-        "vec_id", F.posexplode("windows").alias("widx", "w")
-    ).withColumn("widx", F.col("widx").cast("long"))
+    # (outer generate + notnull for the same InferFiltersFromGenerate
+    # reason documented in _explode_arr)
+    outer = (
+        out.select("vec_id", F.posexplode_outer("windows").alias("widx", "w"))
+        .filter(F.col("widx").isNotNull())
+        .withColumn("widx", F.col("widx").cast("long"))
+    )
     return _explode_arr(outer, ["vec_id", "widx"], "w")
 
 
