@@ -75,6 +75,86 @@ def _events_counts(interval_sec: int) -> str:
     )
 
 
+_WDT_LIB_SQL = """
+  SELECT vec_id AS series_id, vec_id % 2 = 0 AS is_trend,
+         [CAST(x AS DOUBLE) for x in list_slice(embedding, 1, 24)] AS ref_points
+  FROM embeddings WHERE vec_id < 64
+"""
+
+
+def wdt_scored_sql(
+    ser_sql: str,
+    lib_sql: str,
+    ref_len: int = 12,
+    ser_len: int = 6,
+    offset: int = 3,
+    n_smooth: int = 3,
+    lam: float = 0.5,
+    eta_round: int = 4,
+) -> str:
+    """Full WeightedDataTemplates scoring as DuckDB SQL, parameterized
+    so wdt_eta and the ROC holdout evaluation share one verified chain.
+    ser_sql → (counter, bin_ts, count); lib_sql → (series_id, is_trend,
+    ref_points). Output: (counter, bin_ts, count, eta)."""
+    return f"""
+WITH ser AS ({ser_sql}),
+h AS (
+  SELECT counter, bin_ts, count,
+         ROW_NUMBER() OVER w AS rn,
+         list(count) OVER (PARTITION BY counter ORDER BY bin_ts
+                           ROWS BETWEEN {ref_len - 1} PRECEDING AND CURRENT ROW) AS hist,
+         SUM(count) OVER (PARTITION BY counter ORDER BY bin_ts
+                          ROWS UNBOUNDED PRECEDING) AS running_total
+  FROM ser WINDOW w AS (PARTITION BY counter ORDER BY bin_ts)
+),
+lib AS ({lib_sql}),
+warm AS (
+  -- full series-so-far sum (reference models.py:158), not trailing window
+  SELECT *, rn >= {ref_len} AND running_total <> 0 AS warm FROM h
+),
+t1 AS (SELECT counter, bin_ts, count, [x + 1.0 for x in hist] AS a FROM warm WHERE warm),
+t2 AS (
+  SELECT counter, bin_ts, count,
+         [x / (CASE WHEN total = 0 THEN 0.00001 ELSE total END) for x in a] AS a
+  FROM (
+    SELECT *, CASE WHEN len(a) - {offset} < GREATEST(1, len(a) + 1 - {ref_len + offset}) THEN 0.0
+                   ELSE list_reduce(list_slice(a, GREATEST(1, len(a) + 1 - {ref_len + offset}), len(a) - {offset}),
+                                    (x, y) -> x + y) / {float(ref_len)} END AS total
+    FROM t1
+  )
+),
+t3 AS (SELECT counter, bin_ts, count,
+              [LOG10(CASE WHEN x <= 0 THEN 0.00001 ELSE x END) for x in a] AS a FROM t2),
+t4 AS (
+  SELECT counter, bin_ts, count,
+         [list_reduce(list_slice(a, GREATEST(1, i - {n_smooth - 1}), i), (x, y) -> x + y)
+          / CAST(LEAST(i, {n_smooth}) AS DOUBLE) for i in generate_series(1, len(a))] AS a
+  FROM t3
+),
+test AS (
+  SELECT counter, bin_ts, count, list_slice(a, len(a) - {ser_len - 1}, len(a)) AS s FROM t4
+),
+pairs AS (
+  SELECT t.counter, t.bin_ts, t.count, l.is_trend,
+         EXP(-{lam} * list_aggregate(
+           [list_reduce([ABS(l.ref_points[i + j - 1] - t.s[j]) for j in generate_series(1, {ser_len})],
+                        (x, y) -> x + y)
+            for i in generate_series(1, len(l.ref_points) - {ser_len - 1})], 'min')) AS w
+  FROM test t CROSS JOIN lib l
+),
+agg AS (
+  SELECT counter, bin_ts, count,
+         SUM(CASE WHEN is_trend THEN w ELSE 0.0 END) AS tw,
+         SUM(CASE WHEN NOT is_trend THEN w ELSE 0.0 END) AS nw
+  FROM pairs GROUP BY 1, 2, 3
+)
+SELECT counter, bin_ts, count,
+       ROUND(tw / (CASE WHEN nw = 0 THEN 0.001 ELSE nw END), {eta_round}) AS eta FROM agg
+UNION ALL
+SELECT counter, bin_ts, count, 0.0 AS eta FROM warm WHERE NOT warm
+"""
+
+
 def rebin_ctes(
     counts_sql: str, width: float, trunc_sec: int, float_counts: bool = False
 ) -> str:
@@ -345,66 +425,45 @@ SELECT counter, bin_ts, count, {_sig2('z')} AS eta FROM z
     # --- WeightedDataTemplates (M5/M6): hourly series vs the
     # embeddings-derived library; L1 distance, lambda=0.5; test chain
     # add_one → unit_norm(12,3) → log10 → smooth(3) → last 6 pts ---
-    sql["wdt_eta"] = f"""
-WITH ser AS ({events_series(3600)}),
-h AS (
-  SELECT counter, bin_ts, count,
-         ROW_NUMBER() OVER w AS rn,
-         list(count) OVER (PARTITION BY counter ORDER BY bin_ts
-                           ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS hist,
-         SUM(count) OVER (PARTITION BY counter ORDER BY bin_ts
-                          ROWS UNBOUNDED PRECEDING) AS running_total
-  FROM ser WINDOW w AS (PARTITION BY counter ORDER BY bin_ts)
+    sql["wdt_eta"] = wdt_scored_sql(events_series(3600), _WDT_LIB_SQL)
+
+    # --- ROC holdout evaluation (trends.tex:489-516): held-out library
+    # members scored through the same WDT chain vs the remaining
+    # reference rows; θ sweep over per-series max η ---
+    roc_holdout_ser = """
+SELECT 'h' || CAST(vec_id AS VARCHAR) AS counter,
+       CAST((unnest(generate_series(1, 24)) - 1) * 3600 AS BIGINT) AS bin_ts,
+       unnest([CAST(x AS DOUBLE) for x in list_slice(embedding, 1, 24)]) AS count
+FROM embeddings WHERE vec_id < 64 AND vec_id % 4 < 2
+"""
+    roc_ref_lib = """
+SELECT vec_id AS series_id, vec_id % 2 = 0 AS is_trend,
+       [CAST(x AS DOUBLE) for x in list_slice(embedding, 1, 24)] AS ref_points
+FROM embeddings WHERE vec_id < 64 AND vec_id % 4 >= 2
+"""
+    sql["roc_points"] = f"""
+WITH labels AS (
+  SELECT 'h' || CAST(vec_id AS VARCHAR) AS counter, vec_id % 2 = 0 AS is_trend
+  FROM embeddings WHERE vec_id < 64 AND vec_id % 4 < 2
 ),
-lib AS (
-  SELECT vec_id AS series_id, vec_id % 2 = 0 AS is_trend,
-         [CAST(x AS DOUBLE) for x in list_slice(embedding, 1, 24)] AS ref_points
-  FROM embeddings WHERE vec_id < 64
+per_series AS (
+  SELECT s.counter, l.is_trend, MAX(s.eta) AS max_eta
+  FROM ({wdt_scored_sql(roc_holdout_ser, roc_ref_lib)}) s
+  JOIN labels l ON l.counter = s.counter
+  GROUP BY 1, 2
 ),
-warm AS (
-  -- full series-so-far sum (reference models.py:158), not trailing window
-  SELECT *, rn >= 12 AND running_total <> 0 AS warm FROM h
-),
-t1 AS (SELECT counter, bin_ts, count, [x + 1.0 for x in hist] AS a FROM warm WHERE warm),
-t2 AS (
-  SELECT counter, bin_ts, count,
-         [x / (CASE WHEN total = 0 THEN 0.00001 ELSE total END) for x in a] AS a
-  FROM (
-    SELECT *, CASE WHEN len(a) - 3 < GREATEST(1, len(a) + 1 - 15) THEN 0.0
-                   ELSE list_reduce(list_slice(a, GREATEST(1, len(a) + 1 - 15), len(a) - 3),
-                                    (x, y) -> x + y) / 12.0 END AS total
-    FROM t1
-  )
-),
-t3 AS (SELECT counter, bin_ts, count,
-              [LOG10(CASE WHEN x <= 0 THEN 0.00001 ELSE x END) for x in a] AS a FROM t2),
-t4 AS (
-  SELECT counter, bin_ts, count,
-         [list_reduce(list_slice(a, GREATEST(1, i - 2), i), (x, y) -> x + y)
-          / CAST(LEAST(i, 3) AS DOUBLE) for i in generate_series(1, len(a))] AS a
-  FROM t3
-),
-test AS (
-  SELECT counter, bin_ts, count, list_slice(a, len(a) - 5, len(a)) AS s FROM t4
-),
-pairs AS (
-  SELECT t.counter, t.bin_ts, t.count, l.is_trend,
-         EXP(-0.5 * list_aggregate(
-           [list_reduce([ABS(l.ref_points[i + j - 1] - t.s[j]) for j in generate_series(1, 6)],
-                        (x, y) -> x + y)
-            for i in generate_series(1, len(l.ref_points) - 5)], 'min')) AS w
-  FROM test t CROSS JOIN lib l
-),
-agg AS (
-  SELECT counter, bin_ts, count,
-         SUM(CASE WHEN is_trend THEN w ELSE 0.0 END) AS tw,
-         SUM(CASE WHEN NOT is_trend THEN w ELSE 0.0 END) AS nw
-  FROM pairs GROUP BY 1, 2, 3
+sweep AS (
+  SELECT p.*, t.theta FROM per_series p
+  CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 1.0, 1.5, 2.0]) AS theta) t
 )
-SELECT counter, bin_ts, count,
-       ROUND(tw / (CASE WHEN nw = 0 THEN 0.001 ELSE nw END), 4) AS eta FROM agg
-UNION ALL
-SELECT counter, bin_ts, count, 0.0 AS eta FROM warm WHERE NOT warm
+SELECT theta,
+       ROUND(SUM(CASE WHEN is_trend AND max_eta >= theta THEN 1 ELSE 0 END)
+             / CAST(SUM(CASE WHEN is_trend THEN 1 ELSE 0 END) AS DOUBLE), 6) AS tpr,
+       ROUND(SUM(CASE WHEN NOT is_trend AND max_eta >= theta THEN 1 ELSE 0 END)
+             / CAST(SUM(CASE WHEN NOT is_trend THEN 1 ELSE 0 END) AS DOUBLE), 6) AS fpr,
+       CAST(SUM(CASE WHEN is_trend THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN NOT is_trend THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+FROM sweep GROUP BY theta
 """
 
     # --- correlations (A4/A5), timestamp-aligned (reference bug fixed) ---

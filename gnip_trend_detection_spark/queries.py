@@ -239,6 +239,35 @@ def q_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_correlations(ser, round_digits=4)
 
 
+def q_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC holdout evaluation (trends.tex:489-516): split the labeled
+    library 50/50 (series_id % 4), feed the held-out members back
+    through WDT scoring against the remaining reference rows, sweep θ
+    over per-series max η → (theta, tpr, fpr, n_pos, n_neg)."""
+    from gnip_trend_detection_spark.operators import evaluate
+
+    lib = _wdt_library(spark, sf_dir)
+    ref = lib.filter(F.col("series_id") % 4 >= 2)
+    hold = lib.filter(F.col("series_id") % 4 < 2)
+    ser = evaluate.holdout_series(hold)
+    scored = weighted_data_templates(
+        ser.select("counter", "bin_start", "count"),
+        ref,
+        series_length=6,
+        reference_length=12,
+        lam=0.5,
+        distance="l1",
+        baseline_offset=3,
+        n_smooth=3,
+        sig_round=False,
+        impl="hof",
+    ).withColumn("eta", F.round("eta", 4))
+    labels = ser.select("counter", "is_trend").distinct()
+    return evaluate.roc_points(
+        scored.join(labels, "counter"), thetas=[0.25, 0.5, 0.75, 1.0, 1.5, 2.0]
+    )
+
+
 # ----------------------------------------------------- transforms (T1-T10)
 
 
@@ -582,6 +611,7 @@ ALL: dict[str, QueryFn] = {
     "mann_kendall_z": q_mann_kendall_z,
     "wdt_eta": q_wdt_eta,
     "correlation_pairs": q_correlation_pairs,
+    "roc_points": q_roc_points,
     "transform_add_one": q_transform_add_one,
     "transform_unit_norm": q_transform_unit_norm,
     "transform_log_scale": q_transform_log_scale,

@@ -1,0 +1,71 @@
+"""ROC holdout evaluation (operators.evaluate): pin the curve on a
+synthetic labeled score set and sanity-check the fixture-driven query.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_roc_points_pinned_curve(spark):
+    """Hand-computed curve: series max-etas
+    pos: 2.0, 1.0, 0.4   neg: 1.5, 0.3
+    theta=0.5 -> tpr 2/3, fpr 1/2; theta=1.2 -> tpr 1/3, fpr 1/2;
+    theta=1.8 -> tpr 1/3, fpr 0; theta=2.5 -> tpr 0, fpr 0."""
+    from gnip_trend_detection_spark.operators.evaluate import roc_points
+
+    rows = [
+        # (counter, is_trend, eta) — several points per series so the
+        # per-series max actually aggregates
+        ("p1", True, 0.1), ("p1", True, 2.0), ("p1", True, 1.2),
+        ("p2", True, 1.0), ("p2", True, 0.2),
+        ("p3", True, 0.4),
+        ("n1", False, 1.5), ("n1", False, 0.0),
+        ("n2", False, 0.3),
+    ]
+    scored = spark.createDataFrame(rows, "counter string, is_trend boolean, eta double")
+    out = roc_points(scored, thetas=[0.5, 1.2, 1.8, 2.5])
+    got = {r["theta"]: (r["tpr"], r["fpr"], r["n_pos"], r["n_neg"]) for r in out.collect()}
+    assert got[0.5] == (pytest.approx(2 / 3, abs=1e-6), 0.5, 3, 2)
+    assert got[1.2] == (pytest.approx(1 / 3, abs=1e-6), 0.5, 3, 2)
+    assert got[1.8] == (pytest.approx(1 / 3, abs=1e-6), 0.0, 3, 2)
+    assert got[2.5] == (0.0, 0.0, 3, 2)
+
+
+def test_roc_query_monotone(spark):
+    """The fixture-driven roc_points query must produce a weakly
+    decreasing TPR and FPR as theta grows (ROC sanity), with the
+    holdout split 16 pos / 16 neg."""
+    from gnip_trend_detection_spark import queries as q
+
+    out = q.ALL["roc_points"](spark, "/root/testdata/sf0.001").collect()
+    rows = sorted(out, key=lambda r: r["theta"])
+    assert all(r["n_pos"] == 16 and r["n_neg"] == 16 for r in rows)
+    tprs = [r["tpr"] for r in rows]
+    fprs = [r["fpr"] for r in rows]
+    assert tprs == sorted(tprs, reverse=True)
+    assert fprs == sorted(fprs, reverse=True)
+    assert all(0.0 <= v <= 1.0 for v in tprs + fprs)
+
+
+def test_holdout_series_shape(spark):
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.operators.evaluate import holdout_series
+
+    lib = spark.createDataFrame(
+        [(1, True, [1.0, 2.0, 3.0]), (2, False, [4.0])],
+        "series_id long, is_trend boolean, points array<double>",
+    )
+    out = holdout_series(lib, interval_sec=60).collect()
+    assert len(out) == 4
+    by_counter = {}
+    for r in out:
+        by_counter.setdefault(r["counter"], []).append(r)
+    assert set(by_counter) == {"h1", "h2"}
+    h1 = sorted(by_counter["h1"], key=lambda r: r["bin_start"])
+    assert [r["count"] for r in h1] == [1.0, 2.0, 3.0]
+    assert (h1[1]["bin_start"] - h1[0]["bin_start"]).total_seconds() == 60.0
