@@ -36,6 +36,11 @@ from gnip_trend_detection_spark.functions.poisson_math import poisson_interval
 # *attribute* name (models.py:287 uses getattr; methods like
 # .weekday would stringify to garbage there, so only attributes are
 # meaningful). Python datetime attribute -> Spark column builder.
+# 'dayofweek' is an ENGINE EXTENSION beyond the reference: the paper
+# describes cycle correction by day-of-week (§3.2), but the reference
+# code cannot express it (datetime.weekday is a method, not an
+# attribute, so getattr stringifies a bound method). Spark's
+# F.dayofweek (1=Sunday..7=Saturday) makes it a first-class key.
 _PERIOD_FUNCS: dict[str, callable] = {
     "year": F.year,
     "month": F.month,
@@ -43,6 +48,7 @@ _PERIOD_FUNCS: dict[str, callable] = {
     "hour": F.hour,
     "minute": F.minute,
     "second": F.second,
+    "dayofweek": F.dayofweek,
 }
 
 

@@ -358,6 +358,29 @@ eta0 AS (
 SELECT counter, bin_ts, count, {_sig2('eta_raw')} AS eta FROM eta0
 """
 
+    # --- M2 with the engine-extension day-of-week period key: the
+    # weekday partition is pure epoch arithmetic (day 0 = Thursday),
+    # bijective with Spark's F.dayofweek, so partitions coincide ---
+    sql["poisson_cycle_weekday"] = f"""
+WITH ser AS ({events_series(3600)}),
+m AS (
+  SELECT counter, bin_ts, count,
+         AVG(count) OVER (
+           PARTITION BY counter, CAST(FLOOR(bin_ts/86400.0) % 7 AS INT)
+           ORDER BY bin_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS nu
+  FROM ser
+),
+{_ci_cte()},
+eta0 AS (
+  SELECT m.counter, m.bin_ts, m.count,
+         CASE WHEN m.nu = 0 OR c.w IS NULL OR c.w = 0 THEN 0.0
+              ELSE ABS(m.count - m.nu) / c.w END AS eta_raw
+  FROM m LEFT JOIN ci c ON CAST(FLOOR(m.nu) AS BIGINT) = c.nu_i
+)
+SELECT counter, bin_ts, count, {_sig2('eta_raw')} AS eta FROM eta0
+"""
+
     # --- Linear-regression slope (M4) ---
     sql["linreg_slope"] = f"""
 WITH ser AS ({events_series(60)}),

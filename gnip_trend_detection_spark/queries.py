@@ -174,6 +174,15 @@ def q_poisson_cycle_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _poisson_output(out)
 
 
+def q_poisson_cycle_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 with the engine-extension day-of-week period key (the paper's
+    'weekly cycle' correction, §3.2, which the reference code cannot
+    express — see poisson._PERIOD_FUNCS)."""
+    ser = _series_ts(spark, sf_dir, 3600)
+    out = poisson_cycle(ser, period_list="dayofweek", alpha=0.99, ci_nu_floor=True)
+    return _poisson_output(out)
+
+
 def q_linreg_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ser = _series_ts(spark, sf_dir, 60)
     out = linear_regression_model(
@@ -607,6 +616,7 @@ ALL: dict[str, QueryFn] = {
     "detect_top1": q_detect_top1,
     "poisson_cycle_nu": q_poisson_cycle_nu,
     "poisson_cycle_eta": q_poisson_cycle_eta,
+    "poisson_cycle_weekday": q_poisson_cycle_weekday,
     "linreg_slope": q_linreg_slope,
     "mann_kendall_z": q_mann_kendall_z,
     "wdt_eta": q_wdt_eta,
