@@ -464,7 +464,7 @@ SELECT vec_id AS series_id, vec_id % 2 = 0 AS is_trend,
        [CAST(x AS DOUBLE) for x in list_slice(embedding, 1, 24)] AS ref_points
 FROM embeddings WHERE vec_id < 64 AND vec_id % 4 >= 2
 """
-    sql["roc_points"] = f"""
+    eval_sweep_ctes = f"""
 WITH labels AS (
   SELECT 'h' || CAST(vec_id AS VARCHAR) AS counter, vec_id % 2 = 0 AS is_trend
   FROM embeddings WHERE vec_id < 64 AND vec_id % 4 < 2
@@ -478,15 +478,42 @@ per_series AS (
 sweep AS (
   SELECT p.*, t.theta FROM per_series p
   CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 1.0, 1.5, 2.0]) AS theta) t
-)
+),
+conf AS (
+  SELECT theta,
+         SUM(CASE WHEN is_trend AND max_eta >= theta THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN NOT is_trend AND max_eta >= theta THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN is_trend THEN 1 ELSE 0 END) AS n_pos,
+         SUM(CASE WHEN NOT is_trend THEN 1 ELSE 0 END) AS n_neg
+  FROM sweep GROUP BY theta
+)"""
+    sql["roc_points"] = f"""{eval_sweep_ctes}
 SELECT theta,
-       ROUND(SUM(CASE WHEN is_trend AND max_eta >= theta THEN 1 ELSE 0 END)
-             / CAST(SUM(CASE WHEN is_trend THEN 1 ELSE 0 END) AS DOUBLE), 6) AS tpr,
-       ROUND(SUM(CASE WHEN NOT is_trend AND max_eta >= theta THEN 1 ELSE 0 END)
-             / CAST(SUM(CASE WHEN NOT is_trend THEN 1 ELSE 0 END) AS DOUBLE), 6) AS fpr,
-       CAST(SUM(CASE WHEN is_trend THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-       CAST(SUM(CASE WHEN NOT is_trend THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
-FROM sweep GROUP BY theta
+       ROUND(tp / CAST(n_pos AS DOUBLE), 6) AS tpr,
+       ROUND(fp / CAST(n_neg AS DOUBLE), 6) AS fpr,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg
+FROM conf
+"""
+    sql["precision_recall"] = f"""{eval_sweep_ctes}
+SELECT theta,
+       ROUND(CASE WHEN tp + fp = 0 THEN NULL
+                  ELSE tp / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
+       ROUND(tp / CAST(n_pos AS DOUBLE), 6) AS recall,
+       ROUND(CASE WHEN tp + fp = 0 THEN NULL
+                  WHEN tp / CAST(tp + fp AS DOUBLE) + tp / CAST(n_pos AS DOUBLE) = 0 THEN 0.0
+                  ELSE 2 * (tp / CAST(tp + fp AS DOUBLE)) * (tp / CAST(n_pos AS DOUBLE))
+                       / (tp / CAST(tp + fp AS DOUBLE) + tp / CAST(n_pos AS DOUBLE)) END, 6) AS f1,
+       CAST(tp + fp AS BIGINT) AS n_detected
+FROM conf
+"""
+    sql["detection_latency"] = _poisson_lc_ctes() + """,
+onsets AS (SELECT counter, MIN(bin_ts) AS onset_ts FROM etas GROUP BY 1),
+det AS (SELECT counter, MIN(bin_ts) AS first_detection_ts
+        FROM etas WHERE eta >= 1.0 GROUP BY 1)
+SELECT o.counter, o.onset_ts, d.first_detection_ts,
+       d.first_detection_ts - o.onset_ts AS latency_sec
+FROM onsets o LEFT JOIN det d ON d.counter = o.counter
 """
 
     # --- correlations (A4/A5), timestamp-aligned (reference bug fixed) ---

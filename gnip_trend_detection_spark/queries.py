@@ -248,11 +248,14 @@ def q_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_correlations(ser, round_digits=4)
 
 
-def q_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROC holdout evaluation (trends.tex:489-516): split the labeled
-    library 50/50 (series_id % 4), feed the held-out members back
-    through WDT scoring against the remaining reference rows, sweep θ
-    over per-series max η → (theta, tpr, fpr, n_pos, n_neg)."""
+_EVAL_THETAS = [0.25, 0.5, 0.75, 1.0, 1.5, 2.0]
+
+
+def _holdout_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared evaluation fixture (trends.tex:489-516): split the
+    labeled library 50/50 (series_id % 4), feed the held-out members
+    back through WDT scoring against the remaining reference rows;
+    → (counter, interval_start, count, eta, is_trend)."""
     from gnip_trend_detection_spark.operators import evaluate
 
     lib = _wdt_library(spark, sf_dir)
@@ -272,8 +275,43 @@ def q_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         impl="hof",
     ).withColumn("eta", F.round("eta", 4))
     labels = ser.select("counter", "is_trend").distinct()
-    return evaluate.roc_points(
-        scored.join(labels, "counter"), thetas=[0.25, 0.5, 0.75, 1.0, 1.5, 2.0]
+    return scored.join(labels, "counter")
+
+
+def q_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC holdout evaluation: sweep θ over per-series max η →
+    (theta, tpr, fpr, n_pos, n_neg)."""
+    from gnip_trend_detection_spark.operators import evaluate
+
+    return evaluate.roc_points(_holdout_scored(spark, sf_dir), thetas=_EVAL_THETAS)
+
+
+def q_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 per θ over the same holdout
+    (trends.tex:105-123 frames these as the practical metrics)."""
+    from gnip_trend_detection_spark.operators import evaluate
+
+    return evaluate.precision_recall(
+        _holdout_scored(spark, sf_dir), thetas=_EVAL_THETAS
+    )
+
+
+def q_detection_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-detection at θ=1.0 over the lc-scored event series:
+    latency from each counter's first bin to its first η ≥ θ bin
+    (null when never detected)."""
+    from gnip_trend_detection_spark.operators import evaluate
+
+    scored = poisson_lc(_rebinned_2min(spark, sf_dir), alpha=0.99)
+    onsets = scored.groupBy("counter").agg(
+        F.min("interval_start").alias("onset_ts")
+    )
+    out = evaluate.time_to_detection(scored, onsets, theta=1.0)
+    return out.select(
+        "counter",
+        _epoch_long(F.col("onset_ts")).alias("onset_ts"),
+        _epoch_long(F.col("first_detection_ts")).alias("first_detection_ts"),
+        "latency_sec",
     )
 
 
@@ -622,6 +660,8 @@ ALL: dict[str, QueryFn] = {
     "wdt_eta": q_wdt_eta,
     "correlation_pairs": q_correlation_pairs,
     "roc_points": q_roc_points,
+    "precision_recall": q_precision_recall,
+    "detection_latency": q_detection_latency,
     "transform_add_one": q_transform_add_one,
     "transform_unit_norm": q_transform_unit_norm,
     "transform_log_scale": q_transform_log_scale,

@@ -51,6 +51,54 @@ def test_roc_query_monotone(spark):
     assert all(0.0 <= v <= 1.0 for v in tprs + fprs)
 
 
+def test_precision_recall_pinned(spark):
+    """Same synthetic max-etas as the ROC pin:
+    pos: 2.0, 1.0, 0.4  neg: 1.5, 0.3
+    theta=0.5 -> tp=2 fp=1: P=2/3 R=2/3 F1=2/3
+    theta=1.8 -> tp=1 fp=0: P=1 R=1/3 F1=1/2
+    theta=2.5 -> no detections: P/F1 null, R=0."""
+    from gnip_trend_detection_spark.operators.evaluate import precision_recall
+
+    rows = [
+        ("p1", True, 2.0), ("p2", True, 1.0), ("p3", True, 0.4),
+        ("n1", False, 1.5), ("n2", False, 0.3),
+    ]
+    scored = spark.createDataFrame(rows, "counter string, is_trend boolean, eta double")
+    out = precision_recall(scored, thetas=[0.5, 1.8, 2.5])
+    got = {
+        r["theta"]: (r["precision"], r["recall"], r["f1"], r["n_detected"])
+        for r in out.collect()
+    }
+    assert got[0.5] == (
+        pytest.approx(2 / 3, abs=1e-6), pytest.approx(2 / 3, abs=1e-6),
+        pytest.approx(2 / 3, abs=1e-6), 3,
+    )
+    assert got[1.8] == (1.0, pytest.approx(1 / 3, abs=1e-6), 0.5, 1)
+    assert got[2.5] == (None, 0.0, None, 0)
+
+
+def test_time_to_detection(spark):
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.operators.evaluate import time_to_detection
+
+    rows = [
+        # c1 crosses theta at t=120; c2 never does
+        ("c1", 0.0, 0.2), ("c1", 60.0, 0.5), ("c1", 120.0, 1.3), ("c1", 180.0, 2.0),
+        ("c2", 0.0, 0.1), ("c2", 60.0, 0.4),
+    ]
+    scored = spark.createDataFrame(
+        rows, "counter string, e double, eta double"
+    ).select("counter", F.timestamp_seconds("e").alias("interval_start"), "eta")
+    onsets = spark.createDataFrame(
+        [("c1", 0.0), ("c2", 0.0)], "counter string, e double"
+    ).select("counter", F.timestamp_seconds("e").alias("onset_ts"))
+    out = {r["counter"]: r for r in time_to_detection(scored, onsets, 1.0).collect()}
+    assert out["c1"]["latency_sec"] == 120
+    assert out["c2"]["first_detection_ts"] is None
+    assert out["c2"]["latency_sec"] is None
+
+
 def test_holdout_series_shape(spark):
     from pyspark.sql import functions as F
 
