@@ -941,6 +941,53 @@ SELECT query_id, neighbor_id, cosine, rk FROM (
 ) WHERE rk <= 5
 """
 
+    # --- hyperplane-LSH bucketed top-k: the EXACT seeded planes used
+    # by extras.similarity.lsh_bucketed_topk are inlined as a VALUES
+    # table (repr round-trips doubles exactly), so bucket assignment
+    # and the within-bucket cosine re-rank reproduce bit-for-bit ---
+    import random as _random
+
+    _rnd = _random.Random(42)
+    _planes = [
+        [[_rnd.gauss(0.0, 1.0) for _ in range(64)] for _ in range(8)]
+        for _ in range(4)
+    ]
+    plane_rows = ", ".join(
+        f"({t}, {p}, [{', '.join(repr(x) for x in _planes[t][p])}])"
+        for t in range(4)
+        for p in range(8)
+    )
+    sql["ann_lsh_topk"] = f"""
+WITH e AS (SELECT vec_id, {vec} AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         SQRT(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm
+  FROM e
+),
+planes(t, p, parr) AS (VALUES {plane_rows}),
+bits AS (
+  SELECT n.vec_id, pl.t, pl.p,
+         CASE WHEN list_reduce([n.v[i] * pl.parr[i] for i in generate_series(1, 64)],
+                               (a, b) -> a + b) > 0 THEN '1' ELSE '0' END AS bit
+  FROM n CROSS JOIN planes pl
+),
+sigs AS (
+  SELECT vec_id, t, string_agg(bit, '' ORDER BY p) AS sig FROM bits GROUP BY 1, 2
+),
+bkt AS (SELECT n.vec_id, n.v, n.nrm, s.t, s.sig FROM n JOIN sigs s USING (vec_id)),
+q AS (SELECT * FROM bkt WHERE vec_id < 10),
+scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_reduce([q.v[i] * b.v[i] for i in generate_series(1, len(q.v))],
+                           (x, y) -> x + y) / (q.nrm * b.nrm), 6) AS cosine
+  FROM q JOIN bkt b ON b.t = q.t AND b.sig = q.sig AND b.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
     # --- classic OLAP showcase ---
     sql["tpch_q1_pricing"] = """
 SELECT l_returnflag, l_linestatus,

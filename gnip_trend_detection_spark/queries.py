@@ -551,6 +551,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=5)
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed top-k (the third ANN path): seeded
+    deterministic planes, so the DuckDB twin inlines the identical
+    plane literals and the bucket assignment reproduces exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_bucketed_topk(emb, queries, k=5)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scale path: deterministic centroids (vec_id % 50 == 0),
     nprobe=3 — exact-SQL-reproducible, so oracle-checked."""
@@ -687,6 +696,7 @@ ALL: dict[str, QueryFn] = {
     "cosine_neardup_blocked": q_cosine_neardup_blocked,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "sessionize": q_sessionize,
     "top_users_per_event": q_top_users_per_event,
