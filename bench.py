@@ -29,6 +29,8 @@ HEADLINE = [
     "dedup_exact",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "dedup_clusters",
+    "roc_points",
     "simhash64",
     "ngram_jaccard",
     "text_quality",

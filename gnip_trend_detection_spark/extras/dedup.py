@@ -12,7 +12,7 @@ by bucket size (hot buckets can be salted or capped).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gnip_trend_detection_spark.extras.text import tokens
@@ -132,36 +132,103 @@ def lsh_candidate_pairs(
         .distinct()
     )
 
-    shd = sigs.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    ).distinct().persist()
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = shd.alias("s1")
-    s2 = shd.alias("s2")
-    inter = (
-        cand.join(s1, F.col("s1.doc_id") == F.col("doc_a"))
-        .join(
-            s2,
-            (F.col("s2.doc_id") == F.col("doc_b"))
-            & (F.col("s2.shingle") == F.col("s1.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    # verified Jaccard over row-local DISTINCT shingle arrays (already
+    # materialized in sigs): array_intersect on the joined pair beats
+    # exploding every shingle row through a double join — same move as
+    # ngram_jaccard_pairs, candidates are bucket-bounded and few
+    sh = sigs.select(
+        "doc_id", F.array_distinct("shingles").alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
     return (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
+            F.size(F.array_intersect("sa.sh", "sb.sh")).alias("i"),
+            F.col("sa.sz").alias("na"),
+            F.col("sb.sz").alias("nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
             (
-                F.coalesce(F.col("i"), F.lit(0)).cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.coalesce(F.col("i"), F.lit(0)))
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i"))
             ).alias("jaccard"),
         )
+    )
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs → one canonical
+    doc per cluster: (doc_id, cluster_id, cluster_size, is_canonical),
+    cluster_id = min doc_id in the component. The step a training-data
+    pipeline runs after pair finding (LSH / ngram / cosine) to actually
+    DROP duplicates while keeping one representative.
+
+    Min-label propagation: each round every doc takes the min of its
+    own label and its neighbors' labels — one equi-join + hash
+    aggregate per round, converging in O(component diameter) rounds
+    (near-dup clusters are near-cliques, so 2-3 in practice; truncation
+    chains give short paths). Early-stops on a fixpoint check. Each
+    round ends in localCheckpoint: persist alone keeps the LOGICAL plan
+    growing (round N's plan embeds all prior joins; analysis time goes
+    exponential — a 9-node path timed out), while checkpointing makes
+    every round plan against a materialized relation. On a cluster
+    prefer reliable checkpoint() to survive executor loss. The join is
+    always keyed by doc id, so each round is one co-partitioned
+    shuffle. Only docs appearing in >= 1 pair are emitted (singletons
+    are their own cluster trivially).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy(F.col("src").alias("nid"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["nid"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        size_w.cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
 
 

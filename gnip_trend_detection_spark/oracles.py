@@ -718,6 +718,31 @@ LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 """
+    # connected components over LSH pairs (jaccard >= 0.5): transitive
+    # closure via recursive CTE, label = min reachable doc id — the
+    # SQL twin of dedup.duplicate_clusters' min-label propagation
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE
+p AS (SELECT doc_a, doc_b FROM ({sql["lsh_candidate_pairs"]}) WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM p
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src
+)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+"""
+
     sql["simhash64"] = f"""
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
 tok AS (

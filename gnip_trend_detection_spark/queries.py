@@ -484,15 +484,29 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_arr(sigs, ["doc_id"], "sig")
 
 
-def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     truncated = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.array_join(F.slice(text.tokens(F.col("text")), 1, 40), " ").alias("text"),
     )
-    corpus = docs.unionByName(truncated)
-    sigs = dedup.minhash_signatures(corpus)
+    return docs.unionByName(truncated)
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(_lsh_corpus(spark, sf_dir))
     return dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: LSH pairs at Jaccard >= 0.5 → connected
+    components → canonical representative per cluster (the row a
+    pipeline would KEEP)."""
+    sigs = dedup.minhash_signatures(_lsh_corpus(spark, sf_dir))
+    pairs = dedup.lsh_candidate_pairs(sigs, rows_per_band=2).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return dedup.duplicate_clusters(pairs)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,6 +699,7 @@ ALL: dict[str, QueryFn] = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "simhash64": q_simhash64,
     "ngram_jaccard": q_ngram_jaccard,
     "text_token_stats": q_text_token_stats,
