@@ -31,6 +31,24 @@ TRUNC_UNIT = {
     "weeks": "week",
 }
 
+# Monday 1969-12-29 00:00 UTC = epoch -259200: offset that makes
+# floor-division week truncation Monday-aligned, matching the
+# reference's datetime_truncate(…, 'week').
+_WEEK_MONDAY_OFFSET = 259200.0
+
+
+def trunc_epoch(epoch: Column, unit: str) -> Column:
+    """Truncate epoch-seconds (DOUBLE) to a unit boundary with pure
+    arithmetic — identical to wall-clock truncation of UTC timestamps,
+    but independent of spark.sql.session.timeZone (date_trunc is not:
+    a non-UTC session shifts hour/day/week anchors). Weeks are
+    Monday-aligned like the reference's datetime_truncate."""
+    w = float(UNIT_SECONDS[unit])
+    if unit == "weeks":
+        off = _WEEK_MONDAY_OFFSET
+        return F.floor((epoch + off) / w) * w - off
+    return F.floor(epoch / w) * w
+
 
 def epoch_seconds(col: Column) -> Column:
     """Epoch seconds as DOUBLE, keeping sub-second precision."""

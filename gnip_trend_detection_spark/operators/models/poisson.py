@@ -35,20 +35,34 @@ from gnip_trend_detection_spark.functions.poisson_math import poisson_interval
 # Period-key attributes supported by the reference: any datetime
 # *attribute* name (models.py:287 uses getattr; methods like
 # .weekday would stringify to garbage there, so only attributes are
-# meaningful). Python datetime attribute -> Spark column builder.
-# 'dayofweek' is an ENGINE EXTENSION beyond the reference: the paper
-# describes cycle correction by day-of-week (§3.2), but the reference
-# code cannot express it (datetime.weekday is a method, not an
-# attribute, so getattr stringifies a bound method). Spark's
-# F.dayofweek (1=Sunday..7=Saturday) makes it a first-class key.
+# meaningful). 'dayofweek' is an ENGINE EXTENSION beyond the
+# reference: the paper describes cycle correction by day-of-week
+# (§3.2), but the reference code cannot express it (datetime.weekday
+# is a method, not an attribute, so getattr stringifies a bound
+# method); values follow Spark's dayofweek (1=Sunday..7=Saturday).
+#
+# All keys are computed with session-timezone-FREE arithmetic — UTC
+# wall clock regardless of spark.sql.session.timeZone. F.hour/F.year
+# etc. on a TIMESTAMP render in the session zone, so a harness-owned
+# non-UTC session would silently shift every cycle boundary; epoch
+# modulus (sub-day keys) and DATE-typed extraction via
+# date_from_unix_date (calendar keys) are zone-independent.
+
+
+def _utc_date(ts):
+    return F.date_from_unix_date(
+        F.floor(ts.cast("double") / 86400).cast("int")
+    )
+
+
 _PERIOD_FUNCS: dict[str, callable] = {
-    "year": F.year,
-    "month": F.month,
-    "day": F.dayofmonth,
-    "hour": F.hour,
-    "minute": F.minute,
-    "second": F.second,
-    "dayofweek": F.dayofweek,
+    "year": lambda ts: F.year(_utc_date(ts)),
+    "month": lambda ts: F.month(_utc_date(ts)),
+    "day": lambda ts: F.dayofmonth(_utc_date(ts)),
+    "hour": lambda ts: F.pmod(F.floor(ts.cast("double") / 3600), F.lit(24)),
+    "minute": lambda ts: F.pmod(F.floor(ts.cast("double") / 60), F.lit(60)),
+    "second": lambda ts: F.pmod(F.floor(ts.cast("double")), F.lit(60)),
+    "dayofweek": lambda ts: F.dayofweek(_utc_date(ts)),
 }
 
 

@@ -116,6 +116,37 @@ def score_stream_poisson_lc(stream: DataFrame, alpha: float = 0.99) -> DataFrame
     )
 
 
+def _period_key(epoch_sec: int, period_list: list[str]) -> str:
+    """Batch-identical period key from epoch seconds (same names and
+    values as operators.models.poisson._PERIOD_FUNCS, incl. Spark's
+    1=Sunday dayofweek) — computed arithmetically, never through
+    timestamp attribute rendering, so batch and stream agree."""
+    import datetime as dt
+
+    d = dt.date(1970, 1, 1) + dt.timedelta(days=epoch_sec // 86400)
+    vals = {
+        "hour": (epoch_sec // 3600) % 24,
+        "minute": (epoch_sec // 60) % 60,
+        "second": epoch_sec % 60,
+    }
+    parts = []
+    for p in period_list:
+        if p in vals:
+            v = vals[p]
+        elif p == "year":
+            v = d.year
+        elif p == "month":
+            v = d.month
+        elif p == "day":
+            v = d.day
+        elif p == "dayofweek":
+            v = d.isoweekday() % 7 + 1
+        else:
+            raise ValueError(f"unsupported period attribute {p!r}")
+        parts.append(str(v))
+    return ":".join(parts)
+
+
 def score_stream_poisson_cycle(
     stream: DataFrame, period_list: list[str] | str = "hour", alpha: float = 0.99
 ) -> DataFrame:
@@ -141,7 +172,7 @@ def score_stream_poisson_cycle(
             acc = {}
         etas = []
         for ts, c in zip(pdf["interval_start"], pdf["count"].astype(float)):
-            pkey = ":".join(str(getattr(ts, p)) for p in period_list)
+            pkey = _period_key(int(ts.value // 1_000_000_000), period_list)
             num, denom = acc.get(pkey, (0.0, 0.0))
             num, denom = num + c, denom + 1.0
             acc[pkey] = [num, denom]
