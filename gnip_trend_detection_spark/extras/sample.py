@@ -1,0 +1,75 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-stable only for a fixed partitioning — any
+repartition, AQE re-plan, or input split change reshuffles which rows
+a partition-seeded RNG keeps, which is unacceptable for reproducible
+dataset builds. These operators derive the keep/drop decision from a
+HASH OF THE ROW KEY instead: the same row always gets the same draw,
+on any cluster layout, any executor count, any retry — and the plan
+is a pure filter (no shuffle, no state), so it composes with pushdown.
+
+u(key) = ('0x' || md5(key || ':' || seed)[:8]) / 2^32 ∈ [0, 1) —
+the same md5-prefix-to-int trick the MinHash families use, and
+directly expressible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_DENOM = float(2**32)
+
+
+def uniform_draw(key: Column, seed: int = 42) -> Column:
+    """Deterministic uniform [0,1) draw from a key column."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(f":{seed}")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h.cast("double") / F.lit(HASH_DENOM)
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — reproducible
+    across any partitioning. Plan: scan + filter, zero shuffle."""
+    return df.filter(uniform_draw(F.col(key_col), seed) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff
+    u(key) < fractions[stratum]. The workhorse of dataset mixing —
+    e.g. keep 100% of high-quality docs, 10% of mid, 1% of low — as a
+    single shuffle-free filter over the scan.
+
+    Strata absent from ``fractions`` fall back to ``default_fraction``
+    (0.0 = drop, the conservative default for unknown buckets).
+    """
+    frac = None
+    for stratum, f in sorted(fractions.items()):
+        cond = F.col(strata_col) == F.lit(stratum)
+        frac = (
+            F.when(cond, F.lit(float(f)))
+            if frac is None
+            else frac.when(cond, F.lit(float(f)))
+        )
+    frac = (
+        frac.otherwise(F.lit(float(default_fraction)))
+        if frac is not None
+        else F.lit(float(default_fraction))
+    )
+    return df.filter(uniform_draw(F.col(key_col), seed) < frac)

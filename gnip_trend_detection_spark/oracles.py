@@ -887,6 +887,49 @@ SELECT doc_id,
 FROM t WHERE length(lt) >= 8
 """
 
+    # benchmark decontamination: every 20th doc is the benchmark, the
+    # rest the corpus; 4-token-gram collision (extras/decontam.py)
+    sql["decontaminate"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 4 THEN list_distinct(
+           [array_to_string(list_slice(toks, i, i + 3), ' ')
+            for i in generate_series(1, len(toks) - 3)])
+         ELSE [] END AS grams
+  FROM t
+),
+bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0),
+hit AS (
+  SELECT ex.doc_id, COUNT(*) AS n_grams, COUNT(bg.gram) AS n_hit
+  FROM ex LEFT JOIN bg USING (gram) GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CASE WHEN COALESCE(h.n_grams, 0) > 0
+            THEN ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / h.n_grams, 6)
+            ELSE 0.0 END AS contamination_frac,
+       COALESCE(h.n_hit, 0) > 0 AS is_contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) c
+LEFT JOIN hit h USING (doc_id)
+"""
+
+    # deterministic stratified sampling: u(doc_id) = md5-prefix / 2^32
+    # (extras/sample.py uniform_draw), per-lang keep fractions
+    sql["stratified_sample"] = """
+WITH d AS (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, lang, source FROM d
+WHERE u < CASE lang WHEN 'de' THEN 0.5 WHEN 'en' THEN 1.0
+                    WHEN 'es' THEN 0.25 ELSE 0.1 END
+"""
+
     # --- similarity search over embeddings ---
     vec = "[CAST(x AS DOUBLE) for x in embedding]"
     sql["cosine_neardup_pairs"] = f"""

@@ -17,7 +17,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gnip_trend_detection_spark.extras import dedup, multimodal, similarity, text
+from gnip_trend_detection_spark.extras import (
+    decontam,
+    dedup,
+    multimodal,
+    sample,
+    similarity,
+    text,
+)
 from gnip_trend_detection_spark.operators import transforms
 from gnip_trend_detection_spark.operators.correlate import pair_correlations
 from gnip_trend_detection_spark.operators.detect import detect_threshold, detect_topk
@@ -544,6 +551,31 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_docs(spark, sf_dir))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 20th document plays the held-
+    out benchmark; the rest are the training corpus. 4-gram collision
+    (the published 8-13-gram recipes scaled to fixture-length docs —
+    measured 49/475 contaminated at sf0.01, a discriminating split)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return decontam.decontaminate(corpus, bench, n=4)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset mixing: per-language keep fractions via
+    key-hash draws — same rows survive under ANY partitioning (plain
+    df.sample is partition-seeded and not reproducible at scale)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    out = sample.stratified_sample(
+        docs,
+        "lang",
+        {"en": 1.0, "de": 0.5, "es": 0.25},
+        default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 # ------------------------------------------------------- similarity
 
 
@@ -707,6 +739,8 @@ ALL: dict[str, QueryFn] = {
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
     "cosine_neardup_pairs": q_cosine_neardup_pairs,
     "cosine_neardup_blocked": q_cosine_neardup_blocked,
     "ann_topk": q_ann_topk,

@@ -1,0 +1,86 @@
+"""Benchmark decontamination + deterministic sampling operators."""
+
+from pyspark.sql import functions as F
+
+from gnip_trend_detection_spark.extras.decontam import decontaminate
+from gnip_trend_detection_spark.extras.sample import (
+    hash_sample,
+    stratified_sample,
+    uniform_draw,
+)
+
+
+def _doc(doc_id, text):
+    return (doc_id, text)
+
+
+def test_decontaminate_flags_overlap_and_keeps_short_docs(spark):
+    bench = spark.createDataFrame(
+        [_doc(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the 4-gram "quick brown fox jumps"
+            _doc(1, "a quick brown fox jumps again and again today"),
+            # no shared 4-gram
+            _doc(2, "completely different words with zero overlap here"),
+            # too short for any 4-gram
+            _doc(3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=4).collect()}
+    assert rows[1]["is_contaminated"] and rows[1]["n_hit"] >= 1
+    assert not rows[2]["is_contaminated"] and rows[2]["n_hit"] == 0
+    # short docs stay in the output, uncontaminated with zero support
+    assert rows[3]["n_grams"] == 0 and rows[3]["contamination_frac"] == 0.0
+    # frac is n_hit / distinct grams
+    r1 = rows[1]
+    # frac is rounded to 6 decimals at the query boundary
+    assert abs(r1["contamination_frac"] - r1["n_hit"] / r1["n_grams"]) < 5e-7
+
+
+def test_decontaminate_counts_distinct_grams(spark):
+    bench = spark.createDataFrame(
+        [_doc(100, "x y z w")], "doc_id long, text string"
+    )
+    # the same 4-gram repeated: distinct-gram support must be 1
+    corpus = spark.createDataFrame(
+        [_doc(1, "x y z w x y z w")], "doc_id long, text string"
+    )
+    row = decontaminate(corpus, bench, n=4).collect()[0]
+    assert row["n_hit"] >= 1
+    assert row["contamination_frac"] <= 1.0
+
+
+def test_hash_sample_is_partitioning_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    kept1 = {r["doc_id"] for r in hash_sample(df, 0.3).collect()}
+    kept2 = {
+        r["doc_id"] for r in hash_sample(df.repartition(13, "doc_id"), 0.3).collect()
+    }
+    assert kept1 == kept2  # df.sample() cannot guarantee this
+    assert 0.2 < len(kept1) / 2000 < 0.4
+
+
+def test_uniform_draw_range_and_determinism(spark):
+    df = spark.range(0, 500).select(
+        uniform_draw(F.col("id")).alias("u"), uniform_draw(F.col("id")).alias("u2")
+    )
+    rows = df.collect()
+    assert all(0.0 <= r["u"] < 1.0 for r in rows)
+    assert all(r["u"] == r["u2"] for r in rows)
+
+
+def test_stratified_sample_respects_fractions(spark):
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr")) for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", {"en": 1.0, "de": 0.0}, default_fraction=0.5)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lang.get("en") == 300  # fraction 1.0 keeps every row
+    assert "de" not in by_lang  # fraction 0.0 drops every row
+    assert 100 < by_lang.get("fr", 0) < 200  # ~0.5 of 300
