@@ -36,6 +36,9 @@ HEADLINE = [
     "text_quality",
     "text_bpe_tokens",
     "doc_fingerprint",
+    "decontaminate",
+    "stratified_sample",
+    "curation_pipeline",
     "cosine_neardup_blocked",
     "ann_ivf_topk",
     "multimodal_decode",
@@ -58,6 +61,21 @@ def main() -> None:
     # timed region (the first write otherwise pays one-time init)
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
     spark.range(100).write.format("noop").mode("overwrite").save()
+
+    # warm each query's generated-code paths at the smoke scale factor:
+    # whole-stage codegen compiles per query SHAPE (cached by generated
+    # source), so a sf0.001 pass compiles exactly what the timed sf run
+    # executes. First-run timings otherwise mix JIT cost into the one
+    # query that happens to trigger each pipeline first — measured 4.5s
+    # cold vs 1.6s warm on rebin_contained at sf0.1. Timed runs then
+    # measure data-proportional work, which is what scales.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            q.ALL[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -202,10 +202,14 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("src").alias("nid"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
+        # carry the old label through the update join so the fixpoint
+        # check is a filter over the SAME checkpointed relation — one
+        # join + one agg per round, not a second full label join
+        stepped = (
             labels.join(nbr, labels["doc_id"] == nbr["nid"], "left")
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("old_cluster_id"),
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
@@ -214,13 +218,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            stepped.filter(F.col("cluster_id") != F.col("old_cluster_id"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = stepped.select("doc_id", "cluster_id")
         if changed == 0:
             break
     size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
