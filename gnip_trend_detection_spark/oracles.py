@@ -916,6 +916,80 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) c
 LEFT JOIN hit h USING (doc_id)
 """
 
+    # the full curation flow (q_curation_pipeline): canonical-per-hash
+    # → quality gate → lang ID → decontamination → stratified sample,
+    # all over one shared token CTE
+    sql["curation_pipeline"] = f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+canon AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS c
+    FROM base
+  ) WHERE doc_id = c
+),
+t AS (SELECT doc_id, {toks} AS toks FROM canon),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+         list_reduce([CAST(length(x) AS DOUBLE) for x in toks], (a, b) -> a + b) AS chars,
+         CAST(len(list_filter(toks, x -> x IN ({stop_en}))) AS DOUBLE) AS stops
+  FROM t WHERE len(toks) > 0
+),
+q AS (
+  SELECT doc_id,
+         ROUND(LEAST(n / 200.0, 1.0) * 0.25 + (nd / n) * 0.25
+               + LEAST((chars / n) / 8.0, 1.0) * 0.25 + (stops / n) * 0.25, 6) AS quality
+  FROM m
+),
+words(lang, word) AS (VALUES {langwords}),
+tok AS (SELECT doc_id, unnest(toks) AS tokval FROM t),
+hits AS (
+  SELECT tok.doc_id, w.lang, COUNT(*) AS n_hits
+  FROM tok JOIN words w ON tok.tokval = w.word GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lang) AS rk
+  FROM hits
+),
+lng AS (
+  SELECT c.doc_id, COALESCE(b.lang, 'und') AS predicted_lang
+  FROM canon c LEFT JOIN best b ON b.doc_id = c.doc_id AND b.rk = 1
+),
+bt AS (SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id % 20 = 0),
+bg AS (
+  SELECT DISTINCT unnest(
+    [array_to_string(list_slice(toks, i, i + 3), ' ')
+     for i in generate_series(1, len(toks) - 3)]) AS gram
+  FROM bt WHERE len(toks) >= 4
+),
+ex AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(list_slice(toks, i, i + 3), ' ')
+     for i in generate_series(1, len(toks) - 3)])) AS gram
+  FROM t WHERE len(toks) >= 4
+),
+hitc AS (
+  SELECT ex.doc_id, COUNT(bg.gram) AS n_hit
+  FROM ex LEFT JOIN bg USING (gram) GROUP BY 1
+),
+clean AS (
+  SELECT c.doc_id FROM canon c LEFT JOIN hitc h USING (doc_id)
+  WHERE COALESCE(h.n_hit, 0) = 0
+)
+SELECT q.doc_id, l.predicted_lang, q.quality
+FROM q
+JOIN lng l USING (doc_id)
+JOIN clean USING (doc_id)
+WHERE q.quality >= 0.34
+  AND CAST(('0x' || substr(md5(CAST(q.doc_id AS VARCHAR) || ':42'), 1, 8))
+           AS BIGINT) / 4294967296.0
+      < CASE l.predicted_lang WHEN 'en' THEN 1.0 WHEN 'es' THEN 0.5
+                              WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+                              ELSE 0.2 END
+"""
+
     # deterministic stratified sampling: u(doc_id) = md5-prefix / 2^32
     # (extras/sample.py uniform_draw), per-lang keep fractions
     sql["stratified_sample"] = """

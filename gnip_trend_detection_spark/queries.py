@@ -576,6 +576,48 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation flow as ONE dataflow — what a
+    practitioner actually runs before pretraining: exact-dedup to a
+    canonical doc per content hash, quality gate, language ID,
+    benchmark decontamination, then deterministic per-language
+    stratified sampling. Every stage is a narrow doc_id-keyed join
+    over one shared scan; the only wide relations are the per-stage
+    aggregates themselves.
+
+    Kept row = canonical AND quality >= 0.34 (on the 6-decimal-rounded
+    score, so the threshold is parity-stable) AND zero benchmark
+    4-gram hits AND survives the per-predicted-lang hash draw."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    canon = (
+        corpus.withColumn(
+            "__canon",
+            F.min("doc_id").over(
+                Window.partitionBy(F.md5(F.col("text").cast("binary")))
+            ),
+        )
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .drop("__canon")
+    )
+    quality = text.quality_score(canon).filter(F.col("quality") >= 0.34)
+    langs = text.lang_id(spark, canon).select("doc_id", "predicted_lang")
+    clean = (
+        decontam.decontaminate(canon, bench, n=4)
+        .filter(F.col("n_hit") == 0)
+        .select("doc_id")
+    )
+    kept = quality.join(langs, "doc_id").join(clean, "doc_id")
+    out = sample.stratified_sample(
+        kept,
+        "predicted_lang",
+        {"en": 1.0, "es": 0.5, "de": 0.5, "fr": 0.5},
+        default_fraction=0.2,
+    )
+    return out.select("doc_id", "predicted_lang", "quality")
+
+
 # ------------------------------------------------------- similarity
 
 
@@ -741,6 +783,7 @@ ALL: dict[str, QueryFn] = {
     "doc_fingerprint": q_doc_fingerprint,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
+    "curation_pipeline": q_curation_pipeline,
     "cosine_neardup_pairs": q_cosine_neardup_pairs,
     "cosine_neardup_blocked": q_cosine_neardup_blocked,
     "ann_topk": q_ann_topk,
