@@ -1,3 +1,4 @@
+from gnip_trend_detection_spark.streaming.decontam import decontaminate_stream
 from gnip_trend_detection_spark.streaming.rebin import streaming_rebin
 from gnip_trend_detection_spark.streaming.models import (
     score_stream_poisson_lc,
@@ -8,6 +9,7 @@ from gnip_trend_detection_spark.streaming.models import (
 )
 
 __all__ = [
+    "decontaminate_stream",
     "streaming_rebin",
     "score_stream_poisson_lc",
     "score_stream_poisson_cycle",

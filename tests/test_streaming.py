@@ -204,3 +204,49 @@ def test_streaming_wdt_matches_batch(spark, replay_dir):
         if not math.isclose(got[k], v, rel_tol=1e-6, abs_tol=1e-9)
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_streaming_decontaminate_matches_batch(spark):
+    """The stateless broadcast-set stream scorer must emit exactly the
+    batch decontaminate rows, regardless of micro-batch boundaries."""
+    import tempfile
+
+    from gnip_trend_detection_spark import streaming as stm
+    from gnip_trend_detection_spark.extras.decontam import decontaminate
+    from gnip_trend_detection_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0).cache()
+
+    flat = tempfile.mkdtemp(prefix="stream_docs_")
+    t0 = __import__("time").time() - 600
+    for i in range(3):
+        sl = corpus.filter(F.col("doc_id") % 3 == i).coalesce(1)
+        d = f"{flat}/b{i}"
+        sl.write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.move(f"{d}/{part}", dst)
+        shutil.rmtree(d)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    stream_in = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    sdf = stm.decontaminate_stream(stream_in, bench, n=4)
+    _run_to_completion(sdf, "append", "decontam_stream")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], r["contamination_frac"], r["is_contaminated"])
+        for r in spark.sql("select * from decontam_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], r["contamination_frac"], r["is_contaminated"])
+        for r in decontaminate(corpus, bench, n=4).collect()
+    }
+    corpus.unpersist()
+    shutil.rmtree(flat, ignore_errors=True)
+    assert got == want
