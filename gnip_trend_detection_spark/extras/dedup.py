@@ -83,11 +83,18 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, rows_per_band: int = 2
+    sigs: DataFrame, rows_per_band: int = 2, max_band: int | None = None
 ) -> DataFrame:
     """Banded LSH: equi-join on (band, concatenated band rows) —
     candidates are pairs colliding in >= 1 band, with verified Jaccard
     over distinct shingles attached (exact i/(na+nb-i)).
+
+    ``max_band`` caps band-bucket size: a boilerplate band value shared
+    by B docs contributes B(B-1)/2 within-bucket pairs, so one hot
+    band can go quadratic at corpus scale — the same skew failure (and
+    the same window-count cap fix) as ngram_jaccard_pairs' fingerprint
+    buckets. Default None keeps exact reference semantics; set it on
+    real corpora where boilerplate exists.
 
     The signature/shingle relation feeds four plan branches (bands,
     both sides of the intersection join, sizes); persisting it stops
@@ -118,6 +125,12 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("doc_id", F.col("band.b").alias("b"), F.col("band.band_val").alias("band_val"))
+
+    if max_band is not None:
+        bn = F.count(F.lit(1)).over(Window.partitionBy("b", "band_val"))
+        bands = bands.withColumn("__bn", bn).filter(F.col("__bn") <= max_band).drop(
+            "__bn"
+        )
 
     a = bands.alias("a")
     bb = bands.alias("bb")
@@ -182,6 +195,9 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     shuffle. Only docs appearing in >= 1 pair are emitted (singletons
     are their own cluster trivially).
     """
+    # both edge directions reference `pairs` — persist it or the whole
+    # upstream pair-finding sweep (LSH/ngram/cosine) evaluates twice
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -190,6 +206,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    pairs.unpersist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

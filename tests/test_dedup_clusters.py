@@ -42,3 +42,28 @@ def test_duplicate_clusters_long_path(spark):
     assert len(rows) == 9
     assert all(r["cluster_id"] == 1 for r in rows)
     assert all(r["cluster_size"] == 9 for r in rows)
+
+
+def test_lsh_max_band_caps_hot_buckets(spark):
+    """A band value shared by B docs yields B(B-1)/2 pairs; max_band
+    drops such hot buckets while small buckets survive."""
+    from gnip_trend_detection_spark.extras.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    boiler = [(i, "same boilerplate text repeated across many documents here") for i in range(10)]
+    pair = [
+        (100, "a genuinely unique document about spark shuffles and joins"),
+        (101, "a genuinely unique document about spark shuffles and sorts"),
+    ]
+    docs = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+
+    uncapped = lsh_candidate_pairs(sigs, rows_per_band=2)
+    assert uncapped.count() >= 45  # the hot clique alone is 10*9/2
+
+    capped = lsh_candidate_pairs(minhash_signatures(docs), rows_per_band=2, max_band=5)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (100, 101) in got          # small bucket survives
+    assert all(a >= 100 for a, _ in got)  # boilerplate clique is gone
