@@ -39,6 +39,7 @@ HEADLINE = [
     "decontaminate",
     "stratified_sample",
     "curation_pipeline",
+    "pack_shards",
     "cosine_neardup_blocked",
     "ann_ivf_topk",
     "multimodal_decode",

@@ -916,6 +916,30 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) c
 LEFT JOIN hit h USING (doc_id)
 """
 
+    # lane-parallel token-budget shard packing (extras/shards.py):
+    # lane = md5-prefix of key mod n_lanes, shard = floor(per-lane
+    # running sum BEFORE the row / budget), rows ordered by doc_id
+    sql["pack_shards"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+s AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM t WHERE len(toks) > 0
+),
+l AS (
+  SELECT doc_id, n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lane42'), 1, 8))::BIGINT
+           % 4 AS lane
+  FROM s
+)
+SELECT doc_id, lane,
+       CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lane ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+         / 2000) AS BIGINT) AS shard_idx,
+       n_tokens
+FROM l
+"""
+
     # the full curation flow (q_curation_pipeline): canonical-per-hash
     # → quality gate → lang ID → decontamination → stratified sample,
     # all over one shared token CTE

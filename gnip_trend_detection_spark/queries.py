@@ -22,6 +22,7 @@ from gnip_trend_detection_spark.extras import (
     dedup,
     multimodal,
     sample,
+    shards,
     similarity,
     text,
 )
@@ -576,6 +577,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: whitespace token counts → 4
+    hash-assigned lanes → per-lane running sum → shard_idx. The
+    write-side step of a pretraining data build, lane-parallel so no
+    global cumsum serializes the corpus."""
+    stats = text.token_stats(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+    packed = shards.pack_shards(stats, "n_tokens", token_budget=2000, n_lanes=4)
+    return packed.select("doc_id", "lane", "shard_idx", "n_tokens")
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation flow as ONE dataflow — what a
     practitioner actually runs before pretraining: exact-dedup to a
@@ -784,6 +795,7 @@ ALL: dict[str, QueryFn] = {
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "curation_pipeline": q_curation_pipeline,
+    "pack_shards": q_pack_shards,
     "cosine_neardup_pairs": q_cosine_neardup_pairs,
     "cosine_neardup_blocked": q_cosine_neardup_blocked,
     "ann_topk": q_ann_topk,
