@@ -195,9 +195,10 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     shuffle. Only docs appearing in >= 1 pair are emitted (singletons
     are their own cluster trivially).
     """
-    # both edge directions reference `pairs` — persist it or the whole
-    # upstream pair-finding sweep (LSH/ngram/cosine) evaluates twice
-    pairs = pairs.persist()
+    # both edge directions reference `pairs`, but the union runs as ONE
+    # job and the pair sweep ends in an exchange, so Catalyst's
+    # ReuseExchange shares it across the branches — persisting here was
+    # measured ~0.5s SLOWER at sf0.1 (materialization cost, no reuse win)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -206,7 +207,6 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    pairs.unpersist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
