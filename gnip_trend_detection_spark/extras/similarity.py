@@ -10,7 +10,7 @@ number of tables/bits. Dot products use left-fold `aggregate` over
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -161,6 +161,84 @@ def brute_force_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 50,
+    n_iter: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) over the embedding column, fitted
+    with DataFrame ops — the production centroid fit for ivf_topk's
+    ``centroids=`` plug-in point.
+
+    Init picks n_centroids vectors deterministically (ordered by
+    md5(vec_id:seed) — a seeded shuffle, reproducible anywhere).
+    Each round: assign every vector to its max-cosine centroid
+    (broadcast join — one linear pass), recompute centroids as the
+    per-dimension mean of their members re-normalized to the unit
+    sphere, and collect the new centroid set to the driver for the
+    next round's broadcast. The collected relation is n_centroids
+    rows — bounded by construction, the same argument as the WDT
+    library broadcast; the corpus itself never leaves the executors.
+    Cells that lose all members are dropped (standard Lloyd's
+    degeneracy; callers see <= n_centroids rows).
+
+    Returns (centroid_id long, cv array<double>) unit vectors.
+    """
+    n = _normed(embeddings).withColumn(
+        "u", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    )
+    init = (
+        n.select(
+            "vec_id",
+            "u",
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{seed}"))).alias(
+                "__r"
+            ),
+        )
+        .orderBy("__r")
+        .limit(n_centroids)
+    )
+    cents = [
+        (i, list(r["u"])) for i, r in enumerate(init.collect())
+    ]
+    spark = embeddings.sparkSession
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            cents, "centroid_id long, cv array<double>"
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+        assigned = (
+            n.crossJoin(F.broadcast(cdf))
+            .withColumn("ccos", dot(F.col("u"), F.col("cv")))
+            .withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") == 1)
+            .select("centroid_id", F.posexplode("u").alias("pos", "val"))
+        )
+        means = (
+            assigned.groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("mv"),
+            )
+            .withColumn("mnrm", norm(F.col("mv")))
+            .filter(F.col("mnrm") > 0)
+            .select(
+                "centroid_id",
+                F.transform(F.col("mv"), lambda x: x / F.col("mnrm")).alias("cv"),
+            )
+        )
+        cents = [(r["centroid_id"], list(r["cv"])) for r in means.collect()]
+    return spark.createDataFrame(cents, "centroid_id long, cv array<double>")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -168,12 +246,14 @@ def ivf_topk(
     centroid_mod: int = 50,
     nprobe: int = 3,
     round_digits: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index:
 
-    1. centroids — here a deterministic subset (vec_id % centroid_mod
-       == 0) so the oracle can reproduce them; production would plug
-       k-means centroids from a sampled fit into the same plan;
+    1. centroids — by default a deterministic subset (vec_id %
+       centroid_mod == 0) so the oracle can reproduce them; pass
+       ``centroids=`` (e.g. from ``kmeans_centroids``) to plug a
+       fitted (centroid_id, cv) set into the same plan;
     2. every vector is assigned to its nearest centroid (broadcast
        join against the small centroid set — ONE pass, no n^2);
     3. each query probes its ``nprobe`` nearest centroids and scores
@@ -185,14 +265,19 @@ def ivf_topk(
     of data locality, and probe fan-out reads nprobe/n_cells of the
     data instead of all of it.
     """
-    from pyspark.sql import Window
-
     n = _normed(embeddings)
-    cents = _normed(embeddings.filter(F.col("vec_id") % centroid_mod == 0)).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
-    )
+    if centroids is None:
+        cents = _normed(
+            embeddings.filter(F.col("vec_id") % centroid_mod == 0)
+        ).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    else:
+        cents = centroids.select(
+            "centroid_id", "cv", norm(F.col("cv")).alias("cnrm")
+        )
 
     def nearest(df: DataFrame, id_col: str, keep: int) -> DataFrame:
         cos = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))

@@ -52,3 +52,45 @@ def test_lsh_recall_vs_brute_force(spark, embeddings):
     recall = len(truth & approx) / len(truth)
     # measured: 0.86 at (4,16), 0.99 at (3,16) on the sf0.001 fixture
     assert recall >= 0.7, f"LSH recall too low: {recall:.2f}"
+
+
+def test_kmeans_ivf_recall_beats_mod_centroids(spark, embeddings):
+    """The k-means plug-in point: fitted spherical centroids must give
+    IVF at least the recall of the deterministic mod-subset centroids
+    (they adapt to the data's cluster structure)."""
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.extras import similarity
+
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(embeddings, queries, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(truth & got) / len(truth)
+
+    r_mod = recall(similarity.ivf_topk(embeddings, queries, k=5, nprobe=3))
+    cents = similarity.kmeans_centroids(embeddings, n_centroids=10, n_iter=4)
+    assert cents.count() <= 10
+    r_km = recall(
+        similarity.ivf_topk(embeddings, queries, k=5, nprobe=3, centroids=cents)
+    )
+    assert r_km >= r_mod - 0.05, (r_km, r_mod)
+    assert r_km >= 0.5, r_km
+
+
+def test_kmeans_centroids_are_unit_and_deterministic(spark, embeddings):
+    from gnip_trend_detection_spark.extras import similarity
+
+    c1 = similarity.kmeans_centroids(embeddings, n_centroids=8, n_iter=2)
+    rows = c1.collect()
+    for r in rows:
+        s = sum(x * x for x in r["cv"])
+        assert abs(s - 1.0) < 1e-9
+    c2 = similarity.kmeans_centroids(embeddings, n_centroids=8, n_iter=2)
+    a = {r["centroid_id"]: tuple(r["cv"]) for r in rows}
+    b = {r["centroid_id"]: tuple(r["cv"]) for r in c2.collect()}
+    assert a == b
