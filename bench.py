@@ -25,6 +25,7 @@ HEADLINE = [
     "linreg_slope",
     "mann_kendall_z",
     "correlation_pairs",
+    "correlation_pairs_dense",
     "transform_chain_test",
     "dedup_exact",
     "minhash_signatures",

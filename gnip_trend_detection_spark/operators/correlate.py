@@ -6,15 +6,18 @@ length check (README.md:85: "BUGS BE HERE"). Deliberate fix: series are
 aligned by timestamp with an inner join, so only co-observed bins
 correlate. Pairs are deduplicated with counter_a < counter_b.
 
-Scale: the self-join shuffles on the timestamp key; with C counters
-per bin the join output is O(bins * C^2) — fine for the reference's
-use (C is small); for large C, pivot to a vector per bin and use a
-matrix kernel instead (see extras.similarity).
+Scale: `pair_correlations` self-joins on the timestamp key; with C
+counters per bin the join output is O(bins * C^2) — fine for the
+reference's use (C is small). `pair_correlations_dense` is the
+large-C twin: zero-fill onto the common grid, standardize, and reuse
+the block-matrix BLAS kernel (Pearson r of dense series == cosine of
+the centered vectors), so the C^2 work runs as n_blocks^2/2 matmuls
+with no bins-keyed shuffle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -40,5 +43,80 @@ def pair_correlations(
     return (
         paired.groupBy("counter_a", "counter_b")
         .agg(r.alias("r"), F.count(F.lit(1)).alias("n_bins"))
+        .orderBy("r", "counter_a", "counter_b")
+    )
+
+
+def pair_correlations_dense(
+    rebinned: DataFrame,
+    ts_col: str = "bin_start",
+    round_digits: int = 4,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Large-C scale twin: Pearson correlation over the ZERO-FILLED
+    common bin grid, computed as block-matrix cosine of the centered
+    per-counter vectors (r(a,b) == cos(a - mean(a), b - mean(b)) for
+    equal-length dense series).
+
+    Semantics differ from :func:`pair_correlations` by design: missing
+    bins count as 0 over the union grid (dense-series view) instead of
+    restricting each pair to co-observed bins. Constant series are
+    dropped (r undefined). Plan: one grid fill (left join), one
+    per-counter collect into a vector, then extras.similarity's
+    blocked BLAS kernel — no bins-keyed C^2 self-join anywhere;
+    the counter-rank window runs over the counters relation only
+    (C rows, not the corpus).
+    """
+    from gnip_trend_detection_spark.extras.similarity import cosine_pairs_blocked
+
+    base = rebinned.select(
+        "counter",
+        F.col(ts_col).alias("ts"),
+        F.col("count").cast("double").alias("count"),
+    )
+    grid = base.select("ts").distinct()
+    counters = base.select("counter").distinct()
+    dense = (
+        counters.crossJoin(grid)
+        .join(base, ["counter", "ts"], "left")
+        .select("counter", "ts", F.coalesce("count", F.lit(0.0)).alias("count"))
+    )
+    vec = (
+        dense.groupBy("counter")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "count"))).alias("tc"))
+        .select("counter", F.transform("tc", lambda s: s["count"]).alias("x"))
+    )
+    nb = F.size("x")
+    mu = F.aggregate("x", F.lit(0.0), lambda a, b: a + b) / nb.cast("double")
+    vec = vec.select(
+        "counter",
+        nb.alias("n_bins"),
+        F.transform("x", lambda v: v - mu).alias("z"),
+    ).filter(F.sqrt(F.aggregate("z", F.lit(0.0), lambda a, v: a + v * v)) > 0)
+    ids = vec.withColumn(
+        "vec_id",
+        F.row_number().over(Window.orderBy("counter")).cast("long") - 1,
+    )
+    emb = ids.select("vec_id", F.col("z").alias("embedding"))
+    pairs = cosine_pairs_blocked(
+        emb, threshold=-1.01, n_blocks=n_blocks, round_digits=round_digits
+    )
+    na = ids.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("counter").alias("counter_a"),
+        "n_bins",
+    )
+    nbm = ids.select(
+        F.col("vec_id").alias("vec_b"), F.col("counter").alias("counter_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nbm), "vec_b")
+        .select(
+            "counter_a",
+            "counter_b",
+            F.col("cosine").alias("r"),
+            F.col("n_bins").cast("long").alias("n_bins"),
+        )
         .orderBy("r", "counter_a", "counter_b")
     )

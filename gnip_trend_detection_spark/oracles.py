@@ -526,6 +526,28 @@ FROM ser a JOIN ser b ON a.bin_ts = b.bin_ts AND a.counter < b.counter
 GROUP BY 1, 2
 """
 
+    # dense twin: zero-filled common grid, constant series dropped —
+    # same r the blocked BLAS kernel computes as centered cosine
+    sql["correlation_pairs_dense"] = f"""
+WITH ser AS ({events_series(3600)}),
+grid AS (SELECT DISTINCT bin_ts FROM ser),
+ctr AS (SELECT DISTINCT counter FROM ser),
+dense AS (
+  SELECT c.counter, g.bin_ts, COALESCE(s.count, 0.0) AS count
+  FROM ctr c CROSS JOIN grid g
+  LEFT JOIN ser s ON s.counter = c.counter AND s.bin_ts = g.bin_ts
+),
+st AS (SELECT counter, STDDEV_POP(count) AS sd FROM dense GROUP BY 1)
+SELECT a.counter AS counter_a, b.counter AS counter_b,
+       ROUND(CORR(a.count, b.count), 4) AS r,
+       COUNT(*) AS n_bins
+FROM dense a
+JOIN dense b ON a.bin_ts = b.bin_ts AND a.counter < b.counter
+JOIN st sa ON sa.counter = a.counter AND sa.sd > 0
+JOIN st sb ON sb.counter = b.counter AND sb.sd > 0
+GROUP BY 1, 2
+"""
+
     # --- series transformations (T1-T10) over embeddings ---
     arr = "[CAST(x AS DOUBLE) for x in embedding]"
     sql["transform_add_one"] = (

@@ -27,7 +27,10 @@ from gnip_trend_detection_spark.extras import (
     text,
 )
 from gnip_trend_detection_spark.operators import transforms
-from gnip_trend_detection_spark.operators.correlate import pair_correlations
+from gnip_trend_detection_spark.operators.correlate import (
+    pair_correlations,
+    pair_correlations_dense,
+)
 from gnip_trend_detection_spark.operators.detect import detect_threshold, detect_topk
 from gnip_trend_detection_spark.operators.models import (
     linear_regression_model,
@@ -254,6 +257,13 @@ def q_wdt_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ser = _series_ts(spark, sf_dir, 3600)
     return pair_correlations(ser, round_digits=4)
+
+
+def q_correlation_pairs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 scale twin: dense zero-filled grid, r via the blocked
+    BLAS kernel — no bins-keyed C^2 self-join."""
+    ser = _series_ts(spark, sf_dir, 3600)
+    return pair_correlations_dense(ser, round_digits=4)
 
 
 _EVAL_THETAS = [0.25, 0.5, 0.75, 1.0, 1.5, 2.0]
@@ -767,6 +777,7 @@ ALL: dict[str, QueryFn] = {
     "mann_kendall_z": q_mann_kendall_z,
     "wdt_eta": q_wdt_eta,
     "correlation_pairs": q_correlation_pairs,
+    "correlation_pairs_dense": q_correlation_pairs_dense,
     "roc_points": q_roc_points,
     "precision_recall": q_precision_recall,
     "detection_latency": q_detection_latency,
