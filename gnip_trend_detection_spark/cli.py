@@ -39,6 +39,26 @@ def _build_parser() -> argparse.ArgumentParser:
     d.add_argument("-i", "--input", required=True, help="analyzed CSV file/dir")
     d.add_argument("-t", "--theta", type=float, required=True)
     d.add_argument("-o", "--output", help="output dir (default: print to stdout)")
+
+    c = sub.add_parser(
+        "curate", help="training-data curation over a JSONL/parquet corpus"
+    )
+    c.add_argument("-i", "--input", required=True, help="corpus file/dir")
+    c.add_argument(
+        "-b", "--benchmark", required=True, help="benchmark corpus file/dir"
+    )
+    c.add_argument("-o", "--output", required=True, help="output parquet dir")
+    c.add_argument(
+        "--format", choices=("jsonl", "parquet"), default="jsonl", dest="fmt"
+    )
+    c.add_argument("--quality-min", type=float, default=0.34)
+    c.add_argument("--ngram", type=int, default=4)
+    c.add_argument(
+        "--keep",
+        default="en=1.0,es=0.5,de=0.5,fr=0.5",
+        help="per-language keep fractions, lang=frac[,lang=frac...]",
+    )
+    c.add_argument("--default-frac", type=float, default=0.2)
     return p
 
 
@@ -87,6 +107,30 @@ def main(argv: list[str] | None = None) -> int:
                     f"{r['counter']},{r['interval_start'].isoformat()},"
                     f"{r['count']},{r['eta']}"
                 )
+        return 0
+
+    if args.cmd == "curate":
+        from gnip_trend_detection_spark.extras.curation import curate
+        from gnip_trend_detection_spark.sources.jsonl import load_documents_jsonl
+
+        def read_docs(path):
+            if args.fmt == "jsonl":
+                return load_documents_jsonl(spark, path)
+            return spark.read.parquet(path)
+
+        fractions = {
+            k: float(v)
+            for k, v in (kv.split("=") for kv in args.keep.split(",") if kv)
+        }
+        kept = curate(
+            read_docs(args.input),
+            read_docs(args.benchmark),
+            quality_min=args.quality_min,
+            ngram_n=args.ngram,
+            fractions=fractions,
+            default_fraction=args.default_frac,
+        )
+        kept.write.mode("overwrite").parquet(args.output)
         return 0
 
     cfg = load_config(args.config) if args.config else PipelineConfig()

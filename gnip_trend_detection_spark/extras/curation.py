@@ -1,0 +1,69 @@
+"""End-to-end training-data curation: the composition a practitioner
+runs before pretraining, as one reusable dataflow (the CLI `curate`
+subcommand and the `curation_pipeline` oracle query both call this).
+
+Stages, in pipeline order:
+1. exact-dedup to one canonical doc per content hash (min doc_id);
+2. quality gate on the 6-decimal-rounded heuristic score;
+3. language ID (broadcast wordlists);
+4. benchmark decontamination (token n-gram collision);
+5. deterministic per-language stratified sampling.
+
+Every stage is a narrow doc_id-keyed join over one shared scan; see
+SCALE.md for the per-stage 100 TB arguments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gnip_trend_detection_spark.extras import decontam, sample, text
+
+
+def curate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    quality_min: float = 0.34,
+    ngram_n: int = 4,
+    fractions: dict[str, float] | None = None,
+    default_fraction: float = 0.2,
+    seed: int = 42,
+) -> DataFrame:
+    """Kept rows as (doc_id, predicted_lang, quality): canonical AND
+    quality >= quality_min AND zero benchmark n-gram hits AND survives
+    the per-predicted-lang hash draw."""
+    if fractions is None:
+        fractions = {"en": 1.0, "es": 0.5, "de": 0.5, "fr": 0.5}
+    docs = corpus.select("doc_id", text_col)
+    canon = (
+        docs.withColumn(
+            "__canon",
+            F.min("doc_id").over(
+                Window.partitionBy(F.md5(F.col(text_col).cast("binary")))
+            ),
+        )
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .drop("__canon")
+    )
+    quality = text.quality_score(canon, text_col).filter(
+        F.col("quality") >= quality_min
+    )
+    langs = text.lang_id(canon.sparkSession, canon, text_col).select(
+        "doc_id", "predicted_lang"
+    )
+    clean = (
+        decontam.decontaminate(canon, benchmark, text_col, n=ngram_n)
+        .filter(F.col("n_hit") == 0)
+        .select("doc_id")
+    )
+    kept = quality.join(langs, "doc_id").join(clean, "doc_id")
+    out = sample.stratified_sample(
+        kept,
+        "predicted_lang",
+        fractions,
+        seed=seed,
+        default_fraction=default_fraction,
+    )
+    return out.select("doc_id", "predicted_lang", "quality")

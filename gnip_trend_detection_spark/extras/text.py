@@ -109,6 +109,32 @@ def lang_id(spark: SparkSession, docs: DataFrame, text_col: str = "text") -> Dat
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Within-document repetition (the Gopher/MassiveText-style
+    quality signal): the fraction of token n-gram OCCURRENCES that are
+    repeats of an n-gram already seen in the same document —
+    dup_ngram_frac = 1 - distinct/total. High values flag boilerplate
+    and degenerate loops. Pure array HOFs, shuffle-free."""
+    t = docs.withColumn("toks", tokens(F.col(text_col))).filter(
+        F.size("toks") >= n
+    )
+    from gnip_trend_detection_spark.extras.dedup import shingles
+
+    grams = shingles(F.col("toks"), n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return t.select(
+        "doc_id",
+        total.cast("long").alias("n_ngrams"),
+        distinct.cast("long").alias("n_distinct_ngrams"),
+        F.round(
+            F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
+        ).alias("dup_ngram_frac"),
+    )
+
+
 FP_BASE = 257
 FP_MOD = 2147483647  # 2^31 - 1; acc*BASE + c stays < 2^63
 

@@ -909,6 +909,22 @@ SELECT doc_id,
 FROM t WHERE length(lt) >= 8
 """
 
+    # within-doc n-gram repetition (extras/text.py:repetition_stats)
+    sql["text_repetition"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)] AS grams
+  FROM t WHERE len(toks) >= 2
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_ngrams,
+       ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+         AS dup_ngram_frac
+FROM g
+"""
+
     # benchmark decontamination: every 20th doc is the benchmark, the
     # rest the corpus; 4-token-gram collision (extras/decontam.py)
     sql["decontaminate"] = f"""

@@ -562,6 +562,11 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_docs(spark, sf_dir))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc bigram repetition fraction (Gopher-style filter)."""
+    return text.repetition_stats(_docs(spark, sf_dir), n=2)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 20th document plays the held-
     out benchmark; the rest are the training corpus. 4-gram collision
@@ -609,34 +614,12 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kept row = canonical AND quality >= 0.34 (on the 6-decimal-rounded
     score, so the threshold is parity-stable) AND zero benchmark
     4-gram hits AND survives the per-predicted-lang hash draw."""
+    from gnip_trend_detection_spark.extras.curation import curate
+
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
-    canon = (
-        corpus.withColumn(
-            "__canon",
-            F.min("doc_id").over(
-                Window.partitionBy(F.md5(F.col("text").cast("binary")))
-            ),
-        )
-        .filter(F.col("doc_id") == F.col("__canon"))
-        .drop("__canon")
-    )
-    quality = text.quality_score(canon).filter(F.col("quality") >= 0.34)
-    langs = text.lang_id(spark, canon).select("doc_id", "predicted_lang")
-    clean = (
-        decontam.decontaminate(canon, bench, n=4)
-        .filter(F.col("n_hit") == 0)
-        .select("doc_id")
-    )
-    kept = quality.join(langs, "doc_id").join(clean, "doc_id")
-    out = sample.stratified_sample(
-        kept,
-        "predicted_lang",
-        {"en": 1.0, "es": 0.5, "de": 0.5, "fr": 0.5},
-        default_fraction=0.2,
-    )
-    return out.select("doc_id", "predicted_lang", "quality")
+    return curate(corpus, bench)
 
 
 # ------------------------------------------------------- similarity
@@ -802,6 +785,7 @@ ALL: dict[str, QueryFn] = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
+    "text_repetition": q_text_repetition,
     "doc_fingerprint": q_doc_fingerprint,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,

@@ -68,3 +68,44 @@ def test_cli_rebin_analyze_detect(spark, tmp_path):
     drows = det.collect()
     assert all(r["eta"] > 1.0 for r in drows)
     assert len(drows) == sum(1 for r in arows if r["eta"] > 1.0)
+
+
+def test_cli_curate_jsonl(tmp_path, spark):
+    from gnip_trend_detection_spark.cli import main
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    lines = []
+    for i in range(40):
+        # en-ish docs with stopwords so quality/lang-id have signal
+        words = " ".join(
+            f"the quick value of item {i} w{j} and a token on the list for it"
+            for j in range(6)
+        )
+        lines.append(
+            f'{{"doc_id": {i}, "text": "{words}", "lang": "en", "source": "t"}}'
+        )
+    (corpus / "docs.jsonl").write_text("\n".join(lines))
+    bench = tmp_path / "bench"
+    bench.mkdir()
+    # benchmark shares a 4-gram with doc 0 ONLY ("value of item 0" —
+    # other docs carry their own i in that window) → doc 0 dropped
+    (bench / "b.jsonl").write_text(
+        '{"doc_id": 9000, "text": "value of item 0 plus benchmark only words", "lang": "en", "source": "b"}'
+    )
+    out = tmp_path / "kept"
+    rc = main(
+        [
+            "curate",
+            "-i", str(corpus),
+            "-b", str(bench),
+            "-o", str(out),
+            "--quality-min", "0.0",
+            "--keep", "en=1.0",
+            "--default-frac", "1.0",
+        ]
+    )
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert 0 not in kept          # contaminated by the benchmark
+    assert len(kept) >= 30        # the rest survive (frac 1.0)
