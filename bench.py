@@ -35,6 +35,7 @@ HEADLINE = [
     "simhash64",
     "ngram_jaccard",
     "text_quality",
+    "text_repetition",
     "text_bpe_tokens",
     "doc_fingerprint",
     "decontaminate",
