@@ -348,12 +348,16 @@ def lsh_bucketed_topk(
     ]
 
     def signature(v: Column, table: int) -> Column:
+        # One zip_with+aggregate fold per plane (codegen emits a loop)
+        # instead of dim unrolled get()*lit() adds: the unrolled form is
+        # n_tables*n_planes*dim inline terms, which overflows Janino's
+        # method limit inside the explode's consume path and silently
+        # drops the whole stage to interpreted execution. Fold order
+        # matches the unrolled left-to-right sum, so dots are
+        # bit-identical and bucket assignment is unchanged.
         bits = [
             F.when(
-                sum(
-                    F.get(v, i) * F.lit(planes[table][p][i]) for i in range(dim)
-                )
-                > 0,
+                dot(v, F.array(*[F.lit(x) for x in planes[table][p]])) > 0,
                 F.lit("1"),
             ).otherwise(F.lit("0"))
             for p in range(n_planes)
