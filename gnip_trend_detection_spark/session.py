@@ -32,6 +32,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # default 100-entry generated-class cache evicts under a
+        # many-query workload (each query compiles several stages), so
+        # steady-state queries pay Janino recompiles; size it for a
+        # query-server. Static conf — set before the context starts.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # fixture events.parquet stores TIMESTAMP(NANOS); read as long
         # and convert at scan (sources.tables) — Spark has no ns type
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
