@@ -25,18 +25,36 @@ TABLES = (
 )
 
 
+# Pin an NTZ wall clock to the UTC instant with the same reading,
+# independent of spark.sql.session.timeZone. to_utc_timestamp / casts
+# route NTZ through the session zone, so the only safe conversion is
+# pure wall-clock arithmetic against the NTZ epoch.
+_NTZ_AS_UTC = (
+    "timestamp_micros(timestampdiff("
+    "MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}))"
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    # parquet reader rejects unless nanos are surfaced as long. Set the
-    # conf at runtime (it is runtime-settable and idempotent) so the
-    # loader works on ANY session, not just ours — the harness builds
-    # its own bare SparkSession.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Fixture generations have stored events.ts three ways: TIMESTAMP
+    # (NANOS) (readable only via the nanosAsLong legacy conf — set at
+    # runtime so ANY session works, the harness builds its own bare
+    # one), plain micros NTZ (current), and micros LTZ. Normalize all
+    # of them to the same LTZ instants so downstream epoch math
+    # (ts.cast("double")) is exact and session-tz independent.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed in some future Spark: fine, NANOS are gone too
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read via nanosAsLong: exact integer
-        # division to micros (double math would lose microseconds)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read via nanosAsLong: exact integer
+            # division to micros (double math would lose microseconds)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.expr(_NTZ_AS_UTC.format(col="ts")))
     return df
 
 
