@@ -36,6 +36,7 @@ HEADLINE = [
     "ngram_jaccard",
     "text_quality",
     "text_repetition",
+    "tfidf_top_terms",
     "text_bpe_tokens",
     "doc_fingerprint",
     "decontaminate",

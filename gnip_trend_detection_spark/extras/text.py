@@ -174,3 +174,35 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFram
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "fingerprint": out})
 
     return t.mapInPandas(fp, "doc_id long, fingerprint long")
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document (smoothed idf:
+    ln((N+1)/(df+1)) + 1, the sklearn TfidfVectorizer form).
+
+    Plan shape at 100 TB: one explode scan feeding two hash aggs with
+    map-side combine — tf on (doc_id, term) and df on term — then one
+    shuffle join on term (term vocab << corpus; AQE picks broadcast
+    when the df side fits) and a per-doc window top-k. The corpus size
+    N rides along as a broadcast 1-row cross join, never a collect.
+    Scores are rounded to 6 decimals so the (score, term) ordering is
+    identical across engines.
+    """
+    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    score = F.round(
+        F.col("tf").cast("double")
+        * (F.log((F.col("n_docs") + 1.0) / (F.col("df").cast("double") + 1.0)) + 1.0),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "score", "rk")
+    )

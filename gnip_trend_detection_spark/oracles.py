@@ -925,6 +925,29 @@ SELECT doc_id,
 FROM g
 """
 
+    # top-3 TF-IDF terms per doc (extras/text.py:tfidf_top_terms);
+    # smoothed idf = ln((N+1)/(df+1)) + 1, score rounded to 6 decimals
+    # on both engines so the (score DESC, term) ordering is identical
+    sql["tfidf_top_terms"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(CAST(tf.tf AS DOUBLE)
+               * (LN((n_docs + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0),
+               6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, score, rk FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
     # benchmark decontamination: every 20th doc is the benchmark, the
     # rest the corpus; 4-token-gram collision (extras/decontam.py)
     sql["decontaminate"] = f"""

@@ -567,6 +567,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(_docs(spark, sf_dir), n=2)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed sklearn-style idf)."""
+    return text.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 20th document plays the held-
     out benchmark; the rest are the training corpus. 4-gram collision
@@ -786,6 +791,7 @@ ALL: dict[str, QueryFn] = {
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_repetition": q_text_repetition,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "doc_fingerprint": q_doc_fingerprint,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
