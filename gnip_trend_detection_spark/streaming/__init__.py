@@ -1,4 +1,5 @@
 from gnip_trend_detection_spark.streaming.decontam import decontaminate_stream
+from gnip_trend_detection_spark.streaming.dedup import exact_dedup_stream
 from gnip_trend_detection_spark.streaming.rebin import streaming_rebin
 from gnip_trend_detection_spark.streaming.models import (
     score_stream_poisson_lc,
@@ -10,6 +11,7 @@ from gnip_trend_detection_spark.streaming.models import (
 
 __all__ = [
     "decontaminate_stream",
+    "exact_dedup_stream",
     "streaming_rebin",
     "score_stream_poisson_lc",
     "score_stream_poisson_cycle",

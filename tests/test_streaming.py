@@ -250,3 +250,59 @@ def test_streaming_decontaminate_matches_batch(spark):
     corpus.unpersist()
     shutil.rmtree(flat, ignore_errors=True)
     assert got == want
+
+
+def test_streaming_exact_dedup_matches_batch(spark):
+    """First-seen-per-hash over doc_id-ordered micro-batches == batch
+    exact dedup keeping min doc_id: same keep-set, same hash → keeper
+    mapping, duplicates never re-emitted across batch boundaries."""
+    import tempfile
+
+    from gnip_trend_detection_spark import streaming as stm
+    from gnip_trend_detection_spark.extras.dedup import exact_duplicates
+    from gnip_trend_detection_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    # duplicate every 10th doc under a larger id, as q_dedup_exact does
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).cache()
+
+    # 3 doc_id-ordered slices: originals arrive before their copies,
+    # so first-arrival == min doc_id
+    edges = [200, 400]
+    slices = [
+        corpus.filter(F.col("doc_id") < edges[0]),
+        corpus.filter((F.col("doc_id") >= edges[0]) & (F.col("doc_id") < edges[1])),
+        corpus.filter(F.col("doc_id") >= edges[1]),
+    ]
+    flat = tempfile.mkdtemp(prefix="stream_dedup_")
+    t0 = __import__("time").time() - 600
+    for i, sl in enumerate(slices):
+        d = f"{flat}/b{i}"
+        sl.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.move(f"{d}/{part}", dst)
+        shutil.rmtree(d)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    stream_in = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    sdf = stm.exact_dedup_stream(stream_in)
+    _run_to_completion(sdf, "append", "dedup_stream")
+    kept = spark.sql("select * from dedup_stream").collect()
+
+    batch = exact_duplicates(corpus).collect()  # (content_hash, doc_id=min, n_copies)
+    want = {r["content_hash"]: r["doc_id"] for r in batch}
+    got = {r["content_hash"]: r["doc_id"] for r in kept}
+    corpus.unpersist()
+    shutil.rmtree(flat, ignore_errors=True)
+    assert len(kept) == len(got), "a content hash was emitted twice"
+    assert got == want
