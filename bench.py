@@ -37,6 +37,8 @@ HEADLINE = [
     "text_quality",
     "text_repetition",
     "tfidf_top_terms",
+    "unigram_logppl",
+    "semantic_dedup",
     "text_bpe_tokens",
     "doc_fingerprint",
     "decontaminate",

@@ -401,3 +401,90 @@ def lsh_bucketed_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.97,
+    centroid_mod: int = 50,
+    round_digits: int = 6,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then hunt
+    near-identical pairs ONLY within a cluster — the cluster is the
+    blocking key that turns an O(n^2) sweep into per-cell work.
+
+    A vector is a duplicate when its cosine to some SMALLER-id member
+    of the same cell reaches ``threshold`` (min-id keeper, the same
+    canonical-representative rule as the exact/LSH dedup paths).
+    Returns (vec_id, centroid_id, is_dup) for every vector.
+
+    Default centroids are the deterministic subset (vec_id %
+    centroid_mod == 0) so the DuckDB oracle reproduces them; pass
+    ``centroids=`` from ``kmeans_centroids`` for the fitted variant.
+
+    Scale shape: one broadcast assignment pass, then a self equi-join
+    keyed on centroid_id — shuffle co-partitions each cell, cells are
+    ~n/k vectors, and the pair work is sum(cell^2) not n^2. Skewed
+    cells (embedding-space boilerplate) cap out exactly like LSH's
+    bucket cap: fit more centroids.
+    """
+    n = _normed(embeddings)
+    if centroids is None:
+        cents = _normed(
+            embeddings.filter(F.col("vec_id") % centroid_mod == 0)
+        ).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    else:
+        cents = centroids.select(
+            "centroid_id", "cv", norm(F.col("cv")).alias("cnrm")
+        )
+
+    ccos = F.round(
+        dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), round_digits
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    asgn = (
+        n.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", ccos)
+        .withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "v", "nrm", "centroid_id")
+    )
+
+    a = asgn.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = asgn.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits
+    )
+    dups = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        asgn.select("vec_id", "centroid_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -206,3 +206,39 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> Data
         .filter(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "score", "rk")
     )
+
+
+def unigram_logppl(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document log-perplexity under the corpus's own unigram LM —
+    the cheap stand-in for the KenLM quality filter in CCNet-style
+    curation (docs far from the corpus distribution score high).
+
+    p(w) = count(w) / total_tokens over the whole corpus (MLE; every
+    scored token was seen, so no smoothing term is needed), and
+    log_ppl(d) = -(1/|d|) * sum_i ln p(w_i), computed from per-doc
+    term frequencies: sum_w tf_dw * ln p(w).
+
+    Same scale shape as tfidf_top_terms: explode scan → two hash aggs
+    → one term join (AQE broadcasts the LM side when it fits) → per-
+    doc re-aggregation. Rounded to 6 decimals for cross-engine parity.
+    """
+    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    lm = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = lm.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        tf.join(lm, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                -F.sum(
+                    F.col("tf").cast("double")
+                    * F.log(F.col("cnt").cast("double") / F.col("total"))
+                )
+                / F.sum("tf").cast("double")
+            ).alias("raw"),
+        )
+        .select("doc_id", "n_tokens", F.round("raw", 6).alias("log_ppl"))
+    )

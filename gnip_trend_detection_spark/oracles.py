@@ -948,6 +948,21 @@ SELECT doc_id, term, tf, score, rk FROM (
 ) WHERE rk <= 3
 """
 
+    # corpus-unigram-LM log-perplexity (extras/text.py:unigram_logppl)
+    sql["unigram_logppl"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+lm AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1),
+n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM lm)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(-SUM(CAST(tf AS DOUBLE) * LN(CAST(cnt AS DOUBLE) / total))
+             / CAST(SUM(tf) AS DOUBLE), 6) AS log_ppl
+FROM tf JOIN lm USING (term) CROSS JOIN n
+GROUP BY doc_id
+"""
+
     # benchmark decontamination: every 20th doc is the benchmark, the
     # rest the corpus; 4-token-gram collision (extras/decontam.py)
     sql["decontaminate"] = f"""
@@ -1127,6 +1142,53 @@ SELECT query_id, neighbor_id, cosine, rk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
   FROM scored
 ) WHERE rk <= 5
+"""
+
+    # SemDeDup (extras/similarity.py:semantic_dedup): corpus + shifted
+    # twins, cell assignment identical to the IVF oracle, within-cell
+    # pair hunt, min-id keeper
+    sql["semantic_dedup"] = f"""
+WITH e0 AS (SELECT vec_id, {vec} AS v FROM embeddings),
+n0 AS (
+  SELECT vec_id, v,
+         SQRT(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm
+  FROM e0
+),
+twin AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         [CASE WHEN i = 1 THEN v[i] + 0.3 * nrm ELSE v[i] END
+          for i in generate_series(1, len(v))] AS v
+  FROM n0 WHERE vec_id % 10 = 0
+),
+e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id, v FROM twin),
+n AS (
+  SELECT vec_id, v,
+         SQRT(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm
+  FROM e
+),
+cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0),
+asgn0 AS (
+  SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         ROUND(list_reduce([n.v[i] * c.cv[i] for i in generate_series(1, len(n.v))],
+                           (x, y) -> x + y) / (n.nrm * c.cnrm), 6) AS ccos
+  FROM n CROSS JOIN cents c
+),
+asgn AS (
+  SELECT vec_id, v, nrm, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS crk
+    FROM asgn0
+  ) WHERE crk = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM asgn a JOIN asgn b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE ROUND(list_reduce([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))],
+                          (x, y) -> x + y) / (a.nrm * b.nrm), 6) >= 0.957
+)
+SELECT asgn.vec_id, asgn.centroid_id,
+       (dups.vec_id IS NOT NULL) AS is_dup
+FROM asgn LEFT JOIN dups ON asgn.vec_id = dups.vec_id
 """
 
     sql["ann_ivf_topk"] = f"""

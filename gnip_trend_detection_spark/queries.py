@@ -572,6 +572,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc log-perplexity under the corpus unigram LM (the KenLM
+    quality-filter stand-in)."""
+    return text.unigram_logppl(_docs(spark, sf_dir))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 20th document plays the held-
     out benchmark; the rest are the training corpus. 4-gram collision
@@ -663,6 +669,31 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries, k=5, centroid_mod=50, nprobe=3)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over embeddings + perturbed twins of every 10th vector
+    (first coordinate shifted by 0.3*norm → cosine to the original
+    lands in [0.954, 0.967], so threshold 0.957 genuinely splits the
+    twin set instead of rubber-stamping all or none)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("embedding")
+    )
+    nrm = similarity.norm(F.col("embedding"))
+    twins = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .withColumn("nrm", nrm)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x + 0.3 * F.col("nrm")).otherwise(x),
+            ).alias("embedding"),
+        )
+    )
+    return similarity.semantic_dedup(
+        emb.unionByName(twins), threshold=0.957, centroid_mod=50
+    )
 
 
 # ------------------------------------------------------- OLAP showcase
@@ -792,6 +823,8 @@ ALL: dict[str, QueryFn] = {
     "text_lang_id": q_text_lang_id,
     "text_repetition": q_text_repetition,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "semantic_dedup": q_semantic_dedup,
+    "unigram_logppl": q_unigram_logppl,
     "doc_fingerprint": q_doc_fingerprint,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
