@@ -39,6 +39,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "unigram_logppl",
     "semantic_dedup",
+    "pii_scrub",
+    "events_rollup",
     "text_bpe_tokens",
     "doc_fingerprint",
     "decontaminate",

@@ -242,3 +242,30 @@ def unigram_logppl(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .select("doc_id", "n_tokens", F.round("raw", 6).alias("log_ppl"))
     )
+
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "555-[0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact PII-shaped spans (emails, seeded phone
+    numbers) — the compliance scrub pass of a curation pipeline.
+
+    Both patterns are deliberately in the RE2-compatible subset so the
+    Java-regex engine (Spark) and RE2 (DuckDB/ripgrep-style engines)
+    agree byte-for-byte; the redacted text is emitted as an md5 so the
+    oracle compares content without hauling full text through the
+    canonicalizer. Pure per-row map: zero shuffle, scales as a scan.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_hash"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )

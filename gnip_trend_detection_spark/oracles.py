@@ -963,6 +963,57 @@ FROM tf JOIN lm USING (term) CROSS JOIN n
 GROUP BY doc_id
 """
 
+    # PII scrub with injected synthetic PII (extras/text.py:pii_scrub);
+    # patterns stay in the RE2-compatible subset so Java regex and RE2
+    # agree byte-for-byte
+    sql["pii_scrub"] = """
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE text END AS text
+  FROM documents
+),
+seeded2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM seeded
+),
+red AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+  FROM seeded2
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+       md5(redacted) AS redacted_hash,
+       CAST(length(redacted) AS BIGINT) AS redacted_len
+FROM red
+"""
+
+    # OLAP time-hierarchy rollup over events (queries.q_events_rollup)
+    sql["events_rollup"] = """
+WITH base AS (
+  SELECT event_type,
+         CAST(FLOOR(FLOOR(epoch(ts)) / 86400) AS BIGINT) AS day,
+         CAST(FLOOR(FLOOR(epoch(ts)) / 3600) AS BIGINT) AS hour,
+         value
+  FROM events
+)
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(day, -1) AS day,
+       COALESCE(hour, -1) AS hour,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM base
+GROUP BY ROLLUP(event_type, day, hour)
+"""
+
     # benchmark decontamination: every 20th doc is the benchmark, the
     # rest the corpus; 4-token-gram collision (extras/decontam.py)
     sql["decontaminate"] = f"""

@@ -578,6 +578,69 @@ def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logppl(_docs(spark, sf_dir))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus with synthetic PII injected (every
+    3rd doc gains an email, every 5th a seeded phone) so counts and
+    redactions are discriminating rather than all-zero."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.pii_scrub(docs)
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP time-hierarchy rollup: (event_type, day, hour) →
+    (event_type, day) → (event_type) → grand total, one pass via
+    Spark's ROLLUP (partial aggregation reused across levels). Day and
+    hour are epoch integer arithmetic — session-tz independent."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.floor(F.col("ts").cast("double"))
+    base = ev.select(
+        "event_type",
+        F.floor(epoch / 86400).cast("long").alias("day"),
+        F.floor(epoch / 3600).cast("long").alias("hour"),
+        "value",
+    )
+    return (
+        base.rollup("event_type", "day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("day"), F.lit(-1)).alias("day"),
+            F.coalesce(F.col("hour"), F.lit(-1)).alias("hour"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 20th document plays the held-
     out benchmark; the rest are the training corpus. 4-gram collision
@@ -733,10 +796,26 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_users_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users per event_type, two-phase: event_type has only a
+    handful of values, so a single window over it would sort every
+    (type, user) row in ~5 partitions regardless of cluster size.
+    Phase 1 takes a per-(type, salt-bucket) top-3 (64-way parallel,
+    row_number over small sorted runs); phase 2 ranks the <= 3*64
+    survivors per type — identical output, because every global top-3
+    row is necessarily a top-3 row of its own bucket."""
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    salted = c.withColumn("salt", F.pmod(F.xxhash64("user_id"), F.lit(64)))
+    w1 = Window.partitionBy("event_type", "salt").orderBy(
+        F.desc("n"), F.asc("user_id")
+    )
+    cand = (
+        salted.withColumn("srk", F.row_number().over(w1))
+        .filter(F.col("srk") <= 3)
+        .drop("salt", "srk")
+    )
     w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
-    return c.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,6 +904,8 @@ ALL: dict[str, QueryFn] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "semantic_dedup": q_semantic_dedup,
     "unigram_logppl": q_unigram_logppl,
+    "pii_scrub": q_pii_scrub,
+    "events_rollup": q_events_rollup,
     "doc_fingerprint": q_doc_fingerprint,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
