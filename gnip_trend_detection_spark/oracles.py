@@ -996,6 +996,28 @@ SELECT doc_id,
 FROM red
 """
 
+    # as-of enrichment (operators/asof.py) — DuckDB has native ASOF
+    # JOIN with exactly the inclusive <= semantics the union-window
+    # formulation implements
+    sql["asof_enrich"] = """
+WITH ev AS (
+  SELECT event_id, event_type AS counter,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch
+  FROM events
+),
+b AS (
+  SELECT event_type AS counter,
+         CAST(FLOOR(FLOOR(epoch(ts)) / 300) * 300 AS BIGINT) AS bin_ts,
+         CAST(COUNT(*) AS DOUBLE) AS bin_count
+  FROM events GROUP BY 1, 2
+),
+bk AS (SELECT * FROM b WHERE (bin_ts / 300) % 2 = 0)
+SELECT e.event_id, e.counter, e.ts_epoch,
+       bk.bin_ts AS asof_time, bk.bin_count
+FROM ev e ASOF LEFT JOIN bk
+  ON e.counter = bk.counter AND e.ts_epoch >= bk.bin_ts
+"""
+
     # OLAP time-hierarchy rollup over events (queries.q_events_rollup)
     sql["events_rollup"] = """
 WITH base AS (

@@ -612,6 +612,38 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pii_scrub(docs)
 
 
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich every event with the latest SPARSE 5-min rebinned count
+    at or before it (only even-indexed bins are kept, so the as-of gap
+    genuinely varies and early events match nothing → null)."""
+    from gnip_trend_detection_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.floor(F.col("ts").cast("double")).cast("long")
+    left = ev.select(
+        F.col("event_type").alias("counter"),
+        epoch.alias("ts_epoch"),
+        "event_id",
+    )
+    bins = (
+        ev.groupBy(
+            F.col("event_type").alias("counter"),
+            (F.floor(epoch / 300) * 300).cast("long").alias("bin_ts"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("bin_count"))
+        .filter((F.col("bin_ts") / 300 % 2) == 0)
+    )
+    out = asof_join(
+        left,
+        bins,
+        on=["counter"],
+        left_time="ts_epoch",
+        right_time="bin_ts",
+        value_cols=["bin_count"],
+    )
+    return out.select("event_id", "counter", "ts_epoch", "asof_time", "bin_count")
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP time-hierarchy rollup: (event_type, day, hour) →
     (event_type, day) → (event_type) → grand total, one pass via
@@ -906,6 +938,7 @@ ALL: dict[str, QueryFn] = {
     "unigram_logppl": q_unigram_logppl,
     "pii_scrub": q_pii_scrub,
     "events_rollup": q_events_rollup,
+    "asof_enrich": q_asof_enrich,
     "doc_fingerprint": q_doc_fingerprint,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
