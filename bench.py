@@ -42,6 +42,8 @@ HEADLINE = [
     "pii_scrub",
     "events_rollup",
     "asof_enrich",
+    "value_quantiles",
+    "range_burst_count",
     "text_bpe_tokens",
     "doc_fingerprint",
     "decontaminate",

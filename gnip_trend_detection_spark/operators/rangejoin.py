@@ -1,0 +1,64 @@
+"""Range (interval) join at scale: points vs arbitrary intervals.
+
+A naive `p.t BETWEEN i.s AND i.e` join has no equi-key, so Spark plans
+BroadcastNestedLoopJoin — O(points x intervals), the classic
+scale-killer. The bucketed formulation here is the same trick rebin's
+proportional-split join uses (operators/rebin.py): decompose every
+interval into the fixed-width time buckets it overlaps (bounded
+explode: len/width + 1 rows), map every point to its single bucket,
+equi-join on (key, bucket), and apply the exact inequality as a
+post-filter. Shuffles are all keyed on (key, bucket) — co-partitioned,
+skew-splittable by AQE — and the explode factor is chosen by bucket
+width, which should sit near the median interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_count_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_time: str = "t",
+    start_col: str = "s",
+    end_col: str = "e",
+    bucket_width: int = 1800,
+) -> DataFrame:
+    """Count points with s <= t < e for every interval row.
+
+    ``points``: key cols + ``point_time`` (numeric). ``intervals``:
+    key cols + ``start_col``/``end_col`` + any id/payload columns,
+    which pass through. Intervals with no points emit n_points = 0
+    (left-outer), so the result row count always equals the interval
+    row count.
+    """
+    w = int(bucket_width)
+    iv_cols = [c for c in intervals.columns]
+    bucketed_iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w).cast("long"),
+                F.floor((F.col(end_col) - 1) / w).cast("long"),
+            )
+        ),
+    )
+    bucketed_pt = points.select(
+        *[F.col(c) for c in on],
+        F.col(point_time).alias("__pt"),
+        F.floor(F.col(point_time) / w).cast("long").alias("__bucket"),
+    )
+    matched = (
+        bucketed_iv.join(bucketed_pt, [*on, "__bucket"])
+        .filter(
+            (F.col("__pt") >= F.col(start_col)) & (F.col("__pt") < F.col(end_col))
+        )
+        .groupBy(*[F.col(c) for c in iv_cols])
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return intervals.join(matched, iv_cols, "left").select(
+        *iv_cols, F.coalesce(F.col("__n"), F.lit(0)).alias("n_points")
+    )

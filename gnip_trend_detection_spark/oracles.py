@@ -996,6 +996,39 @@ SELECT doc_id,
 FROM red
 """
 
+    # bucketed range join (operators/rangejoin.py) — the oracle uses
+    # the plain inequality join the bucketed plan must reproduce
+    sql["range_burst_count"] = """
+WITH pts AS (
+  SELECT event_type AS counter, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+  FROM events
+),
+t0 AS (SELECT counter, MIN(t) AS t0 FROM pts GROUP BY 1),
+iv AS (
+  SELECT counter, i AS iv_id,
+         t0 + i * 3600 AS s, t0 + i * 3600 + 1800 AS e
+  FROM t0, (SELECT unnest(generate_series(0, 9)) AS i)
+)
+SELECT iv.counter, iv.iv_id, iv.s, iv.e,
+       COUNT(pts.t) AS n_points
+FROM iv LEFT JOIN pts
+  ON iv.counter = pts.counter AND pts.t >= iv.s AND pts.t < iv.e
+GROUP BY 1, 2, 3, 4
+"""
+
+    # exact per-type quantiles (queries.q_value_quantiles); both
+    # engines implement R-7 linear interpolation
+    sql["value_quantiles"] = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 6) AS mean_value,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
     # as-of enrichment (operators/asof.py) — DuckDB has native ASOF
     # JOIN with exactly the inclusive <= semantics the union-window
     # formulation implements

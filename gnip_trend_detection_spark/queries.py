@@ -612,6 +612,55 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pii_scrub(docs)
 
 
+def q_range_burst_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count events inside 10 synthetic half-open [s, s+1800) burst
+    windows per event_type (spaced 3600s from each type's first
+    event) via the bucketed range join — equi-join on (key, bucket),
+    never a nested-loop inequality join."""
+    from gnip_trend_detection_spark.operators.rangejoin import range_count_join
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_type").alias("counter"),
+        F.floor(F.col("ts").cast("double")).cast("long").alias("t"),
+    )
+    iv = (
+        pts.groupBy("counter")
+        .agg(F.min("t").alias("t0"))
+        .select(
+            "counter",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("iv_id"),
+            "t0",
+        )
+        .select(
+            "counter",
+            "iv_id",
+            (F.col("t0") + F.col("iv_id") * 3600).alias("s"),
+            (F.col("t0") + F.col("iv_id") * 3600 + 1800).alias("e"),
+        )
+    )
+    return range_count_join(
+        pts, iv, on=["counter"], point_time="t", start_col="s", end_col="e",
+        bucket_width=1800,
+    )
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value quantiles (R-7 interpolation — Spark's
+    percentile() and DuckDB's quantile_cont() share the definition).
+    Exact quantiles sort each group; at 100 TB swap in
+    approx_percentile (t-digest, mergeable map-side) — kept exact here
+    because the oracle hash-compares values."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Enrich every event with the latest SPARSE 5-min rebinned count
     at or before it (only even-indexed bins are kept, so the as-of gap
@@ -939,6 +988,8 @@ ALL: dict[str, QueryFn] = {
     "pii_scrub": q_pii_scrub,
     "events_rollup": q_events_rollup,
     "asof_enrich": q_asof_enrich,
+    "value_quantiles": q_value_quantiles,
+    "range_burst_count": q_range_burst_count,
     "doc_fingerprint": q_doc_fingerprint,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
