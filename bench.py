@@ -54,6 +54,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "multimodal_decode",
     "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_local_revenue",
     "sessionize",
 ]
 

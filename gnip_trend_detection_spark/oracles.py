@@ -1394,6 +1394,41 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
+    sql["tpch_q3_shipping"] = """
+WITH li AS (SELECT * FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'),
+o AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01'),
+c AS (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'),
+agg AS (
+  SELECT l_orderkey, o_orderdate,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS revenue
+  FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+          JOIN c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate_str, revenue, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS rk
+  FROM agg
+) WHERE rk <= 10
+"""
+
+    sql["tpch_q5_local_revenue"] = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+GROUP BY n_name
+"""
+
     sql["sessionize"] = """
 WITH ev AS (SELECT user_id, epoch(ts) AS e FROM events),
 x AS (

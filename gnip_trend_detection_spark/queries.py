@@ -843,6 +843,85 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- OLAP showcase
 
 
+_CUTOFF = "1998-06-01"
+
+
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape on the fixture star schema: filtered dim
+    (BUILDING customers) broadcast into the orders⨝lineitem fact
+    join, integer-cent revenue aggregation, deterministic top-10.
+    Catalyst pushes both date filters to the scans and AQE picks the
+    broadcast for every sub-fact side."""
+    cutoff = F.to_timestamp_ntz(F.lit(_CUTOFF))
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    rev_cents = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long")
+    )
+    agg = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((rev_cents.cast("double") / 10000.0).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate_str"),
+            "revenue",
+        )
+    )
+    # global top-10 via sort+limit (TakeOrderedAndProject: per-partition
+    # heaps, no single-partition sort); the rank window then runs over
+    # the 10 survivors only
+    top = agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+def q_tpch_q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join (region→nation→customer/supplier
+    →orders→lineitem) with same-nation customer+supplier, revenue per
+    nation. The dimension chain folds into broadcasts; the only big
+    shuffles are the two fact-fact equi-joins."""
+    cutoff = F.to_timestamp_ntz(F.lit(_CUTOFF))
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_cents = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long")
+    )
+    nations_in_region = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(nations_in_region),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg((rev_cents.cast("double") / 10000.0).alias("revenue"))
+    )
+
+
 def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cents = lambda c, k: F.sum(F.round(c * k).cast("long")).cast("double") / float(k)
@@ -990,6 +1069,8 @@ ALL: dict[str, QueryFn] = {
     "asof_enrich": q_asof_enrich,
     "value_quantiles": q_value_quantiles,
     "range_burst_count": q_range_burst_count,
+    "tpch_q3_shipping": q_tpch_q3_shipping,
+    "tpch_q5_local_revenue": q_tpch_q5_local_revenue,
     "doc_fingerprint": q_doc_fingerprint,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
