@@ -38,3 +38,57 @@ def test_asof_join_semantics(spark):
     # left row count preserved, left columns intact
     assert out.count() == 5
     assert set(out.columns) == {"k", "t", "payload", "asof_time", "val"}
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-check: pandas merge_asof (direction='backward',
+    allow_exact_matches=True) implements the same inclusive as-of
+    semantics — compare on 3 seeded datasets."""
+    import numpy as np
+    import pandas as pd
+
+    from gnip_trend_detection_spark.operators.asof import asof_join
+
+    for seed in (7, 42, 1234):
+        rng = np.random.RandomState(seed)
+        keys = ["k0", "k1", "k2"]
+        left_pd = pd.DataFrame(
+            {
+                "k": rng.choice(keys, 60),
+                "t": rng.randint(0, 1000, 60).astype("int64"),
+                "lid": np.arange(60, dtype="int64"),
+            }
+        )
+        right_pd = pd.DataFrame(
+            {
+                "k": rng.choice(keys, 25),
+                "rt": rng.choice(np.arange(0, 1000, 7, dtype="int64"), 25, replace=False),
+                "val": rng.randn(25).round(6),
+            }
+        )
+        want_pd = pd.merge_asof(
+            left_pd.sort_values("t"),
+            right_pd.sort_values("rt"),
+            left_on="t",
+            right_on="rt",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.rt) else int(r.rt),
+                         None if pd.isna(r.val) else float(r.val))
+            for r in want_pd.itertuples()
+        }
+        out = asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            on=["k"],
+            left_time="t",
+            right_time="rt",
+            value_cols=["val"],
+        )
+        got = {
+            int(r["lid"]): (r["asof_time"], r["val"]) for r in out.collect()
+        }
+        assert got == want, f"seed {seed}"
