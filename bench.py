@@ -43,6 +43,7 @@ HEADLINE = [
     "events_rollup",
     "asof_enrich",
     "value_quantiles",
+    "value_histogram",
     "range_burst_count",
     "text_bpe_tokens",
     "doc_fingerprint",

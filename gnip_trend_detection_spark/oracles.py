@@ -1016,6 +1016,21 @@ FROM iv LEFT JOIN pts
 GROUP BY 1, 2, 3, 4
 """
 
+    # fixed-width grouped histogram (queries.q_value_histogram)
+    sql["value_histogram"] = """
+WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+binned AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19) AS bin_id
+  FROM events CROSS JOIN b
+)
+SELECT event_type, bin_id,
+       ROUND(lo + bin_id * ((hi - lo) / 20.0), 6) AS bin_lo,
+       COUNT(*) AS n
+FROM binned CROSS JOIN b
+GROUP BY 1, 2, 3
+"""
+
     # exact per-type quantiles (queries.q_value_quantiles); both
     # engines implement R-7 linear interpolation
     sql["value_quantiles"] = """

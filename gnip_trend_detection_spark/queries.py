@@ -645,6 +645,33 @@ def q_range_burst_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram of event values per type, bin
+    edges from the GLOBAL min/max (broadcast 1-row cross join, no
+    collect). Two scans of the same relation — Catalyst/AQE reuse the
+    exchange; the agg is one narrow shuffle on (type, bin)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    bin_id = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("long"), F.lit(19)
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", bin_id.alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            "bin_id",
+            F.round(F.col("lo") + F.col("bin_id") * width, 6).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-type value quantiles (R-7 interpolation — Spark's
     percentile() and DuckDB's quantile_cont() share the definition).
@@ -1068,6 +1095,7 @@ ALL: dict[str, QueryFn] = {
     "events_rollup": q_events_rollup,
     "asof_enrich": q_asof_enrich,
     "value_quantiles": q_value_quantiles,
+    "value_histogram": q_value_histogram,
     "range_burst_count": q_range_burst_count,
     "tpch_q3_shipping": q_tpch_q3_shipping,
     "tpch_q5_local_revenue": q_tpch_q5_local_revenue,
