@@ -1,0 +1,73 @@
+"""Plan-shape lint over the ENTIRE query registry.
+
+Three invariants that make or break 100 TB viability, asserted from
+the physical plan of every registered query at the smoke scale:
+
+1. no CartesianProduct, ever;
+2. BroadcastNestedLoopJoin only where the broadcast side is bounded
+   by construction (1-row corpus totals / global bounds, the bounded
+   WDT library, declared exact-quadratic baselines) — whitelisted
+   explicitly so a new unbounded NLJ fails loudly;
+3. per-query Exchange ceilings (measured + slack): a refactor that
+   silently doubles a query's shuffles fails here before it ships.
+   Static counts include branches AQE/ReuseExchange dedupes at
+   runtime, so ceilings are upper bounds, not runtime shuffle counts.
+"""
+
+import os
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose BNLJ is a bounded broadcast by construction
+BNLJ_OK = {
+    "ann_ivf_topk",        # broadcast centroid set (n/centroid_mod rows)
+    "ann_topk",            # broadcast query set (declared exact baseline)
+    "cosine_neardup_pairs",   # declared exact O(n^2) baseline
+    "cosine_neardup_blocked", # broadcast block-id frame (n_blocks rows)
+    "correlation_pairs_dense",  # broadcast block ids
+    "precision_recall",    # broadcast 1-row threshold grid base
+    "roc_points",          # broadcast 1-row totals
+    "semantic_dedup",      # broadcast centroid set
+    "tfidf_top_terms",     # broadcast 1-row corpus size
+    "unigram_logppl",      # broadcast 1-row corpus total
+    "value_histogram",     # broadcast 1-row global bounds
+}
+
+# measured (2026-08, Spark 4.1) + 2 slack; unlisted queries get DEFAULT
+EXCHANGE_CEILING = {
+    "ngram_jaccard": 24,
+    "correlation_pairs_dense": 18,
+    "curation_pipeline": 11,
+    "unigram_logppl": 9,
+    "semantic_dedup": 8,
+    "tfidf_top_terms": 7,
+    "ann_ivf_topk": 7,
+    "detection_latency": 7,
+}
+DEFAULT_CEILING = 6
+
+
+@pytest.mark.parametrize("name", sorted(__import__("gnip_trend_detection_spark.queries", fromlist=["ALL"]).ALL))
+def test_plan_budget(spark, name):
+    from gnip_trend_detection_spark import queries as q
+
+    df = q.ALL[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in BNLJ_OK, f"{name}: unexpected BNLJ\n{plan}"
+
+    n_exchange = len(re.findall(r"\bExchange\b", plan)) - len(
+        re.findall(r"ReusedExchange", plan)
+    )
+    ceiling = EXCHANGE_CEILING.get(name, DEFAULT_CEILING)
+    assert n_exchange <= ceiling, (
+        f"{name}: {n_exchange} exchanges > ceiling {ceiling}"
+    )
