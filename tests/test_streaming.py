@@ -306,3 +306,105 @@ def test_streaming_exact_dedup_matches_batch(spark):
     shutil.rmtree(flat, ignore_errors=True)
     assert len(kept) == len(got), "a content hash was emitted twice"
     assert got == want
+
+
+def test_cascading_hypertable_rollup(spark):
+    """Hourly append + incrementally-maintained daily rollup must end
+    exactly at the batch aggregation over the same rows (restricted to
+    hours the watermark closed — append mode's contract)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.sources.tables import load_table
+    from gnip_trend_detection_spark.streaming.rollup import (
+        cascade_sink,
+        hourly_rollup_stream,
+    )
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select(
+            F.col("event_type").alias("counter"),
+            "ts",
+            F.lit(1.0).alias("weight"),
+        )
+        .cache()
+    )
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("double")), F.max(F.col("ts").cast("double"))
+    ).first()
+    edges = [lo + (hi - lo) * i / 3 for i in range(1, 3)]
+    flat = tempfile.mkdtemp(prefix="rollup_stream_")
+    t0 = __import__("time").time() - 600
+    slices = [
+        ev.filter(F.col("ts").cast("double") < edges[0]),
+        ev.filter(
+            (F.col("ts").cast("double") >= edges[0])
+            & (F.col("ts").cast("double") < edges[1])
+        ),
+        ev.filter(F.col("ts").cast("double") >= edges[1]),
+    ]
+    for i, sl in enumerate(slices):
+        d = f"{flat}/b{i}"
+        sl.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.move(f"{d}/{part}", dst)
+        shutil.rmtree(d)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    hourly_path = tempfile.mkdtemp(prefix="rollup_hourly_") + "/t"
+    daily_path = tempfile.mkdtemp(prefix="rollup_daily_") + "/t"
+    stream_in = (
+        spark.readStream.schema("counter string, ts timestamp, weight double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    sdf = hourly_rollup_stream(stream_in, watermark_delay="0 seconds")
+    q = (
+        sdf.writeStream.foreachBatch(cascade_sink(spark, hourly_path, daily_path))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # batch truth over hours the watermark closed (hour end <= max ts)
+    closed = (
+        ev.select(
+            "counter",
+            (F.floor(F.col("ts").cast("double") / 3600) * 3600)
+            .cast("long")
+            .alias("hour_ts"),
+            "weight",
+        )
+        .groupBy("counter", "hour_ts")
+        .agg(F.sum("weight").alias("count"))
+        .filter(F.col("hour_ts") + 3600 <= F.lit(hi))
+    )
+    want_h = {
+        (r["counter"], r["hour_ts"]): r["count"] for r in closed.collect()
+    }
+    got_h = {
+        (r["counter"], r["hour_ts"]): r["count"]
+        for r in spark.read.parquet(hourly_path).collect()
+    }
+    assert got_h == want_h and len(got_h) > 0
+
+    want_d = {
+        (r["counter"], r["day"]): (r["count"], r["n_hours"])
+        for r in closed.withColumn(
+            "day", (F.floor(F.col("hour_ts") / 86400) * 86400).cast("long")
+        )
+        .groupBy("counter", "day")
+        .agg(F.sum("count").alias("count"), F.count(F.lit(1)).alias("n_hours"))
+        .collect()
+    }
+    got_d = {
+        (r["counter"], r["day"]): (r["count"], r["n_hours"])
+        for r in spark.read.parquet(daily_path).collect()
+    }
+    ev.unpersist()
+    shutil.rmtree(flat, ignore_errors=True)
+    assert got_d == want_d
