@@ -57,6 +57,10 @@ DEFAULT_CEILING = 6
 def test_plan_budget(spark, name):
     from gnip_trend_detection_spark import queries as q
 
+    # other tests may have left persisted relations cached, which
+    # swaps plan subtrees for InMemoryTableScans and shifts counts —
+    # lint the cold plan
+    spark.catalog.clearCache()
     df = q.ALL[name](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
 
