@@ -645,6 +645,22 @@ def q_range_burst_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of value_quantiles: approx_percentile's
+    t-digest is mergeable (map-side combine, one narrow shuffle, no
+    per-group sort). No DuckDB oracle — sketch results are not
+    bit-reproducible across engines — so the driver records the
+    weaker rows-only check; the exact twin carries the value hash."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(q[0], 6).alias("p50"),
+        F.round(q[1], 6).alias("p90"),
+        F.round(q[2], 6).alias("p99"),
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width 20-bin histogram of event values per type, bin
     edges from the GLOBAL min/max (broadcast 1-row cross join, no
@@ -1096,6 +1112,7 @@ ALL: dict[str, QueryFn] = {
     "asof_enrich": q_asof_enrich,
     "value_quantiles": q_value_quantiles,
     "value_histogram": q_value_histogram,
+    "value_quantiles_approx": q_value_quantiles_approx,
     "range_burst_count": q_range_burst_count,
     "tpch_q3_shipping": q_tpch_q3_shipping,
     "tpch_q5_local_revenue": q_tpch_q5_local_revenue,
