@@ -40,6 +40,7 @@ HEADLINE = [
     "unigram_logppl",
     "semantic_dedup",
     "pii_scrub",
+    "corpus_report",
     "events_rollup",
     "asof_enrich",
     "value_quantiles",

@@ -963,6 +963,26 @@ FROM tf JOIN lm USING (term) CROSS JOIN n
 GROUP BY doc_id
 """
 
+    # per-source corpus dashboard (queries.q_corpus_report)
+    sql["corpus_report"] = """
+WITH base AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(n_chars) AS total_chars,
+         COUNT(DISTINCT md5(text)) AS distinct_texts
+  FROM documents GROUP BY source
+),
+lc AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+top AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rk
+    FROM lc
+  ) WHERE rk = 1
+)
+SELECT base.source, n_docs, total_chars, distinct_texts, top_lang
+FROM base JOIN top ON base.source = top.source
+"""
+
     # PII scrub with injected synthetic PII (extras/text.py:pii_scrub);
     # patterns stay in the RE2-compatible subset so Java regex and RE2
     # agree byte-for-byte

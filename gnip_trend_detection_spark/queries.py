@@ -578,6 +578,29 @@ def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logppl(_docs(spark, sf_dir))
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus dashboard: doc/char volume, exact-dup rate
+    (distinct content hashes vs docs), dominant language. One scan,
+    two hash aggs, a tiny per-source window — the roll-up a curation
+    run reports before and after filtering."""
+    docs = _docs(spark, sf_dir)
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("distinct_texts"),
+    )
+    lang_counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    top_lang = (
+        lang_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return base.join(top_lang, "source")
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over the corpus with synthetic PII injected (every
     3rd doc gains an email, every 5th a seeded phone) so counts and
@@ -1113,6 +1136,7 @@ ALL: dict[str, QueryFn] = {
     "value_quantiles": q_value_quantiles,
     "value_histogram": q_value_histogram,
     "value_quantiles_approx": q_value_quantiles_approx,
+    "corpus_report": q_corpus_report,
     "range_burst_count": q_range_burst_count,
     "tpch_q3_shipping": q_tpch_q3_shipping,
     "tpch_q5_local_revenue": q_tpch_q5_local_revenue,
