@@ -47,8 +47,10 @@ def curate(
         .filter(F.col("doc_id") == F.col("__canon"))
         .drop("__canon")
     )
+    # integer micro-unit compare: the gate cannot sit on a float
+    # rounding tie (quality_min is converted once, driver-side)
     quality = text.quality_score(canon, text_col).filter(
-        F.col("quality") >= quality_min
+        F.col("quality_micro") >= int(round(quality_min * 1000000))
     )
     langs = text.lang_id(canon.sparkSession, canon, text_col).select(
         "doc_id", "predicted_lang"
@@ -66,4 +68,4 @@ def curate(
         seed=seed,
         default_fraction=default_fraction,
     )
-    return out.select("doc_id", "predicted_lang", "quality")
+    return out.select("doc_id", "predicted_lang", "quality_micro")

@@ -63,7 +63,17 @@ def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic heuristic quality in [0,1]: length, lexical
-    diversity, word length, stopword density — equal weights."""
+    diversity, word length, stopword density — equal weights.
+
+    Emitted as integer MICRO-units (`quality_micro` = score * 1e6,
+    rounded once to an integer) rather than a 6-decimal double:
+    decimal-rounding a double is engine-dependent at ties (Java's
+    BigDecimal half-up reads the shortest decimal string, DuckDB
+    multiplies and floors), and at sf0.1 four of 5000 docs landed
+    exactly on such a tie. A single double multiply + round-to-integer
+    is bit-identical across engines except at exact binary .5, where
+    both round away from zero — the same discipline as the integer-
+    cent money sums."""
     t = docs.withColumn("toks", tokens(F.col(text_col))).filter(F.size("toks") > 0)
     n = F.size("toks").cast("double")
     nd = F.size(F.array_distinct("toks")).cast("double")
@@ -81,7 +91,10 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least((chars / n) / 8.0, F.lit(1.0)) * 0.25
         + (stops / n) * 0.25
     )
-    return t.select("doc_id", F.round(quality, 6).alias("quality"))
+    return t.select(
+        "doc_id",
+        F.round(quality * 1000000.0).cast("long").alias("quality_micro"),
+    )
 
 
 def lang_id(spark: SparkSession, docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -819,8 +819,9 @@ m AS (
   FROM t WHERE len(toks) > 0
 )
 SELECT doc_id,
-       ROUND(LEAST(n / 200.0, 1.0) * 0.25 + (nd / n) * 0.25
-             + LEAST((chars / n) / 8.0, 1.0) * 0.25 + (stops / n) * 0.25, 6) AS quality
+       CAST(ROUND((LEAST(n / 200.0, 1.0) * 0.25 + (nd / n) * 0.25
+             + LEAST((chars / n) / 8.0, 1.0) * 0.25 + (stops / n) * 0.25)
+             * 1000000.0) AS BIGINT) AS quality_micro
 FROM m
 """
     langwords = (
@@ -1179,8 +1180,9 @@ m AS (
 ),
 q AS (
   SELECT doc_id,
-         ROUND(LEAST(n / 200.0, 1.0) * 0.25 + (nd / n) * 0.25
-               + LEAST((chars / n) / 8.0, 1.0) * 0.25 + (stops / n) * 0.25, 6) AS quality
+         CAST(ROUND((LEAST(n / 200.0, 1.0) * 0.25 + (nd / n) * 0.25
+               + LEAST((chars / n) / 8.0, 1.0) * 0.25 + (stops / n) * 0.25)
+               * 1000000.0) AS BIGINT) AS quality_micro
   FROM m
 ),
 words(lang, word) AS (VALUES {langwords}),
@@ -1219,11 +1221,11 @@ clean AS (
   SELECT c.doc_id FROM canon c LEFT JOIN hitc h USING (doc_id)
   WHERE COALESCE(h.n_hit, 0) = 0
 )
-SELECT q.doc_id, l.predicted_lang, q.quality
+SELECT q.doc_id, l.predicted_lang, q.quality_micro
 FROM q
 JOIN lng l USING (doc_id)
 JOIN clean USING (doc_id)
-WHERE q.quality >= 0.34
+WHERE q.quality_micro >= 340000
   AND CAST(('0x' || substr(md5(CAST(q.doc_id AS VARCHAR) || ':42'), 1, 8))
            AS BIGINT) / 4294967296.0
       < CASE l.predicted_lang WHEN 'en' THEN 1.0 WHEN 'es' THEN 0.5
