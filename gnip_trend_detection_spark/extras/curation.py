@@ -4,7 +4,7 @@ subcommand and the `curation_pipeline` oracle query both call this).
 
 Stages, in pipeline order:
 1. exact-dedup to one canonical doc per content hash (min doc_id);
-2. quality gate on the 6-decimal-rounded heuristic score;
+2. quality gate on the integer micro-unit heuristic score;
 3. language ID (broadcast wordlists);
 4. benchmark decontamination (token n-gram collision);
 5. deterministic per-language stratified sampling.

@@ -832,7 +832,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     over one shared scan; the only wide relations are the per-stage
     aggregates themselves.
 
-    Kept row = canonical AND quality >= 0.34 (on the 6-decimal-rounded
+    Kept row = canonical AND quality_micro >= 340000 (on the integer micro-unit
     score, so the threshold is parity-stable) AND zero benchmark
     4-gram hits AND survives the per-predicted-lang hash draw."""
     from gnip_trend_detection_spark.extras.curation import curate
