@@ -50,6 +50,8 @@ HEADLINE = [
     "doc_fingerprint",
     "decontaminate",
     "stratified_sample",
+    "chunk_documents",
+    "mix_sources",
     "curation_pipeline",
     "pack_shards",
     "cosine_neardup_blocked",

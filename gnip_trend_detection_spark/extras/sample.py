@@ -73,3 +73,54 @@ def stratified_sample(
         else F.lit(float(default_fraction))
     )
     return df.filter(uniform_draw(F.col(key_col), seed) < frac)
+
+
+def mix_to_ratios(
+    df: DataFrame,
+    strata_col: str,
+    target_ratios: dict[str, float],
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Downsample strata so the kept WEIGHT (tokens/bytes) matches
+    ``target_ratios`` — the source-mixing step of a pretraining data
+    build ("20% code, 30% web, ..."), solved without a driver collect.
+
+    The binding stratum is the one with the least weight relative to
+    its target: T = min_s(w_s / r_s) is the largest total the targets
+    admit; stratum s then keeps fraction f_s = r_s * T / w_s <= 1 of
+    its weight via the same key-hash draw the other samplers use, so
+    the kept set is reproducible under any partitioning. Strata absent
+    from ``target_ratios`` are dropped.
+
+    Plan shape: one map-side-combined agg over the scan produces the
+    |strata|-row weight table; a min over that tiny relation rides
+    along as a 1-row broadcast cross join; the keep decision is then a
+    broadcast-joined filter on the second scan pass. The corpus is
+    touched twice (agg + filter) and shuffled never.
+    """
+    ratios = [
+        (s, float(r)) for s, r in sorted(target_ratios.items()) if r > 0
+    ]
+    spark = df.sparkSession
+    rdf = spark.createDataFrame(ratios, f"{strata_col} string, target_ratio double")
+    weights = (
+        df.groupBy(strata_col)
+        .agg(F.sum(F.col(weight_col).cast("double")).alias("stratum_weight"))
+        .join(F.broadcast(rdf), strata_col, "inner")
+    )
+    admit = weights.select(
+        F.min(F.col("stratum_weight") / F.col("target_ratio")).alias("admit_total")
+    )
+    fractions = weights.crossJoin(F.broadcast(admit)).select(
+        strata_col,
+        (
+            F.col("target_ratio")
+            * F.col("admit_total")
+            / F.col("stratum_weight")
+        ).alias("keep_fraction"),
+    )
+    return df.join(F.broadcast(fractions), strata_col, "inner").filter(
+        uniform_draw(F.col(key_col), seed) < F.col("keep_fraction")
+    )

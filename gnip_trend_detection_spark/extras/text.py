@@ -282,3 +282,54 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(redacted.cast("binary")).alias("redacted_hash"),
         F.length(redacted).cast("long").alias("redacted_len"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed token-window chunks with overlap —
+    the context-length-fitting pass of a pretraining / RAG pipeline.
+
+    Chunk i covers tokens [i*stride, i*stride + max_tokens) with
+    stride = max_tokens - overlap; the last chunk keeps the tail even
+    when shorter. A doc with <= max_tokens tokens yields exactly one
+    chunk. Emits (doc_id, chunk_id, chunk_tokens, chunk_text).
+
+    Plan shape: one scan, a bounded posexplode (ceil(n/stride) rows
+    per doc — output-proportional, never quadratic), zero shuffles.
+    posexplode_outer + isnotnull(chunk_id) avoids the
+    InferFiltersFromGenerate pitfall (see SCALE.md): a plain
+    posexplode would push the full tokenization expression into a
+    synthesized scan filter and double the tokenize work.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    t = docs.select(
+        "doc_id", tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("toks") - F.lit(overlap)) / F.lit(float(stride))),
+    ).cast("int")
+    t = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode_outer(F.sequence(F.lit(0), n_chunks - 1)).alias(
+            "pos", "chunk_id"
+        ),
+    ).filter(F.col("chunk_id").isNotNull())
+    start = F.col("chunk_id") * stride
+    return t.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.least(F.size("toks") - start, F.lit(max_tokens))
+        .cast("long")
+        .alias("chunk_tokens"),
+        F.array_join(F.slice("toks", start + 1, max_tokens), " ").alias(
+            "chunk_text"
+        ),
+    )

@@ -1247,6 +1247,52 @@ WHERE u < CASE lang WHEN 'de' THEN 0.5 WHEN 'en' THEN 1.0
                     WHEN 'es' THEN 0.25 ELSE 0.1 END
 """
 
+    # context-length chunking (extras/text.py:chunk_documents):
+    # 64-token windows, stride 48 (16 overlap); chunk i slices tokens
+    # [i*48+1, i*48+64] 1-based-inclusive — same windows as Spark's
+    # slice(toks, i*48+1, 64)
+    sql["chunk_documents"] = f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         greatest(1, CAST(ceil((len(toks) - 16) / 48.0) AS INT)) AS n_chunks
+  FROM t WHERE len(toks) > 0
+), x AS (
+  SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id FROM c
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(least(len(toks) - chunk_id * 48, 64) AS BIGINT) AS chunk_tokens,
+       array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text
+FROM x
+"""
+
+    # source mixing to target weight ratios (extras/sample.py:
+    # mix_to_ratios): T = min(w/r); keep_fraction = r*T/w — identical
+    # IEEE op order to the Spark plan, so the u < f comparison agrees
+    # bit-for-bit (char weights sum exactly: integer-valued doubles)
+    sql["mix_sources"] = """
+WITH w AS (
+  SELECT source, SUM(CAST(n_chars AS DOUBLE)) AS stratum_weight
+  FROM documents GROUP BY source
+), r AS (
+  SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2))
+       AS t(source, target_ratio)
+), j AS (
+  SELECT w.source, stratum_weight, target_ratio FROM w JOIN r USING (source)
+), f AS (
+  SELECT source,
+         target_ratio * (SELECT MIN(stratum_weight / target_ratio) FROM j)
+           / stratum_weight AS keep_fraction
+  FROM j
+)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN f USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8))
+           AS BIGINT) / 4294967296.0 < keep_fraction
+"""
+
     # --- similarity search over embeddings ---
     vec = "[CAST(x AS DOUBLE) for x in embedding]"
     sql["cosine_neardup_pairs"] = f"""

@@ -823,6 +823,31 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "lane", "shard_idx", "n_tokens")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: 64-token windows, 16-token overlap —
+    the sequence-fitting pass of a pretraining / RAG build. Bounded
+    posexplode, output-proportional rows, zero shuffles."""
+    return text.chunk_documents(
+        _docs(spark, sf_dir), max_tokens=64, overlap=16
+    )
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixing to target weight ratios (50/30/20 over three
+    sources, weighted by chars): the per-stratum keep fraction is
+    derived relationally from one tiny agg (no driver collect) and
+    applied as a key-hash filter, so the kept set is reproducible
+    under any partitioning."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    out = sample.mix_to_ratios(
+        docs,
+        "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        weight_col="n_chars",
+    )
+    return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation flow as ONE dataflow — what a
     practitioner actually runs before pretraining: exact-dedup to a
@@ -1143,6 +1168,8 @@ ALL: dict[str, QueryFn] = {
     "doc_fingerprint": q_doc_fingerprint,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
+    "chunk_documents": q_chunk_documents,
+    "mix_sources": q_mix_sources,
     "curation_pipeline": q_curation_pipeline,
     "pack_shards": q_pack_shards,
     "cosine_neardup_pairs": q_cosine_neardup_pairs,

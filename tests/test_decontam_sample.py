@@ -84,3 +84,34 @@ def test_stratified_sample_respects_fractions(spark):
     assert by_lang.get("en") == 300  # fraction 1.0 keeps every row
     assert "de" not in by_lang  # fraction 0.0 drops every row
     assert 100 < by_lang.get("fr", 0) < 200  # ~0.5 of 300
+
+
+def test_mix_to_ratios_targets_weight_ratios(spark):
+    from gnip_trend_detection_spark.extras.sample import mix_to_ratios
+
+    rows = [(i, "a" if i < 400 else "b", 10) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    out = mix_to_ratios(df, "src", {"a": 0.5, "b": 0.5}, weight_col="w")
+    kept = out.groupBy("src").count().collect()
+    by_src = {r["src"]: r["count"] for r in kept}
+    # binding stratum b (2000 weight vs 4000 target-admissible) keeps
+    # everything; a downsamples toward parity
+    assert by_src["b"] == 200
+    assert 140 <= by_src["a"] <= 260  # ~0.5 hash-draw on 400 rows
+    # dropped strata vanish; determinism under repartition
+    out2 = mix_to_ratios(
+        df.repartition(7), "src", {"a": 0.5, "b": 0.5}, weight_col="w"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in out2.collect()
+    )
+
+
+def test_mix_to_ratios_drops_unlisted_strata(spark):
+    from gnip_trend_detection_spark.extras.sample import mix_to_ratios
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 5), (3, "c", 5)], "doc_id long, src string, w long"
+    )
+    out = mix_to_ratios(df, "src", {"a": 1.0, "b": 1.0}, weight_col="w")
+    assert {r["src"] for r in out.collect()} <= {"a", "b"}

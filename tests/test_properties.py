@@ -147,3 +147,43 @@ def test_unit_normalization_scale_invariant(spark):
 @pytest.fixture(scope="module")
 def spark_prop(spark):
     return spark
+
+
+def test_chunk_documents_covers_every_token_once_per_stride(spark):
+    from gnip_trend_detection_spark.extras.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(100))),  # 100 toks → 2 chunks
+            (2, "one two three"),  # short → 1 chunk
+            (3, " ".join(f"x{i}" for i in range(64))),  # exactly max → 1
+            (4, " ".join(f"y{i}" for i in range(65))),  # max+1 → 2
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=64, overlap=16)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert {(d, c) for d, c in rows} == {
+        (1, 0), (1, 1), (2, 0), (3, 0), (4, 0), (4, 1)
+    }
+    # chunk 1 of doc 1 starts at token 48 (stride) and has 52 tokens
+    r = rows[(1, 1)]
+    assert r["chunk_tokens"] == 52
+    assert r["chunk_text"].split(" ")[0] == "t48"
+    assert r["chunk_text"].split(" ")[-1] == "t99"
+    # overlap: last 16 tokens of chunk 0 == first 16 of chunk 1
+    c0 = rows[(1, 0)]["chunk_text"].split(" ")
+    c1 = r["chunk_text"].split(" ")
+    assert c0[-16:] == c1[:16]
+    # the tail chunk of doc 4 keeps the overlap plus the one new token
+    assert rows[(4, 1)]["chunk_tokens"] == 17
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from gnip_trend_detection_spark.extras.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=8, overlap=8)
