@@ -82,6 +82,40 @@ def minhash_signatures(
     return t.select("doc_id", "shingles", sig.alias("sig")).drop("h32")
 
 
+def band_rows(
+    sigs: DataFrame, rows_per_band: int = 2, n_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, b, band_val): one row per LSH band per document. Band b
+    joins sig rows [b*rows_per_band, (b+1)*rows_per_band) with ':'
+    (unambiguous for the integer signatures). Shared by the batch
+    candidate join and the streaming near-dup state keys — identical
+    bucketing by construction."""
+    n_bands = n_hashes // rows_per_band
+
+    def band_val(b: Column) -> Column:
+        return F.concat_ws(
+            ":",
+            *[
+                F.get(F.col("sig"), b * rows_per_band + j).cast("string")
+                for j in range(rows_per_band)
+            ],
+        )
+
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(b.alias("b"), band_val(b).alias("band_val")),
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        F.col("band.b").alias("b"),
+        F.col("band.band_val").alias("band_val"),
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, rows_per_band: int = 2, max_band: int | None = None
 ) -> DataFrame:
@@ -101,30 +135,8 @@ def lsh_candidate_pairs(
     Spark's lineage recompute from re-tokenizing and re-hashing the
     corpus once per branch — at 100 TB this intermediate is exactly
     what you'd checkpoint to storage before the self-join."""
-    n_hashes = 16
-    n_bands = n_hashes // rows_per_band
     sigs = sigs.persist()
-
-    # band b joins sig rows [b*rows_per_band, (b+1)*rows_per_band) with
-    # ':' (unambiguous for the integer signatures)
-    def band_val(b: Column) -> Column:
-        return F.concat_ws(
-            ":",
-            *[
-                F.get(F.col("sig"), b * rows_per_band + j).cast("string")
-                for j in range(rows_per_band)
-            ],
-        )
-
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(b.alias("b"), band_val(b).alias("band_val")),
-            )
-        ).alias("band"),
-    ).select("doc_id", F.col("band.b").alias("b"), F.col("band.band_val").alias("band_val"))
+    bands = band_rows(sigs, rows_per_band)
 
     if max_band is not None:
         bn = F.count(F.lit(1)).over(Window.partitionBy("b", "band_val"))

@@ -1,5 +1,6 @@
 from gnip_trend_detection_spark.streaming.decontam import decontaminate_stream
 from gnip_trend_detection_spark.streaming.dedup import exact_dedup_stream
+from gnip_trend_detection_spark.streaming.neardup import lsh_neardup_stream
 from gnip_trend_detection_spark.streaming.rebin import streaming_rebin
 from gnip_trend_detection_spark.streaming.models import (
     score_stream_poisson_lc,
@@ -12,6 +13,7 @@ from gnip_trend_detection_spark.streaming.models import (
 __all__ = [
     "decontaminate_stream",
     "exact_dedup_stream",
+    "lsh_neardup_stream",
     "streaming_rebin",
     "score_stream_poisson_lc",
     "score_stream_poisson_cycle",

@@ -408,3 +408,73 @@ def test_cascading_hypertable_rollup(spark):
     ev.unpersist()
     shutil.rmtree(flat, ignore_errors=True)
     assert got_d == want_d
+
+
+def test_streaming_lsh_neardup_matches_batch_candidates(spark):
+    """Bucket-representative flagging over doc_id-ordered micro-batches
+    must flag EXACTLY the docs that have a smaller-id batch LSH
+    candidate partner: a bucket's rep is its min doc_id, so a flagged
+    doc collides with that rep in the flagging band (a batch pair),
+    and conversely a doc with a smaller-id partner always finds that
+    band's bucket already claimed."""
+    import tempfile
+
+    from gnip_trend_detection_spark import streaming as stm
+    from gnip_trend_detection_spark.extras.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from gnip_trend_detection_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    # near-dup heavy corpus: every 5th doc re-appears under a new id
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).cache()
+
+    edges = [20, 40]
+    slices = [
+        corpus.filter(F.col("doc_id") < edges[0]),
+        corpus.filter((F.col("doc_id") >= edges[0]) & (F.col("doc_id") < edges[1])),
+        corpus.filter(F.col("doc_id") >= edges[1]),
+    ]
+    flat = tempfile.mkdtemp(prefix="stream_neardup_")
+    t0 = __import__("time").time() - 600
+    for i, sl in enumerate(slices):
+        d = f"{flat}/b{i}"
+        sl.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.move(f"{d}/{part}", dst)
+        shutil.rmtree(d)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    stream_in = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    sdf = stm.lsh_neardup_stream(stream_in)
+    _run_to_completion(sdf, "append", "neardup_stream")
+    out = spark.sql("select * from neardup_stream").collect()
+
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(corpus)).collect()
+    }
+    flagged = {r["doc_id"] for r in out}
+    want_flagged = {b for _, b in batch_pairs}  # docs with a smaller-id partner
+    # every flagged (rep, doc) collision is a real batch candidate pair
+    assert {(r["rep_id"], r["doc_id"]) for r in out} <= batch_pairs
+    assert flagged == want_flagged
+    # duplicated docs collide in ALL 8 bands with their source doc
+    n_bands_hit = {}
+    for r in out:
+        n_bands_hit[r["doc_id"]] = n_bands_hit.get(r["doc_id"], 0) + 1
+    exact_copies = {r["doc_id"] for r in out if r["doc_id"] >= 1000000}
+    assert exact_copies and all(n_bands_hit[d] == 8 for d in exact_copies)
+    corpus.unpersist()
+    shutil.rmtree(flat, ignore_errors=True)
