@@ -56,6 +56,8 @@ HEADLINE = [
     "pack_shards",
     "cosine_neardup_blocked",
     "ann_ivf_topk",
+    "embedding_covariance",
+    "embedding_pca",
     "multimodal_decode",
     "tpch_q1_pricing",
     "tpch_q3_shipping",

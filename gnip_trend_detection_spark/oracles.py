@@ -1293,6 +1293,30 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8))
            AS BIGINT) / 4294967296.0 < keep_fraction
 """
 
+    # distributed-PCA aggregation step (extras/pca.py:covariance):
+    # population covariance E[xx^T] - mu mu^T; 6-digit rounding absorbs
+    # the cross-engine summation-order ulp (cosine precedent). The
+    # eigh/projection stage (embedding_pca) is rows-only by design.
+    sql["embedding_covariance"] = """
+WITH e AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+), x AS (
+  SELECT vec_id, i, v[i] AS xi
+  FROM (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM e)
+), s AS (
+  SELECT a.i - 1 AS i, b.i - 1 AS j, SUM(a.xi * b.xi) AS s
+  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+), m AS (
+  SELECT i - 1 AS i, SUM(xi) AS si FROM x GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e)
+SELECT CAST(s.i AS INT) AS i, CAST(s.j AS INT) AS j,
+       ROUND(s.s / n.n - (ma.si / n.n) * (mb.si / n.n), 6) AS cov
+FROM s
+CROSS JOIN n
+JOIN m ma ON ma.i = s.i
+JOIN m mb ON mb.i = s.j
+"""
+
     # --- similarity search over embeddings ---
     vec = "[CAST(x AS DOUBLE) for x in embedding]"
     sql["cosine_neardup_pairs"] = f"""

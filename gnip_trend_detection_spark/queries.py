@@ -848,6 +848,28 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d x d covariance of the embedding column via per-batch Gramian
+    partials (one BLAS matmul per Arrow batch) + one tiny hash agg —
+    the aggregation step of distributed PCA, corpus read once."""
+    from gnip_trend_detection_spark.extras import pca
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    return pca.covariance(embs)
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 PCA projection: eigh on the driver-collected d^2
+    covariance (bounded by dimension, not data), then a broadcast
+    matmul per batch. Eigendecomposition is not SQL-expressible —
+    rows-only driver check; invariants pinned in pytest."""
+    from gnip_trend_detection_spark.extras import pca
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca.pca_components(embs, k=4)
+    return pca.pca_project(embs, mean, comps)
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation flow as ONE dataflow — what a
     practitioner actually runs before pretraining: exact-dedup to a
@@ -1170,6 +1192,8 @@ ALL: dict[str, QueryFn] = {
     "stratified_sample": q_stratified_sample,
     "chunk_documents": q_chunk_documents,
     "mix_sources": q_mix_sources,
+    "embedding_covariance": q_embedding_covariance,
+    "embedding_pca": q_embedding_pca,
     "curation_pipeline": q_curation_pipeline,
     "pack_shards": q_pack_shards,
     "cosine_neardup_pairs": q_cosine_neardup_pairs,

@@ -31,6 +31,7 @@ BNLJ_OK = {
     "cosine_neardup_pairs",   # declared exact O(n^2) baseline
     "cosine_neardup_blocked", # broadcast block-id frame (n_blocks rows)
     "correlation_pairs_dense",  # broadcast block ids
+    "embedding_covariance",     # broadcast 1-row vector count n
     "mix_sources",         # broadcast 1-row admissible-total scalar
     "precision_recall",    # broadcast 1-row threshold grid base
     "roc_points",          # broadcast 1-row totals

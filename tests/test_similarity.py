@@ -94,3 +94,35 @@ def test_kmeans_centroids_are_unit_and_deterministic(spark, embeddings):
     a = {r["centroid_id"]: tuple(r["cv"]) for r in rows}
     b = {r["centroid_id"]: tuple(r["cv"]) for r in c2.collect()}
     assert a == b
+
+
+def test_pca_components_orthonormal_and_variance_ordered(spark):
+    import numpy as np
+
+    from gnip_trend_detection_spark.extras.pca import (
+        covariance,
+        pca_components,
+        pca_project,
+    )
+    from gnip_trend_detection_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    mean, W, ev = pca_components(embs, k=4)
+    # orthonormal columns, eigenvalues descending and nonnegative
+    assert np.allclose(W.T @ W, np.eye(4), atol=1e-8)
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(3))
+    assert ev[-1] >= -1e-9
+    # sign convention: largest-|coord| entry positive
+    for c in range(W.shape[1]):
+        assert W[np.argmax(np.abs(W[:, c])), c] > 0
+    # projected variance per component ~= eigenvalue (cov rounded 1e-6)
+    proj = pca_project(embs, mean, W).toPandas()
+    for c in range(4):
+        v = proj[proj["comp"] == c]["value"].to_numpy()
+        assert abs(v.mean()) < 1e-3  # centered
+        assert abs(v.var() - ev[c]) < 1e-3
+    # covariance relation is symmetric with variances on the diagonal
+    cv = {(r["i"], r["j"]): r["cov"] for r in covariance(embs).collect()}
+    d = int(max(i for i, _ in cv)) + 1
+    assert all(cv[(i, j)] == cv[(j, i)] for i in range(d) for j in range(i))
+    assert all(cv[(i, i)] >= 0 for i in range(d))
