@@ -52,6 +52,7 @@ HEADLINE = [
     "stratified_sample",
     "chunk_documents",
     "mix_sources",
+    "dataset_split",
     "curation_pipeline",
     "pack_shards",
     "cosine_neardup_blocked",

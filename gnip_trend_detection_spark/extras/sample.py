@@ -124,3 +124,36 @@ def mix_to_ratios(
     return df.join(F.broadcast(fractions), strata_col, "inner").filter(
         uniform_draw(F.col(key_col), seed) < F.col("keep_fraction")
     )
+
+
+def split_dataset(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the key's uniform draw
+    lands in cumulative [0,1) intervals ordered by split name — every
+    row keeps its split under any partitioning, retry, or cluster
+    layout (the property df.randomSplit lacks). Adds a ``split``
+    column; weights must sum to ~1.
+
+    Pass a GROUP key (e.g. source/domain) as ``key_col`` for
+    leakage-safe splits: all rows of a group land in the same split,
+    so near-duplicates within a domain cannot straddle train/test.
+    Plan: scan + case expression, zero shuffle.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    u = uniform_draw(F.col(key_col), seed)
+    expr = None
+    acc = 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += float(w)
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)
+    return df.withColumn("split", expr)

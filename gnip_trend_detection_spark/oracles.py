@@ -1293,6 +1293,23 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8))
            AS BIGINT) / 4294967296.0 < keep_fraction
 """
 
+    # leakage-safe dataset split (extras/sample.py:split_dataset):
+    # cumulative thresholds over alphabetically-ordered split names
+    # (test 0.125 | train 0.75 | val 0.125 — dyadic, exact literals)
+    sql["dataset_split"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(source || ':42'), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN u < 0.125 THEN 'test'
+            WHEN u < 0.875 THEN 'train'
+            ELSE 'val' END AS split
+FROM d
+"""
+
     # distributed-PCA aggregation step (extras/pca.py:covariance):
     # population covariance E[xx^T] - mu mu^T; 6-digit rounding absorbs
     # the cross-engine summation-order ulp (cosine precedent). The

@@ -848,6 +848,20 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split keyed on SOURCE (all docs of
+    a domain land together, so near-dups can't straddle train/test).
+    Dyadic weights (.75/.125/.125) keep the cumulative thresholds
+    exactly representable — cross-engine literal parity. Zero-shuffle
+    case expression."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return sample.split_dataset(
+        docs,
+        {"train": 0.75, "val": 0.125, "test": 0.125},
+        key_col="source",
+    )
+
+
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d x d covariance of the embedding column via per-batch Gramian
     partials (one BLAS matmul per Arrow batch) + one tiny hash agg —
@@ -1194,6 +1208,7 @@ ALL: dict[str, QueryFn] = {
     "mix_sources": q_mix_sources,
     "embedding_covariance": q_embedding_covariance,
     "embedding_pca": q_embedding_pca,
+    "dataset_split": q_dataset_split,
     "curation_pipeline": q_curation_pipeline,
     "pack_shards": q_pack_shards,
     "cosine_neardup_pairs": q_cosine_neardup_pairs,

@@ -115,3 +115,30 @@ def test_mix_to_ratios_drops_unlisted_strata(spark):
     )
     out = mix_to_ratios(df, "src", {"a": 1.0, "b": 1.0}, weight_col="w")
     assert {r["src"] for r in out.collect()} <= {"a", "b"}
+
+
+def test_split_dataset_group_coherent_and_partitioning_invariant(spark):
+    from gnip_trend_detection_spark.extras.sample import split_dataset
+
+    rows = [(i, f"dom{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = split_dataset(
+        df, {"train": 0.75, "val": 0.125, "test": 0.125}, key_col="source"
+    )
+    # group-coherent: one split per source
+    per_src = out.groupBy("source").agg(
+        F.countDistinct("split").alias("ns")
+    ).collect()
+    assert all(r["ns"] == 1 for r in per_src)
+    # partitioning-invariant
+    out2 = split_dataset(
+        df.repartition(13),
+        {"train": 0.75, "val": 0.125, "test": 0.125},
+        key_col="source",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+    # bad weights rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_dataset(df, {"train": 0.5, "val": 0.1})
