@@ -59,6 +59,34 @@ def _build_parser() -> argparse.ArgumentParser:
         help="per-language keep fractions, lang=frac[,lang=frac...]",
     )
     c.add_argument("--default-frac", type=float, default=0.2)
+
+    ch = sub.add_parser(
+        "chunk", help="split docs into fixed token windows with overlap"
+    )
+    ch.add_argument("-i", "--input", required=True, help="corpus file/dir")
+    ch.add_argument("-o", "--output", required=True, help="output parquet dir")
+    ch.add_argument(
+        "--format", choices=("jsonl", "parquet"), default="jsonl", dest="fmt"
+    )
+    ch.add_argument("--max-tokens", type=int, default=512)
+    ch.add_argument("--overlap", type=int, default=64)
+
+    sp = sub.add_parser(
+        "split", help="deterministic train/val/test split (group-keyed)"
+    )
+    sp.add_argument("-i", "--input", required=True, help="corpus file/dir")
+    sp.add_argument("-o", "--output", required=True, help="output parquet dir")
+    sp.add_argument(
+        "--format", choices=("jsonl", "parquet"), default="jsonl", dest="fmt"
+    )
+    sp.add_argument(
+        "--weights",
+        default="train=0.75,val=0.125,test=0.125",
+        help="split=weight[,split=weight...]; must sum to 1",
+    )
+    sp.add_argument(
+        "--by", default="doc_id", help="key column (group key = leakage-safe)"
+    )
     return p
 
 
@@ -109,14 +137,38 @@ def main(argv: list[str] | None = None) -> int:
                 )
         return 0
 
-    if args.cmd == "curate":
-        from gnip_trend_detection_spark.extras.curation import curate
+    if args.cmd in ("curate", "chunk", "split"):
         from gnip_trend_detection_spark.sources.jsonl import load_documents_jsonl
 
         def read_docs(path):
             if args.fmt == "jsonl":
                 return load_documents_jsonl(spark, path)
             return spark.read.parquet(path)
+
+    if args.cmd == "chunk":
+        from gnip_trend_detection_spark.extras.text import chunk_documents
+
+        chunk_documents(
+            read_docs(args.input),
+            max_tokens=args.max_tokens,
+            overlap=args.overlap,
+        ).write.mode("overwrite").parquet(args.output)
+        return 0
+
+    if args.cmd == "split":
+        from gnip_trend_detection_spark.extras.sample import split_dataset
+
+        weights = {
+            k: float(v)
+            for k, v in (kv.split("=") for kv in args.weights.split(",") if kv)
+        }
+        out = split_dataset(read_docs(args.input), weights, key_col=args.by)
+        # Hive layout: one directory per split, prunable downstream
+        out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+        return 0
+
+    if args.cmd == "curate":
+        from gnip_trend_detection_spark.extras.curation import curate
 
         fractions = {
             k: float(v)

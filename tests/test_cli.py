@@ -109,3 +109,40 @@ def test_cli_curate_jsonl(tmp_path, spark):
     kept = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
     assert 0 not in kept          # contaminated by the benchmark
     assert len(kept) >= 30        # the rest survive (frac 1.0)
+
+
+def test_cli_chunk_and_split(tmp_path, spark):
+    from gnip_trend_detection_spark.cli import main
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    lines = [
+        f'{{"doc_id": {i}, "text": "{" ".join(f"w{i}x{j}" for j in range(20))}",'
+        f' "lang": "en", "source": "s{i % 3}"}}'
+        for i in range(12)
+    ]
+    (corpus / "docs.jsonl").write_text("\n".join(lines))
+
+    out_c = tmp_path / "chunks"
+    rc = main(
+        ["chunk", "-i", str(corpus), "-o", str(out_c),
+         "--max-tokens", "8", "--overlap", "2"]
+    )
+    assert rc == 0
+    chunks = spark.read.parquet(str(out_c))
+    # 20 tokens, stride 6 → ceil((20-2)/6) = 3 chunks per doc
+    assert chunks.count() == 12 * 3
+    assert chunks.filter("chunk_tokens > 8").count() == 0
+
+    out_s = tmp_path / "splits"
+    rc = main(
+        ["split", "-i", str(corpus), "-o", str(out_s), "--by", "source"]
+    )
+    assert rc == 0
+    sp = spark.read.parquet(str(out_s))
+    # partitionBy layout readable, split column recovered, group-coherent
+    assert sp.count() == 12
+    per_src = sp.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["countDistinct"]).countDistinct("split").alias("ns")
+    ).collect()
+    assert all(r["ns"] == 1 for r in per_src)
