@@ -53,6 +53,7 @@ HEADLINE = [
     "chunk_documents",
     "mix_sources",
     "dataset_split",
+    "heavy_hitter_terms",
     "curation_pipeline",
     "pack_shards",
     "cosine_neardup_blocked",

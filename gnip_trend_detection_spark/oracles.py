@@ -1293,6 +1293,19 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8))
            AS BIGINT) / 4294967296.0 < keep_fraction
 """
 
+    # heavy hitters (extras/sketch.py): MG candidates + exact recount
+    # == plain GROUP BY HAVING — the sketch only widens candidates,
+    # never changes the final exact answer
+    sql["heavy_hitter_terms"] = f"""
+WITH tok AS (
+  SELECT unnest({toks}) AS item FROM documents
+), n AS (SELECT COUNT(*) AS n FROM tok)
+SELECT item, COUNT(*) AS cnt
+FROM tok CROSS JOIN n
+GROUP BY item, n.n
+HAVING COUNT(*) * 100 > n.n
+"""
+
     # leakage-safe dataset split (extras/sample.py:split_dataset):
     # cumulative thresholds over alphabetically-ordered split names
     # (test 0.125 | train 0.75 | val 0.125 — dyadic, exact literals)

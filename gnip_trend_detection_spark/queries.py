@@ -848,6 +848,21 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms with exact count > 1% of all token occurrences, found via
+    per-partition Misra-Gries candidates + exact recount of the
+    candidate sliver — never a full-vocabulary shuffle. The sketch can
+    only widen the candidate set, so the output is deterministic and
+    oracle-checkable against a plain GROUP BY ... HAVING twin."""
+    from gnip_trend_detection_spark.extras.sketch import heavy_hitters
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    )
+    return heavy_hitters(toks, "tok", k=100)
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split keyed on SOURCE (all docs of
     a domain land together, so near-dups can't straddle train/test).
@@ -1209,6 +1224,7 @@ ALL: dict[str, QueryFn] = {
     "embedding_covariance": q_embedding_covariance,
     "embedding_pca": q_embedding_pca,
     "dataset_split": q_dataset_split,
+    "heavy_hitter_terms": q_heavy_hitter_terms,
     "curation_pipeline": q_curation_pipeline,
     "pack_shards": q_pack_shards,
     "cosine_neardup_pairs": q_cosine_neardup_pairs,

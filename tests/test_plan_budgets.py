@@ -32,6 +32,7 @@ BNLJ_OK = {
     "cosine_neardup_blocked", # broadcast block-id frame (n_blocks rows)
     "correlation_pairs_dense",  # broadcast block ids
     "embedding_covariance",     # broadcast 1-row vector count n
+    "heavy_hitter_terms",  # broadcast 1-row total-count scalar
     "mix_sources",         # broadcast 1-row admissible-total scalar
     "precision_recall",    # broadcast 1-row threshold grid base
     "roc_points",          # broadcast 1-row totals

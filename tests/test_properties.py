@@ -187,3 +187,26 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=8, overlap=8)
+
+
+def test_heavy_hitters_exact_under_any_partitioning(spark):
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.extras.sketch import heavy_hitters
+
+    # skewed stream: 'hot' = 30%, 'warm' = 15%, tail of singletons
+    rows = (
+        [("hot",)] * 300 + [("warm",)] * 150 + [(f"t{i}",) for i in range(550)]
+    )
+    df = spark.createDataFrame(rows, "v string")
+    want = {("hot", 300), ("warm", 150)}
+    for parts in (1, 5, 32):
+        got = {
+            (r["item"], r["cnt"])
+            for r in heavy_hitters(df.repartition(parts), "v", k=10).collect()
+        }
+        assert got == want, f"parts={parts}"
+    # threshold is strict: an item at exactly n/k is excluded
+    df2 = spark.createDataFrame([("a",)] * 10 + [(f"b{i}",) for i in range(90)], "v string")
+    got = {r["item"] for r in heavy_hitters(df2, "v", k=10).collect()}
+    assert got == set()  # 10 * 10 == 100, not >
