@@ -54,6 +54,7 @@ HEADLINE = [
     "mix_sources",
     "dataset_split",
     "heavy_hitter_terms",
+    "sample_per_group",
     "curation_pipeline",
     "pack_shards",
     "cosine_neardup_blocked",

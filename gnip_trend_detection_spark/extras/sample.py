@@ -157,3 +157,31 @@ def split_dataset(
     last = items[-1][0]
     expr = expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)
     return df.withColumn("split", expr)
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, uniform by key hash and
+    fully deterministic — inspection sampling / per-class eval sets.
+
+    rank-by-hash inside each group; the rn <= k filter triggers
+    Spark's WindowGroupLimit pushdown (partial top-k BEFORE the
+    group shuffle), so per-reducer state is O(k), never a full group
+    sort spill — the property that keeps this safe under hot groups
+    at corpus scale. Ties cannot happen (draw ties broken by key).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        uniform_draw(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

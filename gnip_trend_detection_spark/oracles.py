@@ -1293,6 +1293,22 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8))
            AS BIGINT) / 4294967296.0 < keep_fraction
 """
 
+    # per-group uniform sample (extras/sample.py:sample_per_group):
+    # rank by the shared md5 draw, ties by doc_id
+    sql["sample_per_group"] = """
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+  FROM d
+) WHERE rn <= 15
+"""
+
     # heavy hitters (extras/sketch.py): MG candidates + exact recount
     # == plain GROUP BY HAVING — the sketch only widens candidates,
     # never changes the final exact answer

@@ -848,6 +848,14 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform deterministic 15-doc sample per language — rank by key
+    hash inside each group; the rn <= k filter rides Spark's
+    WindowGroupLimit pushdown so no full group ever sorts."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return sample.sample_per_group(docs, "lang", k=15)
+
+
 def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Terms with exact count > 1% of all token occurrences, found via
     per-partition Misra-Gries candidates + exact recount of the
@@ -1225,6 +1233,7 @@ ALL: dict[str, QueryFn] = {
     "embedding_pca": q_embedding_pca,
     "dataset_split": q_dataset_split,
     "heavy_hitter_terms": q_heavy_hitter_terms,
+    "sample_per_group": q_sample_per_group,
     "curation_pipeline": q_curation_pipeline,
     "pack_shards": q_pack_shards,
     "cosine_neardup_pairs": q_cosine_neardup_pairs,

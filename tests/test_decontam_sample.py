@@ -142,3 +142,22 @@ def test_split_dataset_group_coherent_and_partitioning_invariant(spark):
 
     with _pytest.raises(ValueError):
         split_dataset(df, {"train": 0.5, "val": 0.1})
+
+
+def test_sample_per_group_exact_k_and_windowgrouplimit(spark):
+    from gnip_trend_detection_spark.extras.sample import sample_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sample_per_group(df, "lang", k=7)
+    sizes = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert sizes == {"g0": 7, "g1": 7, "g2": 7}
+    # small groups keep everything
+    tiny = sample_per_group(df.filter("doc_id < 5"), "lang", k=7)
+    assert tiny.count() == 5
+    # partitioning-invariant
+    out2 = sample_per_group(df.repartition(11), "lang", k=7)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+    # the rank filter must ride the WindowGroupLimit pushdown
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
