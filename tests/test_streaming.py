@@ -478,3 +478,63 @@ def test_streaming_lsh_neardup_matches_batch_candidates(spark):
     assert exact_copies and all(n_bands_hit[d] == 8 for d in exact_copies)
     corpus.unpersist()
     shutil.rmtree(flat, ignore_errors=True)
+
+
+def test_streaming_dedup_state_survives_checkpoint_restart(spark):
+    """Kill the query between micro-batches and restart from the same
+    checkpoint: the state store must remember first-seen hashes, so a
+    duplicate arriving AFTER the restart is still suppressed and no
+    hash is ever emitted twice across the two runs."""
+    import tempfile
+
+    from gnip_trend_detection_spark import streaming as stm
+
+    flat = tempfile.mkdtemp(prefix="stream_ckpt_in_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    out = tempfile.mkdtemp(prefix="stream_ckpt_out_")
+    t0 = __import__("time").time() - 600
+
+    def write_file(idx, rows):
+        d = f"{flat}/b{idx}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{flat}/{idx:03d}.parquet"
+        shutil.move(f"{d}/{part}", dst)
+        shutil.rmtree(d)
+        os.utime(dst, (t0 + idx * 10, t0 + idx * 10))
+
+    def run_once():
+        stream_in = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        )
+        q = (
+            stm.exact_dedup_stream(stream_in)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # run 1: two files, one duplicate pair inside
+    write_file(0, [(1, "alpha text"), (2, "beta text")])
+    write_file(1, [(3, "alpha text"), (4, "gamma text")])
+    run_once()
+    # run 2 (fresh query object, same checkpoint): late duplicates of
+    # docs seen only in run 1, plus one genuinely new doc
+    write_file(2, [(5, "beta text"), (6, "gamma text"), (7, "delta text")])
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    kept = {r["doc_id"] for r in rows}
+    assert kept == {1, 2, 4, 7}, kept  # 3,5,6 suppressed — 5,6 post-restart
+    hashes = [r["content_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes)), "a hash was emitted twice"
+    for p in (flat, ckpt, out):
+        shutil.rmtree(p, ignore_errors=True)
