@@ -210,3 +210,35 @@ def test_heavy_hitters_exact_under_any_partitioning(spark):
     df2 = spark.createDataFrame([("a",)] * 10 + [(f"b{i}",) for i in range(90)], "v string")
     got = {r["item"] for r in heavy_hitters(df2, "v", k=10).collect()}
     assert got == set()  # 10 * 10 == 100, not >
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=200),  # n tokens
+    st.integers(min_value=2, max_value=32),   # max_tokens
+    st.integers(min_value=0, max_value=31),   # overlap (clamped below)
+)
+def test_chunk_documents_partition_properties(spark_prop, n, max_tokens, overlap):
+    """For any (n, max_tokens, overlap): chunks tile the token stream —
+    chunk i starts at i*stride, consecutive chunks overlap by exactly
+    `overlap` (when a successor exists), the union covers all n tokens
+    in order, and only the last chunk may be short."""
+    from gnip_trend_detection_spark.extras.text import chunk_documents
+
+    overlap = min(overlap, max_tokens - 1)
+    stride = max_tokens - overlap
+    toks = [f"t{i}" for i in range(n)]
+    df = spark_prop.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"].split(" "), r["chunk_tokens"])
+        for r in chunk_documents(df, max_tokens=max_tokens, overlap=overlap).collect()
+    )
+    want_chunks = max(1, -(-(n - overlap) // stride))
+    assert [c for c, _, _ in rows] == list(range(want_chunks))
+    for cid, chunk, ct in rows:
+        assert chunk == toks[cid * stride : cid * stride + max_tokens]
+        assert ct == len(chunk)
+        if cid < want_chunks - 1:
+            assert len(chunk) == max_tokens  # only the tail may be short
+    # full in-order coverage
+    assert rows[-1][1][-1] == toks[-1] and rows[0][1][0] == toks[0]
