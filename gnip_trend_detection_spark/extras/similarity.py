@@ -35,6 +35,83 @@ def _normed(embeddings: DataFrame) -> DataFrame:
     ).withColumn("nrm", norm(F.col("v")))
 
 
+def centroid_probes(
+    df: DataFrame,
+    cents: DataFrame,
+    keep: int = 1,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Attach each row's ``keep`` nearest centroids WITHOUT shuffling.
+
+    The crossJoin(broadcast) + Window.partitionBy(row_id) formulation
+    shuffles n×k rows just to rank k broadcast-sized candidates per
+    row — at corpus scale that is k copies of the corpus through one
+    exchange. Here the centroid set comes to the driver once (bounded
+    by construction — the same O(k) contract that lets it broadcast;
+    kmeans_centroids already collects it every round) and rides into
+    a mapInPandas closure: each Arrow batch scores against ALL
+    centroids in one BLAS matmul and picks its top-``keep`` rows
+    locally. Zero exchanges; assignment scales as a pure map — and
+    the matmul kernel is the measured-fast path (the per-pair HOF
+    fold lost 10× on the blocked-cosine kernel, same tradeoff here).
+
+    Ordering matches the window formulation exactly: cosine rounded
+    HALF-UP to ``round_digits`` (sign * floor(|x|*10^d + 0.5) — what
+    Spark/DuckDB ROUND do), descending, ties by ascending
+    centroid_id. ``round_digits=None`` skips rounding (exact scores,
+    e.g. unit-vector k-means).
+
+    ``df`` must carry ``v`` and ``nrm``; ``cents`` must carry
+    (centroid_id, cv, cnrm). Adds ``centroid_id`` (and ``crk`` when
+    keep > 1); all df columns pass through.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    crows = cents.select(
+        F.col("centroid_id").cast("long").alias("cid"), "cv", "cnrm"
+    ).collect()
+    ids = np.array([r["cid"] for r in crows], dtype=np.int64)
+    C = (
+        np.stack([np.asarray(r["cv"], dtype=np.float64) for r in crows])
+        if crows
+        else np.zeros((0, 1))
+    )
+    cnrm = np.array([r["cnrm"] for r in crows], dtype=np.float64)
+    kk = min(keep, len(crows))
+
+    fields = list(df.schema.fields) + [StructField("centroid_id", LongType())]
+    if keep > 1:
+        fields.append(StructField("crk", IntegerType()))
+    out_schema = StructType(fields)
+    cols = df.columns
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf) or kk == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            S = (X @ C.T) / (pdf["nrm"].to_numpy()[:, None] * cnrm[None, :])
+            if round_digits is not None:
+                p = 10.0**round_digits
+                S = np.sign(S) * np.floor(np.abs(S) * p + 0.5) / p
+            n_rows = S.shape[0]
+            # row-wise order by (cos DESC, cid ASC): lexsort, last key primary
+            sel = np.lexsort(
+                (np.broadcast_to(ids, S.shape), -S), axis=1
+            )[:, :kk]
+            out = pdf[cols].iloc[np.repeat(np.arange(n_rows), kk)].reset_index(
+                drop=True
+            )
+            out["centroid_id"] = ids[sel].ravel()
+            if keep > 1:
+                out["crk"] = np.tile(np.arange(1, kk + 1, dtype=np.int32), n_rows)
+            yield out
+
+    return df.mapInPandas(probe, out_schema)
+
+
 def cosine_pairs(
     embeddings: DataFrame, threshold: float, round_digits: int = 6
 ) -> DataFrame:
@@ -203,17 +280,17 @@ def kmeans_centroids(
         (i, list(r["u"])) for i, r in enumerate(init.collect())
     ]
     spark = embeddings.sparkSession
+    unit = n.select("vec_id", F.col("u").alias("v"), F.lit(1.0).alias("nrm"))
     for _ in range(n_iter):
         cdf = spark.createDataFrame(
             cents, "centroid_id long, cv array<double>"
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+        ).withColumn("cnrm", F.lit(1.0))
+        # map-side argmax over the broadcast centroid array; unit
+        # vectors → nrm*cnrm = 1.0 and x/1.0 is IEEE-exact, so the
+        # scores equal the plain dot(u, cv) of the window formulation
         assigned = (
-            n.crossJoin(F.broadcast(cdf))
-            .withColumn("ccos", dot(F.col("u"), F.col("cv")))
-            .withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") == 1)
-            .select("centroid_id", F.posexplode("u").alias("pos", "val"))
+            centroid_probes(unit, cdf, 1, round_digits=None)
+            .select("centroid_id", F.posexplode("v").alias("pos", "val"))
         )
         means = (
             assigned.groupBy("centroid_id", "pos")
@@ -280,17 +357,10 @@ def ivf_topk(
         )
 
     def nearest(df: DataFrame, id_col: str, keep: int) -> DataFrame:
-        cos = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc("ccos"), F.asc("centroid_id")
-        )
-        return (
-            df.crossJoin(F.broadcast(cents))
-            .withColumn("ccos", F.round(cos, round_digits))
-            .withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") <= keep)
-            .drop("cv", "cnrm", "ccos", "crk")
-        )
+        # map-side top-keep over the broadcast centroid array — the
+        # window formulation would shuffle n×k rows (centroid_probes)
+        out = centroid_probes(df, cents, keep, round_digits=round_digits)
+        return out.drop("crk") if keep > 1 else out
 
     assigned = nearest(n, "vec_id", 1).select(
         F.col("vec_id").alias("n_id"),
@@ -444,17 +514,13 @@ def semantic_dedup(
             "centroid_id", "cv", norm(F.col("cv")).alias("cnrm")
         )
 
-    ccos = F.round(
-        dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), round_digits
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
-    asgn = (
-        n.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", ccos)
-        .withColumn("crk", F.row_number().over(w))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "v", "nrm", "centroid_id")
-    )
+    # map-side assignment (no n×k shuffle — see centroid_probes);
+    # the relation feeds three branches (both join sides + the final
+    # projection), so persist it: one corpus pass, not three. At
+    # 100 TB this intermediate is what you'd checkpoint.
+    asgn = centroid_probes(n, cents, 1, round_digits=round_digits).select(
+        "vec_id", "v", "nrm", "centroid_id"
+    ).persist()
 
     a = asgn.select(
         "centroid_id",
