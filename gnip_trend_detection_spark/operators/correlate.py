@@ -93,10 +93,13 @@ def pair_correlations_dense(
         nb.alias("n_bins"),
         F.transform("x", lambda v: v - mu).alias("z"),
     ).filter(F.sqrt(F.aggregate("z", F.lit(0.0), lambda a, v: a + v * v)) > 0)
+    # C-row relation feeding three branches (embedding side + both
+    # counter-name lookups) — persist so the grid fill + per-counter
+    # collect runs once, not once per branch
     ids = vec.withColumn(
         "vec_id",
         F.row_number().over(Window.orderBy("counter")).cast("long") - 1,
-    )
+    ).persist()
     emb = ids.select("vec_id", F.col("z").alias("embedding"))
     pairs = cosine_pairs_blocked(
         emb, threshold=-1.01, n_blocks=n_blocks, round_digits=round_digits

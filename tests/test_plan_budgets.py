@@ -45,7 +45,9 @@ BNLJ_OK = {
 # measured (2026-08, Spark 4.1) + 2 slack; unlisted queries get DEFAULT
 EXCHANGE_CEILING = {
     "ngram_jaccard": 24,
-    "correlation_pairs_dense": 18,
+    # static count includes the persisted C-row ids subtree once per
+    # branch; at runtime the cache collapses those to one computation
+    "correlation_pairs_dense": 21,
     "curation_pipeline": 11,
     "unigram_logppl": 9,
     "semantic_dedup": 8,
