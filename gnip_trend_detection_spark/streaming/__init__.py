@@ -2,6 +2,7 @@ from gnip_trend_detection_spark.streaming.decontam import decontaminate_stream
 from gnip_trend_detection_spark.streaming.dedup import exact_dedup_stream
 from gnip_trend_detection_spark.streaming.neardup import lsh_neardup_stream
 from gnip_trend_detection_spark.streaming.rebin import streaming_rebin
+from gnip_trend_detection_spark.streaming.sessionize import sessionize_stream
 from gnip_trend_detection_spark.streaming.models import (
     score_stream_poisson_lc,
     score_stream_poisson_cycle,
@@ -15,6 +16,7 @@ __all__ = [
     "exact_dedup_stream",
     "lsh_neardup_stream",
     "streaming_rebin",
+    "sessionize_stream",
     "score_stream_poisson_lc",
     "score_stream_poisson_cycle",
     "score_stream_mann_kendall",

@@ -538,3 +538,62 @@ def test_streaming_dedup_state_survives_checkpoint_restart(spark):
     assert len(hashes) == len(set(hashes)), "a hash was emitted twice"
     for p in (flat, ckpt, out):
         shutil.rmtree(p, ignore_errors=True)
+
+
+def test_streaming_sessionize_matches_batch_closed_sessions(spark):
+    """Native session_window over time-ordered micro-batches: every
+    session the watermark closed must match the batch session_window
+    aggregation row-for-row (sessions still open at end-of-stream are
+    append mode's documented remainder)."""
+    import tempfile
+
+    from gnip_trend_detection_spark.sources.tables import load_table
+    from gnip_trend_detection_spark.streaming import sessionize_stream
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts").cache()
+    lo, hi = ev.agg(
+        F.min("ts").cast("double"), F.max("ts").cast("double")
+    ).first()
+    edges = [lo + (hi - lo) * i / 3 for i in range(1, 3)]
+    flat = tempfile.mkdtemp(prefix="stream_sess_")
+    t0 = __import__("time").time() - 600
+    slices = [
+        ev.filter(F.col("ts").cast("double") < edges[0]),
+        ev.filter(
+            (F.col("ts").cast("double") >= edges[0])
+            & (F.col("ts").cast("double") < edges[1])
+        ),
+        ev.filter(F.col("ts").cast("double") >= edges[1]),
+    ]
+    for i, sl in enumerate(slices):
+        d = f"{flat}/b{i}"
+        sl.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.move(f"{d}/{part}", dst)
+        shutil.rmtree(d)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    stream_in = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    sdf = sessionize_stream(stream_in, gap="30 minutes")
+    _run_to_completion(sdf, "append", "sess_stream")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+
+    batch = sessionize_stream(ev, gap="30 minutes")
+    closed = batch.filter(F.col("session_end").cast("double") <= hi)
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in closed.collect()
+    }
+    ev.unpersist()
+    shutil.rmtree(flat, ignore_errors=True)
+    assert want, "no closed sessions — fixture degenerate"
+    assert got == want
