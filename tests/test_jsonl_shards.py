@@ -69,3 +69,33 @@ def test_pack_shards_budget_and_determinism(spark):
     ).collect()
     key = lambda rs: sorted((r["doc_id"], r["lane"], r["shard_idx"]) for r in rs)
     assert key(rows) == key(rows2)
+
+
+def test_jsonl_dead_letter_rejects(spark, tmp_path):
+    from gnip_trend_detection_spark.sources.jsonl import (
+        load_documents_jsonl_with_rejects,
+    )
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "good doc", "lang": "en", "source": "s"}',
+                "this is not json at all",
+                '{"doc_id": 2, "lang": "en", "source": "s"}',
+                '{"text": "no id here", "lang": "en", "source": "s"}',
+                '{"doc_id": 3, "text": "also good", "lang": "de", "source": "s"}',
+            ]
+        )
+    )
+    docs, rejects = load_documents_jsonl_with_rejects(spark, str(p))
+    assert {r["doc_id"] for r in docs.collect()} == {1, 3}
+    rej = {(r["reject_reason"]) for r in rejects.collect()}
+    assert rej == {"unparseable", "missing doc_id", "missing text"}
+    rrows = rejects.collect()
+    assert len(rrows) == 3
+    assert all(r["source_file"].endswith("a.jsonl") for r in rrows)
+    # the unparseable line keeps its raw bytes for forensics
+    raw = {r["raw_line"] for r in rrows if r["reject_reason"] == "unparseable"}
+    assert raw == {"this is not json at all"}
