@@ -1,0 +1,115 @@
+"""BPE vocabulary induction over a corpus — the tokenizer-training
+step of a pretraining pipeline, in DataFrame ops.
+
+The classical trick makes this scale: BPE statistics depend only on
+the WORD FREQUENCY table, so the 100 TB corpus is touched exactly
+once (tokenize → word counts, one map-side-combined aggregate). Every
+merge round then runs on the vocabulary-sized relation (sublinear in
+corpus size — Heaps' law):
+
+  1. adjacent symbol pairs, weighted by word count (zip_with of the
+     symbol array with its own tail, exploded, one hash agg);
+  2. the most frequent pair comes to the driver — a ONE-ROW collect
+     per round, tie-broken lexicographically so training is
+     deterministic on any partitioning;
+  3. the merge applies to every word's symbol array as a greedy
+     left-to-right HOF fold (array aggregate; no Python in the loop).
+
+n_merges rounds = n_merges tiny jobs over the vocab relation, which
+is persisted between rounds (it mutates; re-deriving it would replay
+all prior merges from the corpus scan). The result is the merge table
+(rank, left, right, merged, pair_count) — what a tokenizer ships.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gnip_trend_detection_spark.extras.text import tokens
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) — the single corpus-sized pass."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _merge_pair(syms, left: str, right: str):
+    """Greedy left-to-right merge of adjacent (left, right) into one
+    symbol, as a pure array fold."""
+    merged = left + right
+
+    def step(acc, s):
+        can = (F.size(acc) > 0) & (
+            F.element_at(acc, -1) == F.lit(left)
+        ) & (s == F.lit(right))
+        return F.when(
+            can,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def train_bpe(
+    docs: DataFrame, n_merges: int = 20, text_col: str = "text"
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns
+    [(rank, left, right, merged, pair_count), ...].
+
+    Each round collects exactly ONE row (the argmax pair — count desc,
+    then lexicographic, so the result is partitioning-independent).
+    """
+    vocab = word_counts(docs, text_col).withColumn(
+        "syms", F.split(F.col("word"), "")
+    ).select("n", "syms")
+    vocab = vocab.persist()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.select(
+                "n",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+        )
+        top = pairs.first()
+        if top is None or top["cnt"] < 2:
+            break
+        left, right, cnt = top["l"], top["r"], int(top["cnt"])
+        merges.append((rank, left, right, left + right, cnt))
+        nxt = vocab.select(
+            "n", _merge_pair(F.col("syms"), left, right).alias("syms")
+        ).persist()
+        nxt.count()  # materialize before dropping the parent
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return merges
+
+
+def bpe_merge_table(
+    docs: DataFrame, n_merges: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """The learned merges as a DataFrame (rank, left, right, merged,
+    pair_count) — iterative, so checked rows-only by the driver;
+    determinism is pinned in pytest instead."""
+    spark = docs.sparkSession
+    rows = train_bpe(docs, n_merges, text_col)
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, pair_count long"
+    )

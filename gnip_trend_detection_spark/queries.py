@@ -848,6 +848,16 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction: 10 BPE merges learned from the corpus.
+    The corpus is scanned ONCE (word counts); each round runs on the
+    vocab-sized relation with a 1-row argmax collect. Iterative —
+    rows-only driver check; determinism pinned in pytest."""
+    from gnip_trend_detection_spark.extras.bpe import bpe_merge_table
+
+    return bpe_merge_table(_docs(spark, sf_dir), n_merges=10)
+
+
 def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniform deterministic 15-doc sample per language — rank by key
     hash inside each group; the rn <= k filter rides Spark's
@@ -1234,6 +1244,7 @@ ALL: dict[str, QueryFn] = {
     "dataset_split": q_dataset_split,
     "heavy_hitter_terms": q_heavy_hitter_terms,
     "sample_per_group": q_sample_per_group,
+    "bpe_vocab": q_bpe_vocab,
     "curation_pipeline": q_curation_pipeline,
     "pack_shards": q_pack_shards,
     "cosine_neardup_pairs": q_cosine_neardup_pairs,

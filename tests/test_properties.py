@@ -242,3 +242,37 @@ def test_chunk_documents_partition_properties(spark_prop, n, max_tokens, overlap
             assert len(chunk) == max_tokens  # only the tail may be short
     # full in-order coverage
     assert rows[-1][1][-1] == toks[-1] and rows[0][1][0] == toks[0]
+
+
+def test_bpe_training_learns_known_merges_deterministically(spark):
+    from gnip_trend_detection_spark.extras.bpe import bpe_merge_table, train_bpe
+
+    # 'abab' x 30, 'abc' x 10 → top pair (a,b) count 70; then (ab,ab)
+    # from the doubled word (30), vs (ab,c) 10
+    docs = spark.createDataFrame(
+        [(1, " ".join(["abab"] * 30 + ["abc"] * 10))], "doc_id long, text string"
+    )
+    got = train_bpe(docs, n_merges=3)
+    assert got[0][1:] == ("a", "b", "ab", 70)
+    assert got[1][1:] == ("ab", "ab", "abab", 30)
+    assert got[2][1:] == ("ab", "c", "abc", 10)
+    # partitioning-invariant (1-row collects are argmax with ties
+    # broken lexicographically)
+    docs7 = spark.createDataFrame(
+        [(i, "abab abc") for i in range(40)], "doc_id long, text string"
+    ).repartition(7)
+    got7 = [m[1:4] for m in train_bpe(docs7, n_merges=2)]
+    assert got7 == [("a", "b", "ab"), ("ab", "ab", "abab")]
+    # DataFrame shape for the registry
+    mt = bpe_merge_table(docs, n_merges=2)
+    assert [r["merged"] for r in mt.orderBy("rank").collect()] == ["ab", "abab"]
+
+
+def test_bpe_greedy_merge_non_overlapping(spark):
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.extras.bpe import _merge_pair
+
+    df = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
+    out = df.select(_merge_pair(F.col("syms"), "a", "a").alias("m")).first()["m"]
+    assert out == ["aa", "a"]  # left-to-right, no overlap
