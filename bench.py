@@ -59,6 +59,7 @@ HEADLINE = [
     "pack_shards",
     "cosine_neardup_blocked",
     "ann_ivf_topk",
+    "knn_label",
     "embedding_covariance",
     "embedding_pca",
     "multimodal_decode",

@@ -473,6 +473,54 @@ def lsh_bucketed_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def knn_classify(
+    embeddings: DataFrame,
+    train: DataFrame,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """k-NN majority-vote label classification of a corpus against a
+    labeled seed set — the quality-classifier inference pass of an
+    LLM curation pipeline (a small annotated set scores the whole
+    corpus; FineWeb-Edu-style filtering keeps docs whose predicted
+    label clears a bar).
+
+    ``train`` carries (vec_id, embedding, label). Scale shape: the
+    labeled set is broadcast-sized by construction (annotation is
+    expensive; the corpus is not), so it rides into the same
+    :func:`centroid_probes` mapInPandas closure used by IVF — each
+    Arrow batch of corpus vectors scores against the FULL train matrix
+    in one BLAS matmul and keeps its top-k locally. Classifying the
+    corpus is a pure map pass; the only shuffle is the per-vector vote
+    aggregation on (vec_id, label), which partial-aggregates map-side.
+
+    Vote ordering is deterministic: neighbors ranked by (cosine
+    rounded HALF-UP to ``round_digits`` DESC, train id ASC); the
+    winning label by (votes DESC, label ASC).
+
+    Returns (vec_id, pred_label, votes).
+    """
+    n = _normed(embeddings)
+    cents = _normed(train).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    labels = train.select(F.col("vec_id").alias("centroid_id"), "label")
+    probes = centroid_probes(n, cents, keep=k, round_digits=round_digits)
+    votes = (
+        probes.join(F.broadcast(labels), "centroid_id")
+        .groupBy("vec_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("vrk", F.row_number().over(w))
+        .filter(F.col("vrk") == 1)
+        .select("vec_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.97,

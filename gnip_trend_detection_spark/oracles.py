@@ -1536,6 +1536,38 @@ SELECT query_id, neighbor_id, cosine, rk FROM (
 ) WHERE rk <= 5
 """
 
+    # k-NN majority-vote classifier (extras/similarity.py:knn_classify):
+    # eval = vec_id % 4 == 0, train = the rest; neighbor rank by
+    # (rounded cosine DESC, train id ASC), winning label by
+    # (votes DESC, label ASC) — both mirrored from centroid_probes
+    sql["knn_label"] = f"""
+WITH e AS (SELECT vec_id, label, {vec} AS v FROM embeddings),
+n AS (
+  SELECT vec_id, label, v,
+         SQRT(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm
+  FROM e
+),
+ev AS (SELECT * FROM n WHERE vec_id % 4 = 0),
+tr AS (SELECT * FROM n WHERE vec_id % 4 <> 0),
+scored AS (
+  SELECT ev.vec_id, tr.vec_id AS n_id, tr.label,
+         ROUND(list_reduce([ev.v[i] * tr.v[i] for i in generate_series(1, len(ev.v))],
+                           (x, y) -> x + y) / (ev.nrm * tr.nrm), 6) AS cosine
+  FROM ev CROSS JOIN tr
+),
+topk AS (
+  SELECT vec_id, label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, n_id) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+),
+votes AS (SELECT vec_id, label, COUNT(*) AS votes FROM topk GROUP BY 1, 2)
+SELECT vec_id, label AS pred_label, votes FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY votes DESC, label) AS vrk
+  FROM votes
+) WHERE vrk = 1
+"""
+
     # --- classic OLAP showcase ---
     sql["tpch_q1_pricing"] = """
 SELECT l_returnflag, l_linestatus,

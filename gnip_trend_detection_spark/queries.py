@@ -975,6 +975,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5, centroid_mod=50, nprobe=3)
 
 
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify every 4th vector by 5-NN majority vote over the other
+    three quarters (the labeled seed set) — the corpus-vs-annotated
+    split of a quality-classifier inference pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_classify(
+        emb.filter(F.col("vec_id") % 4 == 0),
+        emb.filter(F.col("vec_id") % 4 != 0),
+        k=5,
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over embeddings + perturbed twins of every 10th vector
     (first coordinate shifted by 0.3*norm → cosine to the original
@@ -1252,6 +1264,7 @@ ALL: dict[str, QueryFn] = {
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "knn_label": q_knn_label,
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "sessionize": q_sessionize,
     "top_users_per_event": q_top_users_per_event,

@@ -126,3 +126,35 @@ def test_pca_components_orthonormal_and_variance_ordered(spark):
     d = int(max(i for i, _ in cv)) + 1
     assert all(cv[(i, j)] == cv[(j, i)] for i in range(d) for j in range(i))
     assert all(cv[(i, i)] >= 0 for i in range(d))
+
+
+def test_knn_classify_majority_vote(spark, embeddings):
+    """Predictions agree with a driver-side numpy recomputation of the
+    same (cos DESC, id ASC) / (votes DESC, label ASC) ordering."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.extras import similarity
+
+    ev = embeddings.filter(F.col("vec_id") % 4 == 0)
+    tr = embeddings.filter(F.col("vec_id") % 4 != 0)
+    got = {
+        r["vec_id"]: (r["pred_label"], r["votes"])
+        for r in similarity.knn_classify(ev, tr, k=5).collect()
+    }
+
+    rows = embeddings.select("vec_id", "embedding", "label").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ev_m, tr_m = ids % 4 == 0, ids % 4 != 0
+    S = np.round(X[ev_m] @ X[tr_m].T, 6)
+    assert len(got) == ev_m.sum()
+    for i, qid in enumerate(ids[ev_m]):
+        order = np.lexsort((ids[tr_m], -S[i]))[:5]
+        votes = {}
+        for lab in labels[tr_m][order]:
+            votes[lab] = votes.get(lab, 0) + 1
+        want = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[qid] == want, qid
