@@ -34,6 +34,7 @@ HEADLINE = [
     "roc_points",
     "simhash64",
     "ngram_jaccard",
+    "duplicated_spans",
     "text_quality",
     "text_repetition",
     "tfidf_top_terms",

@@ -385,3 +385,64 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", text_col).mapInPandas(
         sh, "doc_id long, simhash string"
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact-substring duplication signal at word-span granularity
+    (Lee et al. 2022, arXiv:2107.06499: spans repeated across a corpus
+    are memorization/dedup targets): for every document, the count and
+    fraction of its word ``n``-gram positions whose span also occurs
+    in at least one OTHER document. Within-doc repeats alone don't
+    count — the signal is cross-document duplication.
+
+    Scale shape: spans are md5-hashed BEFORE the shuffle so exchanges
+    carry fixed-width keys, not 8-word strings. One explode feeds two
+    aggregations — distinct-doc counts per span (map-side combined)
+    and per-doc duplicated-position counts via an equi-join against
+    the (typically tiny) duplicated-span set — so the plan is
+    explode -> two keyed shuffles, never all-pairs. The exploded
+    relation is persisted: one corpus scan, both consumers.
+
+    Returns (doc_id, n_grams, dup_grams, dup_frac) for every doc with
+    at least ``n`` tokens.
+    """
+    t = (
+        docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") >= n)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n))),
+    )
+    g = t.select("doc_id", F.explode(grams).alias("g")).persist()
+    dup = (
+        g.dropDuplicates(["doc_id", "g"])
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    dup_counts = (
+        g.join(dup, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_grams"))
+    )
+    total = F.col("n_grams").cast("double")
+    return (
+        t.select("doc_id", (F.size("toks") - n + 1).cast("long").alias("n_grams"))
+        .join(dup_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("dup_grams"), F.lit(0).cast("long")).alias("dup_grams"),
+            F.round(
+                F.coalesce(F.col("dup_grams"), F.lit(0).cast("long")) / total,
+                round_digits,
+            ).alias("dup_frac"),
+        )
+    )

@@ -898,6 +898,34 @@ JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 """
 
+    # cross-document duplicated word-8-gram spans (extras/dedup.py:
+    # duplicated_spans) over the same prefix-twin corpus as
+    # ngram_jaccard; spans md5-hashed on both sides
+    sql["duplicated_spans"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, substr(text, 1, 200) FROM documents WHERE doc_id % 7 = 0
+),
+t AS (SELECT doc_id, {toks} AS toks FROM corpus),
+tt AS (SELECT doc_id, toks, len(toks) - 7 AS ng FROM t WHERE len(toks) >= 8),
+g AS (
+  SELECT doc_id,
+         unnest([md5(array_to_string(toks[i:i+7], ' '))
+                 for i in generate_series(1, ng)]) AS g
+  FROM tt
+),
+nd AS (
+  SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+  WHERE nd >= 2
+),
+dc AS (SELECT g.doc_id, COUNT(*) AS dup_grams FROM g JOIN nd USING (g) GROUP BY 1)
+SELECT tt.doc_id, CAST(tt.ng AS BIGINT) AS n_grams,
+       COALESCE(dc.dup_grams, 0) AS dup_grams,
+       ROUND(COALESCE(dc.dup_grams, 0) / CAST(tt.ng AS DOUBLE), 6) AS dup_frac
+FROM tt LEFT JOIN dc USING (doc_id)
+"""
+
     # Karp-Rabin: Horner fold (acc*257 + codepoint) % (2^31-1) per
     # 8-gram, min over positions — twin of extras/text.fingerprint
     sql["doc_fingerprint"] = """

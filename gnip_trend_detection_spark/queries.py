@@ -538,6 +538,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs.unionByName(truncated))
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated word-8-gram spans over the corpus
+    with injected prefix twins (every 7th doc's first 200 chars), so
+    real duplicated spans exist to detect."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    truncated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.substring(F.col("text"), 1, 200).alias("text"),
+    )
+    return dedup.duplicated_spans(docs.unionByName(truncated), n=8)
+
+
 def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_docs(spark, sf_dir))
 
@@ -1228,6 +1240,7 @@ ALL: dict[str, QueryFn] = {
     "dedup_clusters": q_dedup_clusters,
     "simhash64": q_simhash64,
     "ngram_jaccard": q_ngram_jaccard,
+    "duplicated_spans": q_duplicated_spans,
     "text_token_stats": q_text_token_stats,
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_quality": q_text_quality,

@@ -1,6 +1,7 @@
 """duplicate_clusters: connected components over near-dup pairs."""
 
 import os
+import pytest
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -67,3 +68,27 @@ def test_lsh_max_band_caps_hot_buckets(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     assert (100, 101) in got          # small bucket survives
     assert all(a >= 100 for a, _ in got)  # boilerplate clique is gone
+
+
+def test_duplicated_spans_cross_doc_only(spark):
+    """A span shared by two docs marks both; a span repeated only
+    WITHIN one doc does not count as duplicated."""
+    from gnip_trend_detection_spark.extras.dedup import duplicated_spans
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma delta epsilon zeta eta theta"),
+            (2, shared + " iota kappa lmbda mu nu xi omicron pi"),
+            # 3: the same 8-gram twice in ONE doc, nowhere else
+            (3, "a b c d e f g h " + "a b c d e f g h extra"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicated_spans(docs, n=8).collect()}
+    # docs 1 and 2 share exactly the one leading 8-gram
+    assert got[1]["dup_grams"] == 1 and got[2]["dup_grams"] == 1
+    assert got[1]["n_grams"] == 9
+    assert got[1]["dup_frac"] == pytest.approx(round(1 / 9, 6))
+    # doc 3's internal repeat is not cross-document duplication
+    assert got[3]["dup_grams"] == 0 and got[3]["dup_frac"] == 0.0
