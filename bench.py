@@ -35,6 +35,7 @@ HEADLINE = [
     "simhash64",
     "ngram_jaccard",
     "duplicated_spans",
+    "source_overlap",
     "text_quality",
     "text_repetition",
     "tfidf_top_terms",

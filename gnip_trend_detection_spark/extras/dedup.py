@@ -446,3 +446,83 @@ def duplicated_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix — the corpus-audit view of
+    inter-source duplication/leakage (how much of source A's distinct
+    word ``n``-gram inventory also appears in source B). Feeds mixing
+    decisions: two sources with high containment double-count the
+    same text, so their mixing weights overlap.
+
+    Scale shape: the heavy relation is (source, gram) distinct pairs —
+    ONE explode + dedupe keyed on a fixed-width md5. Pair counting
+    groups by gram and expands the per-gram source list into ordered
+    pairs; that list is bounded by the number of sources (small by
+    construction), so the expansion is O(shared grams * sources^2)
+    worst case, never corpus x corpus. The full matrix (zero-overlap
+    pairs included) comes from a broadcast-sized source-size cross.
+
+    Returns (source_a, source_b, grams_a, grams_b, overlap, jaccard,
+    containment_a) for every unordered source pair a < b.
+    """
+    t = (
+        docs.select(F.col(source_col).alias("source"),
+                    tokens(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") >= n)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n))),
+    )
+    gs = (
+        t.select("source", F.explode(grams).alias("g"))
+        .dropDuplicates(["source", "g"])
+        .persist()
+    )
+    sizes = gs.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+
+    ss = F.sort_array(F.collect_set("source"))
+    combos = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+            ),
+        )
+    )
+    inter = (
+        gs.groupBy("g").agg(ss.alias("ss"))
+        .select(F.explode(combos).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    a = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("grams_a"))
+    b = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("grams_b"))
+    allp = a.join(b, F.col("source_a") < F.col("source_b"))
+    ov = F.coalesce(F.col("overlap"), F.lit(0).cast("long"))
+    return (
+        allp.join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "grams_a",
+            "grams_b",
+            ov.alias("overlap"),
+            F.round(
+                ov / (F.col("grams_a") + F.col("grams_b") - ov).cast("double"),
+                round_digits,
+            ).alias("jaccard"),
+            F.round(ov / F.col("grams_a").cast("double"), round_digits).alias(
+                "containment_a"
+            ),
+        )
+    )

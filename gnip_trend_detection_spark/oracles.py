@@ -926,6 +926,36 @@ SELECT tt.doc_id, CAST(tt.ng AS BIGINT) AS n_grams,
 FROM tt LEFT JOIN dc USING (doc_id)
 """
 
+    # cross-source word-trigram overlap matrix (extras/dedup.py:
+    # source_overlap); zero-overlap pairs included via the size cross
+    sql["source_overlap"] = f"""
+WITH t AS (SELECT source, {toks} AS toks FROM documents),
+tt AS (SELECT source, toks, len(toks) - 2 AS ng FROM t WHERE len(toks) >= 3),
+gs AS (
+  SELECT DISTINCT source,
+         unnest([md5(array_to_string(toks[i:i+2], ' '))
+                 for i in generate_series(1, ng)]) AS g
+  FROM tt
+),
+sizes AS (SELECT source, COUNT(*) AS sz FROM gs GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS overlap
+  FROM gs a JOIN gs b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+),
+allp AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.sz AS grams_a, b.sz AS grams_b
+  FROM sizes a JOIN sizes b ON a.source < b.source
+)
+SELECT p.source_a, p.source_b, p.grams_a, p.grams_b,
+       COALESCE(i.overlap, 0) AS overlap,
+       ROUND(COALESCE(i.overlap, 0)
+             / CAST(p.grams_a + p.grams_b - COALESCE(i.overlap, 0) AS DOUBLE), 6) AS jaccard,
+       ROUND(COALESCE(i.overlap, 0) / CAST(p.grams_a AS DOUBLE), 6) AS containment_a
+FROM allp p LEFT JOIN inter i USING (source_a, source_b)
+"""
+
     # Karp-Rabin: Horner fold (acc*257 + codepoint) % (2^31-1) per
     # 8-gram, min over positions — twin of extras/text.fingerprint
     sql["doc_fingerprint"] = """

@@ -550,6 +550,11 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_spans(docs.unionByName(truncated), n=8)
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram overlap/containment matrix across corpus sources."""
+    return dedup.source_overlap(_docs(spark, sf_dir), n=3)
+
+
 def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_docs(spark, sf_dir))
 
@@ -1241,6 +1246,7 @@ ALL: dict[str, QueryFn] = {
     "simhash64": q_simhash64,
     "ngram_jaccard": q_ngram_jaccard,
     "duplicated_spans": q_duplicated_spans,
+    "source_overlap": q_source_overlap,
     "text_token_stats": q_text_token_stats,
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_quality": q_text_quality,

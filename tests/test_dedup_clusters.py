@@ -92,3 +92,28 @@ def test_duplicated_spans_cross_doc_only(spark):
     assert got[1]["dup_frac"] == pytest.approx(round(1 / 9, 6))
     # doc 3's internal repeat is not cross-document duplication
     assert got[3]["dup_grams"] == 0 and got[3]["dup_frac"] == 0.0
+
+
+def test_source_overlap_matrix(spark):
+    """Known trigram inventories: overlap, jaccard, containment, and
+    the zero-overlap pair all come out exactly."""
+    from gnip_trend_detection_spark.extras.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "one two three four"),   # grams: {123, 234}
+            (2, "b", "one two three"),        # grams: {123}
+            (3, "c", "five six seven eight"), # grams: {567, 678}
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(docs, n=3).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = got[("a", "b")]
+    assert (ab["grams_a"], ab["grams_b"], ab["overlap"]) == (2, 1, 1)
+    assert ab["jaccard"] == 0.5 and ab["containment_a"] == 0.5
+    ac = got[("a", "c")]
+    assert ac["overlap"] == 0 and ac["jaccard"] == 0.0
