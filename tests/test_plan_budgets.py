@@ -37,6 +37,7 @@ BNLJ_OK = {
     "precision_recall",    # broadcast 1-row threshold grid base
     "roc_points",          # broadcast 1-row totals
     "semantic_dedup",      # broadcast centroid set
+    "source_overlap",      # broadcast source-size cross (#sources rows)
     "tfidf_top_terms",     # broadcast 1-row corpus size
     "unigram_logppl",      # broadcast 1-row corpus total
     "value_histogram",     # broadcast 1-row global bounds
@@ -54,6 +55,9 @@ EXCHANGE_CEILING = {
     "tfidf_top_terms": 7,
     "ann_ivf_topk": 7,
     "detection_latency": 7,
+    # static count re-expands the persisted (source, gram) relation
+    # under both size branches; cache collapses them at runtime
+    "source_overlap": 9,
 }
 DEFAULT_CEILING = 6
 
