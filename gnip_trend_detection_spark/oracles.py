@@ -1697,6 +1697,19 @@ SELECT event_type, user_id, n, rk FROM (
   FROM c
 ) WHERE rk <= 3
 """
+    # JSON field extraction from the events props blob; NULL-path and
+    # typed-cast semantics mirrored (COUNT(k) skips missing fields)
+    sql["props_field_stats"] = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
+       SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+       ROUND(CAST(SUM(k) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE), 6) AS avg_k
+FROM e GROUP BY 1
+"""
     sql["multimodal_meta"] = """
 SELECT doc_id, length(text) AS n_chars_measured, sha256(text) AS content_sha
 FROM documents

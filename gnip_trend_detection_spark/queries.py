@@ -1167,6 +1167,28 @@ def q_top_users_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
 
 
+def q_props_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract a typed field from the
+    events JSON `props` blob and aggregate per event_type. The
+    extraction (`get_json_object`) is a JVM-side projection that rides
+    the scan — no Python, and column pruning still reaches parquet
+    (only props/event_type are read)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.round(
+            F.sum("k").cast("double") / F.count("k").cast("double"), 6
+        ).alias("avg_k"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -1287,6 +1309,7 @@ ALL: dict[str, QueryFn] = {
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "sessionize": q_sessionize,
     "top_users_per_event": q_top_users_per_event,
+    "props_field_stats": q_props_field_stats,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_features": q_multimodal_features,
