@@ -66,6 +66,11 @@ HEADLINE = [
     "embedding_pca",
     "multimodal_decode",
     "tpch_q1_pricing",
+    "tpch_q4_priority",
+    "tpch_q6_revenue",
+    "distinct_users",
+    "pmi_collocations",
+    "logreg_quality",
     "tpch_q3_shipping",
     "tpch_q5_local_revenue",
     "sessionize",

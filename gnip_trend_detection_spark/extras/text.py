@@ -333,3 +333,67 @@ def chunk_documents(
             "chunk_text"
         ),
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Collocation extraction: pointwise mutual information of adjacent
+    token pairs, ``pmi = log2(p(w1,w2) / (p(w1) p(w2)))`` (Church &
+    Hanks 1990) — the phrase-mining / tokenizer-merge-candidate pass of
+    a corpus pipeline.
+
+    Plan: one tokenize pass feeds both the unigram and the bigram
+    count (two hash aggs over exploded tokens, map-side combined); the
+    bigram relation then joins the vocabulary-sized unigram counts
+    twice (AQE broadcasts them when the vocab is small; at web scale
+    they shuffle on the word key, which is the natural partitioning).
+    Corpus totals attach as 1-row broadcast cross joins, never a
+    collect. ``min_count`` prunes the long noise tail before the
+    joins. PMI is computed in doubles as ``c12 * (N/c1) * (N/c2) / B``
+    (no N^2 intermediate — N^2 overflows int64 at ~1e13 tokens) and
+    rounded to 6 decimals, the file-wide policy for libm-sensitive
+    outputs.
+    """
+    t = docs.select(tokens(F.col(text_col)).alias("toks")).persist()
+    uni = t.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pairs = t.filter(F.size("toks") > 1).select(
+        F.explode(
+            F.zip_with(
+                F.expr("slice(toks, 1, size(toks) - 1)"),
+                F.expr("slice(toks, 2, size(toks) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c").cast("double").alias("N"))
+    n_big = pairs.groupBy().agg(F.count(F.lit(1)).cast("double").alias("B"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    ratio = (
+        F.col("c12").cast("double")
+        * (F.col("N") / F.col("c1").cast("double"))
+        * (F.col("N") / F.col("c2").cast("double"))
+        / F.col("B")
+    )
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.round(F.log2(ratio), 6).alias("pmi"),
+        )
+    )

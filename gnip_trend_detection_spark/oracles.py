@@ -1672,6 +1672,51 @@ WHERE c_nationkey = s_nationkey
 GROUP BY n_name
 """
 
+    sql["tpch_q6_revenue"] = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+    sql["tpch_q4_priority"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+    sql["distinct_users"] = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+    # PMI ratio evaluated in the same operation order as the Spark
+    # plan — c12 * (N/c1) * (N/c2) / B, doubles throughout — so the
+    # only cross-engine divergence risk is libm log2, absorbed by the
+    # round-6 policy.
+    sql["pmi_collocations"] = f"""
+WITH t AS (SELECT {toks} AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS w FROM t),
+ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+pairs AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) > 1
+),
+big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS N FROM ucnt),
+btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS B FROM pairs)
+SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+       ROUND(LOG2(CAST(c12 AS DOUBLE) * (N / CAST(u1.c AS DOUBLE))
+                  * (N / CAST(u2.c AS DOUBLE)) / B), 6) AS pmi
+FROM big
+JOIN ucnt u1 ON big.w1 = u1.w
+JOIN ucnt u2 ON big.w2 = u2.w
+CROSS JOIN tot CROSS JOIN btot
+"""
     sql["sessionize"] = """
 WITH ev AS (SELECT user_id, epoch(ts) AS e FROM events),
 x AS (

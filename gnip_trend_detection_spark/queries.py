@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gnip_trend_detection_spark.extras import (
+    classifier,
     decontam,
     dedup,
     multimodal,
@@ -1125,6 +1126,109 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate, zero joins and
+    zero wide shuffles — the canonical predicate-pushdown showcase.
+    All four predicates reach the parquet scan (PushedFilters) and the
+    scan reads only the four referenced columns; the agg is map-side
+    partial + a 1-row exchange. Integer-cent summation for exact
+    cross-engine float parity."""
+    lo = F.to_timestamp_ntz(F.lit("1997-01-01"))
+    hi = F.to_timestamp_ntz(F.lit("1998-01-01"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000)
+                .cast("long")
+            ).cast("double")
+            / 10000.0
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority census over one quarter of
+    orders having at least one returned lineitem. The fixture has no
+    commit/receipt dates, so the EXISTS predicate is l_returnflag='R'
+    — the semi-join mechanics are the point: Spark plans a LEFT SEMI
+    hash join (each order emitted at most once, no post-join dedup),
+    and the returnflag filter prunes the build side before the
+    shuffle."""
+    lo = F.to_timestamp_ntz(F.lit("1997-07-01"))
+    hi = F.to_timestamp_ntz(F.lit("1997-10-01"))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned,
+            orders["o_orderkey"] == returned["l_orderkey"],
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group distinct cardinality (audience size per event
+    type). Spark expands count_distinct into a two-phase plan: partial
+    dedup on (event_type, user_id) map-side, then the count — the
+    shuffle carries distinct pairs, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ twin of `distinct_users` — the 100 TB path, where
+    the exact pair-dedup shuffle is the bottleneck: the HLL sketch is
+    a fixed-size mergeable accumulator, so the shuffle carries one
+    sketch per (partition, group) regardless of cardinality.
+    Rows-only oracle by design: sketch estimates aren't cross-engine
+    reproducible (same contract as `value_quantiles_approx`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: PMI over adjacent token pairs with
+    c12 >= 5 (extras/text.py:pmi_bigrams)."""
+    return text.pmi_bigrams(_docs(spark, sf_dir), min_count=5)
+
+
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier training + corpus scoring
+    (extras/classifier.py): logistic head over the embedding column
+    against the label==0 signal, full-batch GD (one map pass + one
+    d+1-row aggregate per iteration), then a zero-shuffle broadcast
+    scoring pass. Rows-only oracle by design (iterative, not
+    SQL-expressible; cross-partition float sums wobble in the last
+    ulp)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        similarity.as_double(F.col("embedding")).alias("embedding"),
+        (F.col("label") == 0).cast("double").alias("y"),
+    )
+    w, b = classifier.logreg_train(e, label_col="y", lr=5.0, n_iter=30)
+    return classifier.logreg_score(e, w, b)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("double").alias("e")
@@ -1307,6 +1411,12 @@ ALL: dict[str, QueryFn] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "knn_label": q_knn_label,
     "tpch_q1_pricing": q_tpch_q1_pricing,
+    "tpch_q4_priority": q_tpch_q4_priority,
+    "tpch_q6_revenue": q_tpch_q6_revenue,
+    "distinct_users": q_distinct_users,
+    "distinct_users_approx": q_distinct_users_approx,
+    "pmi_collocations": q_pmi_collocations,
+    "logreg_quality": q_logreg_quality,
     "sessionize": q_sessionize,
     "top_users_per_event": q_top_users_per_event,
     "props_field_stats": q_props_field_stats,

@@ -1,0 +1,76 @@
+"""Distributed logistic regression (extras/classifier.py).
+
+The driver fixtures' labels are geometrically random (5-NN accuracy is
+chance), so correctness is pinned against (a) an in-process numpy twin
+running the identical GD recipe and (b) convergence on a synthetic
+linearly-separable set — not fixture accuracy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gnip_trend_detection_spark.extras import classifier
+
+
+def _numpy_twin(X, y, lr, n_iter):
+    w = np.zeros(X.shape[1])
+    b = 0.0
+    n = len(y)
+    for _ in range(n_iter):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        r = p - y
+        w = w - lr * (X.T @ r) / n
+        b = b - lr * r.sum() / n
+    return w, b
+
+
+def _make_df(spark, X, y):
+    rows = [
+        (int(i), [float(v) for v in X[i]], float(y[i])) for i in range(len(y))
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, y double")
+
+
+def test_logreg_matches_numpy_twin(spark):
+    rng = np.random.RandomState(7)
+    X = rng.randn(200, 8)
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(np.float64)
+    df = _make_df(spark, X, y).repartition(4)
+    w, b = classifier.logreg_train(df, label_col="y", lr=2.0, n_iter=15)
+    w2, b2 = _numpy_twin(X, y, 2.0, 15)
+    # cross-partition float sums reorder: parity to 1e-9, not exact
+    assert np.allclose(w, w2, atol=1e-9)
+    assert b == pytest.approx(b2, abs=1e-9)
+
+
+def test_logreg_separates_synthetic_data(spark):
+    rng = np.random.RandomState(11)
+    X = rng.randn(300, 6)
+    y = (X @ np.array([1.0, -2.0, 0.5, 0.0, 0.0, 3.0]) > 0).astype(np.float64)
+    df = _make_df(spark, X, y).repartition(3)
+    w, b = classifier.logreg_train(df, label_col="y", lr=5.0, n_iter=40)
+    scored = classifier.logreg_score(df, w, b).toPandas()
+    acc = (scored.sort_values("vec_id")["pred"].to_numpy() == y).mean()
+    assert acc >= 0.95
+
+
+def test_logreg_score_probability_bounds(spark):
+    rng = np.random.RandomState(3)
+    X = rng.randn(50, 4)
+    y = (X[:, 0] > 0).astype(np.float64)
+    df = _make_df(spark, X, y)
+    w, b = classifier.logreg_train(df, label_col="y", lr=1.0, n_iter=5)
+    pdf = classifier.logreg_score(df, w, b).toPandas()
+    assert len(pdf) == 50
+    assert ((pdf["prob"] >= 0.0) & (pdf["prob"] <= 1.0)).all()
+    assert set(pdf["pred"].unique()) <= {0, 1}
+
+
+def test_logreg_empty_input(spark):
+    df = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, y double"
+    )
+    w, b = classifier.logreg_train(df, label_col="y")
+    assert len(w) == 0 and b == 0.0

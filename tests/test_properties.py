@@ -276,3 +276,24 @@ def test_bpe_greedy_merge_non_overlapping(spark):
     df = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
     out = df.select(_merge_pair(F.col("syms"), "a", "a").alias("m")).first()["m"]
     assert out == ["aa", "a"]  # left-to-right, no overlap
+
+
+def test_pmi_bigrams_hand_computed(spark):
+    import math
+
+    from gnip_trend_detection_spark.extras.text import pmi_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c c c c")], "doc_id long, text string"
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in pmi_bigrams(docs, min_count=2).collect()
+    }
+    # N=12 unigrams (a=4,b=4,c=4); B=10 bigrams; ab=4, ba=2, cc=3
+    assert set(out) == {("a", "b"), ("b", "a"), ("c", "c")}
+    assert out[("a", "b")]["c12"] == 4
+    assert out[("a", "b")]["c1"] == 4 and out[("a", "b")]["c2"] == 4
+    assert out[("a", "b")]["pmi"] == round(math.log2(4 * 3.0 * 3.0 / 10), 6)
+    assert out[("b", "a")]["pmi"] == round(math.log2(2 * 3.0 * 3.0 / 10), 6)
+    assert out[("c", "c")]["pmi"] == round(math.log2(3 * 3.0 * 3.0 / 10), 6)
