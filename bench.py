@@ -71,6 +71,8 @@ HEADLINE = [
     "distinct_users",
     "pmi_collocations",
     "logreg_quality",
+    "latest_event_per_user",
+    "series_features",
     "tpch_q3_shipping",
     "tpch_q5_local_revenue",
     "sessionize",

@@ -1717,6 +1717,37 @@ JOIN ucnt u1 ON big.w1 = u1.w
 JOIN ucnt u2 ON big.w2 = u2.w
 CROSS JOIN tot CROSS JOIN btot
 """
+    # semantics twin of Spark's max_by(col, struct(e, event_id)) — DuckDB
+    # arg_max has no struct key, so the oracle ranks explicitly
+    sql["latest_event_per_user"] = """
+SELECT user_id, n_events, last_e, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value
+FROM (
+  SELECT user_id, epoch(ts) AS e, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch(ts) DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+         MAX(epoch(ts)) OVER (PARTITION BY user_id) AS last_e
+  FROM events
+) WHERE rn = 1
+"""
+    sql["series_features"] = f"""
+WITH ser AS ({events_series(3600)}),
+lagged AS (
+  SELECT counter, bin_ts, count,
+         LAG(count) OVER (PARTITION BY counter ORDER BY bin_ts) AS prev
+  FROM ser
+)
+SELECT counter,
+       COUNT(*) AS n_bins,
+       ROUND(AVG(count), 6) AS mean_count,
+       ROUND(STDDEV_SAMP(count), 6) AS std_count,
+       MIN(count) AS min_count,
+       MAX(count) AS max_count,
+       ROUND(CORR(count, prev), 6) AS acf1,
+       ROUND(REGR_SLOPE(count, CAST(bin_ts AS DOUBLE)), 6) AS trend_slope
+FROM lagged GROUP BY counter
+"""
     sql["sessionize"] = """
 WITH ev AS (SELECT user_id, epoch(ts) AS e FROM events),
 x AS (

@@ -1229,6 +1229,53 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.logreg_score(e, w, b)
 
 
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction / CDC upsert resolution: each key's most
+    recent record in ONE hash aggregate (max_by over a (ts, id)
+    struct — deterministic under timestamp ties), no window sort, no
+    self-join. This is the MERGE/compaction step of a lakehouse
+    pipeline: two-phase aggregation means the shuffle carries one
+    candidate row per (partition, key), not the full history."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("double").alias("e"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    ord_key = F.struct(F.col("e"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("e").alias("last_e"),
+        F.max_by("event_id", ord_key).alias("last_event_id"),
+        F.max_by("event_type", ord_key).alias("last_event_type"),
+        F.max_by("value", ord_key).alias("last_value"),
+    )
+
+
+def q_series_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-counter time-series feature extraction (the tsfresh-style
+    featurization step before clustering/classifying series): count,
+    moments, lag-1 autocorrelation, and linear trend slope, all from
+    one shuffle on the counter key — the lag sits in a window over the
+    same partitioning the aggregate uses, so Catalyst plans a single
+    exchange."""
+    ser = _events_series(spark, sf_dir, 3600)
+    w = Window.partitionBy("counter").orderBy("bin_ts")
+    lagged = ser.withColumn("prev", F.lag("count").over(w))
+    return lagged.groupBy("counter").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(F.avg("count"), 6).alias("mean_count"),
+        F.round(F.stddev_samp("count"), 6).alias("std_count"),
+        F.min("count").alias("min_count"),
+        F.max("count").alias("max_count"),
+        F.round(F.corr("count", "prev"), 6).alias("acf1"),
+        F.round(
+            F.regr_slope(F.col("count"), F.col("bin_ts").cast("double")), 6
+        ).alias("trend_slope"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("double").alias("e")
@@ -1417,6 +1464,8 @@ ALL: dict[str, QueryFn] = {
     "distinct_users_approx": q_distinct_users_approx,
     "pmi_collocations": q_pmi_collocations,
     "logreg_quality": q_logreg_quality,
+    "latest_event_per_user": q_latest_event_per_user,
+    "series_features": q_series_features,
     "sessionize": q_sessionize,
     "top_users_per_event": q_top_users_per_event,
     "props_field_stats": q_props_field_stats,
