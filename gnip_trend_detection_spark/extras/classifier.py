@@ -70,15 +70,23 @@ def logreg_train(
         w_c, b_c = w.copy(), b
 
         def grads(batches, w_c=w_c, b_c=b_c):
+            # accumulate across ALL Arrow batches of the partition and
+            # emit ONE d+1-row partial — the shuffle carries
+            # partitions x (d+1) rows, not batches x (d+1)
+            acc = np.zeros(d + 1, dtype=np.float64)
+            seen = False
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
+                seen = True
                 X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_x"]])
                 yv = pdf["_y"].to_numpy(dtype=np.float64)
                 r = _sigmoid(X @ w_c + b_c) - yv
-                out = np.concatenate([X.T @ r, [r.sum()]])
+                acc[:d] += X.T @ r
+                acc[d] += r.sum()
+            if seen:
                 yield pd.DataFrame(
-                    {"j": np.arange(d + 1, dtype="int32"), "g": out}
+                    {"j": np.arange(d + 1, dtype="int32"), "g": acc}
                 )
 
         rows = (

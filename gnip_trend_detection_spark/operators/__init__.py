@@ -6,6 +6,7 @@ from gnip_trend_detection_spark.operators.detect import (
 )
 from gnip_trend_detection_spark.operators.asof import asof_join
 from gnip_trend_detection_spark.operators.rangejoin import range_count_join
+from gnip_trend_detection_spark.operators.skew import salted_agg, salted_join
 
 __all__ = [
     "rebin",
@@ -14,4 +15,6 @@ __all__ = [
     "detect_topk",
     "asof_join",
     "range_count_join",
+    "salted_agg",
+    "salted_join",
 ]

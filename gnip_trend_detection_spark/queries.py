@@ -1225,7 +1225,7 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.as_double(F.col("embedding")).alias("embedding"),
         (F.col("label") == 0).cast("double").alias("y"),
     )
-    w, b = classifier.logreg_train(e, label_col="y", lr=5.0, n_iter=30)
+    w, b = classifier.logreg_train(e, label_col="y", lr=5.0, n_iter=20)
     return classifier.logreg_score(e, w, b)
 
 
