@@ -73,6 +73,9 @@ HEADLINE = [
     "logreg_quality",
     "latest_event_per_user",
     "series_features",
+    "event_funnel",
+    "cohort_retention",
+    "tpch_q13_custdist",
     "tpch_q3_shipping",
     "tpch_q5_local_revenue",
     "sessionize",

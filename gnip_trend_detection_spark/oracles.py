@@ -1717,6 +1717,51 @@ JOIN ucnt u1 ON big.w1 = u1.w
 JOIN ucnt u2 ON big.w2 = u2.w
 CROSS JOIN tot CROSS JOIN btot
 """
+    sql["tpch_q13_custdist"] = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY c_count
+"""
+    sql["event_funnel"] = """
+WITH ev AS (SELECT user_id, event_type, epoch(ts) AS e FROM events),
+s1 AS (
+  SELECT user_id, e, event_type,
+         MIN(CASE WHEN event_type = 'signup' THEN e END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM ev
+),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' AND e > t1 THEN e END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND e > t2 THEN e END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+per_user AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+  FROM s3 GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users, COUNT(t1) AS n_signup,
+       COUNT(t2) AS n_view_after_signup, COUNT(t3) AS n_purchase_after_view
+FROM per_user
+"""
+    sql["cohort_retention"] = """
+WITH ev AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day FROM events
+),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+SELECT cohort_day, day - cohort_day AS day_offset,
+       COUNT(DISTINCT ev.user_id) AS n_active
+FROM ev JOIN first ON ev.user_id = first.user_id
+GROUP BY cohort_day, day - cohort_day
+"""
     # semantics twin of Spark's max_by(col, struct(e, event_id)) — DuckDB
     # arg_max has no struct key, so the oracle ranks explicitly
     sql["latest_event_per_user"] = """

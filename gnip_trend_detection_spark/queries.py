@@ -1276,6 +1276,82 @@ def q_series_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution through a
+    LEFT OUTER join (zero-order customers must survive with count 0 —
+    the fixture has no o_comment, so the exclusion predicate is the
+    non-urgent priority filter). The outer join carries a filter on
+    the RIGHT side inside the join condition, which Spark evaluates
+    pre-join on the build side; the double aggregate reduces to
+    (custkey) then (count) — both narrow."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel signup → view → purchase: a user
+    counts at step k only if step k's earliest qualifying event is
+    strictly AFTER their step k-1 time. Three chained conditional
+    windows over ONE per-user partitioning — Catalyst collapses them
+    into a single exchange + sort, so the funnel costs the same
+    shuffle as a plain per-user aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("double").alias("e")
+    )
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("e"))).over(w)
+    df = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "view") & (F.col("e") > F.col("t1")), F.col("e"))
+    ).over(w)
+    df = df.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("e") > F.col("t2")),
+            F.col("e"),
+        )
+    ).over(w)
+    df = df.withColumn("t3", t3)
+    per_user = df.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_view_after_signup"),
+        F.count("t3").alias("n_purchase_after_view"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, distinct
+    active users per (cohort_day, day_offset). Two narrow shuffles —
+    per-user first-day, then the (cohort, offset) distinct count; the
+    (user, day) dedup happens map-side inside count_distinct."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("double").alias("e")
@@ -1466,6 +1542,9 @@ ALL: dict[str, QueryFn] = {
     "logreg_quality": q_logreg_quality,
     "latest_event_per_user": q_latest_event_per_user,
     "series_features": q_series_features,
+    "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
+    "tpch_q13_custdist": q_tpch_q13_custdist,
     "sessionize": q_sessionize,
     "top_users_per_event": q_top_users_per_event,
     "props_field_stats": q_props_field_stats,

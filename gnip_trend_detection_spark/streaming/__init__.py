@@ -1,5 +1,6 @@
 from gnip_trend_detection_spark.streaming.decontam import decontaminate_stream
 from gnip_trend_detection_spark.streaming.dedup import exact_dedup_stream
+from gnip_trend_detection_spark.streaming.hotkeys import heavy_hitters_stream
 from gnip_trend_detection_spark.streaming.neardup import lsh_neardup_stream
 from gnip_trend_detection_spark.streaming.rebin import streaming_rebin
 from gnip_trend_detection_spark.streaming.sessionize import sessionize_stream
@@ -14,6 +15,7 @@ from gnip_trend_detection_spark.streaming.models import (
 __all__ = [
     "decontaminate_stream",
     "exact_dedup_stream",
+    "heavy_hitters_stream",
     "lsh_neardup_stream",
     "streaming_rebin",
     "sessionize_stream",

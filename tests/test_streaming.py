@@ -597,3 +597,106 @@ def test_streaming_sessionize_matches_batch_closed_sessions(spark):
     shutil.rmtree(flat, ignore_errors=True)
     assert want, "no closed sessions — fixture degenerate"
     assert got == want
+
+
+def _write_slices(spark, slices, prefix):
+    """Write DataFrame slices as time-ordered single parquet files."""
+    flat = tempfile.mkdtemp(prefix=prefix)
+    t0 = __import__("time").time() - 600
+    for i, sl in enumerate(slices):
+        d = f"{flat}/b{i}"
+        sl.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.move(f"{d}/{part}", dst)
+        shutil.rmtree(d)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    return flat
+
+
+def test_streaming_heavy_hitters_exact_regime(spark):
+    """With capacity >= distinct-terms-per-bucket, Misra-Gries never
+    decrements (err_bound 0) and the final summary equals the batch
+    per-term counts exactly."""
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.sources.tables import load_table
+    from gnip_trend_detection_spark.streaming import heavy_hitters_stream
+
+    ev = load_table(spark, SF, "events").select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("term"),
+        F.col("ts").cast("double").alias("e"),
+    ).cache()
+    lo, hi = ev.agg(F.min("e"), F.max("e")).first()
+    edges = [lo + (hi - lo) * i / 3 for i in range(1, 3)]
+    slices = [
+        ev.filter(F.col("e") < edges[0]),
+        ev.filter((F.col("e") >= edges[0]) & (F.col("e") < edges[1])),
+        ev.filter(F.col("e") >= edges[1]),
+    ]
+    flat = _write_slices(spark, slices, "stream_hh_")
+    stream_in = (
+        spark.readStream.schema("term string, e double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    sdf = heavy_hitters_stream(stream_in, n_buckets=8, capacity=128)
+    _run_to_completion(sdf, "update", "hh_stream")
+    rows = spark.sql("select * from hh_stream").collect()
+    assert all(r["err_bound"] == 0 for r in rows)
+    # exact regime: counts only grow, so max emission per term == final
+    got = {}
+    for r in rows:
+        got[r["term"]] = max(got.get(r["term"], 0), r["count_min"])
+    want = {
+        r["term"]: r["n"]
+        for r in ev.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    ev.unpersist()
+    shutil.rmtree(flat, ignore_errors=True)
+    assert got == want
+
+
+def test_streaming_heavy_hitters_mg_guarantee_under_compression(spark):
+    """capacity 2, one bucket: the summary must keep every term whose
+    true count exceeds err_bound, with count_min <= true <= count_min
+    + err_bound (the Misra-Gries bound) for surviving terms."""
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.streaming import heavy_hitters_stream
+
+    freqs = {"a": 60, "b": 25, "c": 4, "d": 3, "e": 2}
+    rows = [(t,) for t, n in freqs.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "term string").withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    third = len(rows) // 3
+    slices = [
+        df.filter(F.col("rid") < third).select("term"),
+        df.filter((F.col("rid") >= third) & (F.col("rid") < 2 * third)).select("term"),
+        df.filter(F.col("rid") >= 2 * third).select("term"),
+    ]
+    flat = _write_slices(spark, slices, "stream_mg_")
+    stream_in = (
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    sdf = heavy_hitters_stream(stream_in, n_buckets=1, capacity=2)
+    _run_to_completion(sdf, "update", "mg_stream")
+    rows_out = spark.sql("select * from mg_stream").collect()
+    shutil.rmtree(flat, ignore_errors=True)
+    # reconstruct the FINAL summary: dec is monotone, and while dec is
+    # unchanged the term set only grows and count_min only grows — so
+    # the final summary is max(count_min) per term among max-dec rows
+    final_dec = max(r["err_bound"] for r in rows_out)
+    final: dict[str, int] = {}
+    for r in rows_out:
+        if r["err_bound"] == final_dec:
+            final[r["term"]] = max(final.get(r["term"], 0), r["count_min"])
+    assert len(final) <= 2
+    for t, n in freqs.items():
+        if n > final_dec:
+            assert t in final, f"{t} (true {n}) must survive dec {final_dec}"
+        if t in final:
+            assert final[t] <= n <= final[t] + final_dec
