@@ -76,6 +76,7 @@ HEADLINE = [
     "event_funnel",
     "cohort_retention",
     "tpch_q13_custdist",
+    "quality_blend",
     "tpch_q3_shipping",
     "tpch_q5_local_revenue",
     "sessionize",

@@ -69,7 +69,12 @@ def train_bpe(
     vocab = word_counts(docs, text_col).withColumn(
         "syms", F.split(F.col("word"), "")
     ).select("n", "syms")
-    vocab = vocab.persist()
+    # localCheckpoint, not persist: each round's fold stacks ANOTHER
+    # nested aggregate expression onto the plan, and by ~15 rounds the
+    # accumulated lineage OOMs analysis on a small driver heap.
+    # Checkpointing truncates the lineage so every round plans against
+    # a flat scan of the previous round's materialized vocab.
+    vocab = vocab.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
         pairs = (
@@ -94,8 +99,7 @@ def train_bpe(
         merges.append((rank, left, right, left + right, cnt))
         nxt = vocab.select(
             "n", _merge_pair(F.col("syms"), left, right).alias("syms")
-        ).persist()
-        nxt.count()  # materialize before dropping the parent
+        ).localCheckpoint(eager=True)
         vocab.unpersist()
         vocab = nxt
     vocab.unpersist()
@@ -112,4 +116,74 @@ def bpe_merge_table(
     rows = train_bpe(docs, n_merges, text_col)
     return spark.createDataFrame(
         rows, "rank int, left string, right string, merged string, pair_count long"
+    )
+
+
+def encode_with_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply a learned merge list to one word, greedy left-to-right per
+    merge in rank order — the pure-Python twin of `_merge_pair`'s array
+    fold, shared by the encoder map pass and its tests."""
+    syms = list(word)
+    for left, right in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a trained merge list: the APPLY half of
+    the BPE story (`train_bpe` learns, this encodes). One zero-shuffle
+    mapInPandas pass; the merge list rides in the closure (an explicit
+    broadcast variable at cluster scale), and a per-batch memo on
+    distinct words makes the cost vocabulary-bound per batch — the
+    same trick fast BPE tokenizer implementations use.
+
+    Emits (doc_id, n_words, n_bpe_tokens, chars_per_token).
+    """
+    import pandas as pd
+
+    pairs = [(left, right) for _rank, left, right, _m, _c in merges]
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            memo: dict[str, int] = {}
+            n_words, n_toks, n_chars = [], [], []
+            for text in pdf["__lt"]:
+                words = [w for w in text.split() if w]
+                total = 0
+                for w in words:
+                    if w not in memo:
+                        memo[w] = len(encode_with_merges(w, pairs))
+                    total += memo[w]
+                n_words.append(len(words))
+                n_toks.append(total)
+                n_chars.append(sum(len(w) for w in words))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": n_words,
+                    "n_bpe_tokens": n_toks,
+                    "chars_per_token": [
+                        round(c / t, 4) if t else 0.0
+                        for c, t in zip(n_chars, n_toks)
+                    ],
+                }
+            )
+
+    return docs.select(
+        "doc_id", F.lower(F.col(text_col)).alias("__lt")
+    ).mapInPandas(
+        encode,
+        "doc_id long, n_words long, n_bpe_tokens long, chars_per_token double",
     )

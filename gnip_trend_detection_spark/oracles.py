@@ -1717,6 +1717,25 @@ JOIN ucnt u1 ON big.w1 = u1.w
 JOIN ucnt u2 ON big.w2 = u2.w
 CROSS JOIN tot CROSS JOIN btot
 """
+    # percentile-rank blend composed from the three signal oracles
+    # defined above; PERCENT_RANK is tie-stable and (rank-1)/(n-1) is
+    # the same IEEE division on both engines, so only the signal
+    # values themselves (already parity-pinned) feed the ranks
+    sql["quality_blend"] = f"""
+WITH q AS ({sql["text_quality"]}),
+p AS ({sql["unigram_logppl"]}),
+r AS ({sql["text_repetition"]}),
+j AS (
+  SELECT q.doc_id, q.quality_micro, p.log_ppl, r.dup_ngram_frac
+  FROM q JOIN p ON q.doc_id = p.doc_id JOIN r ON q.doc_id = r.doc_id
+)
+SELECT doc_id, quality_micro, log_ppl, dup_ngram_frac,
+       ROUND((PERCENT_RANK() OVER (ORDER BY quality_micro)
+              + PERCENT_RANK() OVER (ORDER BY log_ppl DESC)
+              + PERCENT_RANK() OVER (ORDER BY dup_ngram_frac DESC)) / 3.0,
+             6) AS blend
+FROM j
+"""
     sql["tpch_q13_custdist"] = """
 WITH per_cust AS (
   SELECT c_custkey, COUNT(o_orderkey) AS c_count

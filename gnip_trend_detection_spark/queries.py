@@ -1276,6 +1276,46 @@ def q_series_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble curation score (the DCLM/FineWeb-style multi-signal
+    blend): percentile-rank-normalize three independent quality
+    signals — heuristic quality (higher better), unigram
+    log-perplexity and within-doc n-gram repetition (lower better) —
+    and average the ranks. Exact global percent_rank needs a total
+    order per signal (three single-partition sorts here, fine at
+    oracle scale); the 100 TB path maps each signal through
+    approx_percentile bucket edges instead (mergeable sketch, no
+    global sort) — the same exact-vs-approx trade documented for
+    `value_quantiles`."""
+    docs = _docs(spark, sf_dir)
+    q = text.quality_score(docs)
+    p = text.unigram_logppl(docs).select("doc_id", "log_ppl")
+    r = text.repetition_stats(docs).select("doc_id", "dup_ngram_frac")
+    j = q.join(p, "doc_id").join(r, "doc_id")
+    rq = F.percent_rank().over(Window.orderBy("quality_micro"))
+    rp = F.percent_rank().over(Window.orderBy(F.desc("log_ppl")))
+    rr = F.percent_rank().over(Window.orderBy(F.desc("dup_ngram_frac")))
+    return j.select(
+        "doc_id",
+        "quality_micro",
+        "log_ppl",
+        "dup_ngram_frac",
+        F.round((rq + rp + rr) / 3.0, 6).alias("blend"),
+    )
+
+
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train + apply over the corpus (extras/bpe.py): learn 20
+    merges (iterative, one argmax collect per round), then encode
+    every document in a zero-shuffle memoized map pass. Rows-only
+    oracle by design (iterative training)."""
+    from gnip_trend_detection_spark.extras import bpe
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = bpe.train_bpe(docs, n_merges=20)
+    return bpe.bpe_encode(docs, merges)
+
+
 def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: customer order-count distribution through a
     LEFT OUTER join (zero-order customers must survive with count 0 —
@@ -1545,6 +1585,8 @@ ALL: dict[str, QueryFn] = {
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "tpch_q13_custdist": q_tpch_q13_custdist,
+    "quality_blend": q_quality_blend,
+    "bpe_encode_stats": q_bpe_encode_stats,
     "sessionize": q_sessionize,
     "top_users_per_event": q_top_users_per_event,
     "props_field_stats": q_props_field_stats,

@@ -35,6 +35,7 @@ BNLJ_OK = {
     "heavy_hitter_terms",  # broadcast 1-row total-count scalar
     "mix_sources",         # broadcast 1-row admissible-total scalar
     "pmi_collocations",    # broadcast 1-row corpus totals (N, B)
+    "quality_blend",       # inherits unigram_logppl's 1-row total cross join
     "precision_recall",    # broadcast 1-row threshold grid base
     "roc_points",          # broadcast 1-row totals
     "semantic_dedup",      # broadcast centroid set
@@ -52,6 +53,9 @@ EXCHANGE_CEILING = {
     "correlation_pairs_dense": 21,
     "curation_pipeline": 11,
     "unigram_logppl": 9,
+    # three signal sub-plans (logppl alone carries 4) + two doc_id
+    # joins + the per-signal rank sorts
+    "quality_blend": 10,
     "semantic_dedup": 8,
     "tfidf_top_terms": 7,
     "ann_ivf_topk": 7,

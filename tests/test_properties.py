@@ -297,3 +297,31 @@ def test_pmi_bigrams_hand_computed(spark):
     assert out[("a", "b")]["pmi"] == round(math.log2(4 * 3.0 * 3.0 / 10), 6)
     assert out[("b", "a")]["pmi"] == round(math.log2(2 * 3.0 * 3.0 / 10), 6)
     assert out[("c", "c")]["pmi"] == round(math.log2(3 * 3.0 * 3.0 / 10), 6)
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    from gnip_trend_detection_spark.extras.bpe import (
+        bpe_encode,
+        encode_with_merges,
+        train_bpe,
+    )
+
+    # 'aaab' x many: merge 1 learns (a,a)->aa, greedy left-to-right
+    assert encode_with_merges("aaab", [("a", "a")]) == ["aa", "a", "b"]
+    assert encode_with_merges("aaaa", [("a", "a"), ("aa", "aa")]) == ["aaaa"]
+
+    docs = spark.createDataFrame(
+        [(i, "low low lowest") for i in range(20)], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, n_merges=3)
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    assert len(out) == 20
+    # every doc identical → identical stats; 3 words, and merges must
+    # have compressed below the 13-char letter-by-letter baseline
+    first = out[0]
+    assert first["n_words"] == 3
+    assert first["n_bpe_tokens"] < 13
+    assert all(
+        (r["n_words"], r["n_bpe_tokens"]) == (first["n_words"], first["n_bpe_tokens"])
+        for r in out.values()
+    )
