@@ -141,3 +141,61 @@ def sample_frames(
         )
         .filter(F.length("frame_payload") > 0)
     )
+
+
+def resize_media(
+    media: DataFrame, scale: int = 2, use_real_codec: bool = False
+) -> DataFrame:
+    """image payload → downsampled thumbnail payload + scaled header
+    dims (the resize/thumbnail stage of an image pipeline).
+
+    The pixel resample is the same DETERMINISTIC FAKE contract as
+    `decode_media`: a real codec would decode → bilinear-resample →
+    re-encode; here the "pixels" are the raw payload bytes and the
+    1/scale thumbnail keeps every scale-th byte (payload[::scale]),
+    with header dims ceil-divided — reproducible by any engine, so the
+    SQL oracle can pin it. The Spark plumbing is the real thing:
+    binary in/binary out through Arrow batches, output stays a typed
+    binary column partitioned like its input, never driver-side.
+    """
+    if use_real_codec:
+        raise NotImplementedError(
+            "real codecs (PIL/libvips) are not available in this "
+            "container; the deterministic fake resample is the "
+            "supported path"
+        )
+    assert scale >= 1
+    schema = (
+        "doc_id long, width int, height int, thumb_width int, "
+        "thumb_height int, thumb_bytes long, thumb_md5 string"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            widths, heights, tw, th, tb, tmd5 = [], [], [], [], [], []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                _h, w, h, _c, _m = _fake_header(raw)
+                thumb = raw[::scale]
+                widths.append(w)
+                heights.append(h)
+                tw.append(-(-w // scale))
+                th.append(-(-h // scale))
+                tb.append(len(thumb))
+                tmd5.append(hashlib.md5(thumb).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": widths,
+                    "height": heights,
+                    "thumb_width": tw,
+                    "thumb_height": th,
+                    "thumb_bytes": tb,
+                    "thumb_md5": tmd5,
+                }
+            )
+
+    imgs = media.filter(F.col("media_type") == "image")
+    return imgs.select("doc_id", "payload").mapInPandas(resize, schema)

@@ -1882,6 +1882,33 @@ SELECT doc_id,
        [ROUND({digest_byte} / 255.0, 6) for i in generate_series(0, 7)] AS features
 FROM m
 """
+    # fake-resample twin of multimodal.resize_media (payload[::2] over
+    # the ASCII-verified utf-8 text payload; header dims from the same
+    # md5 scheme as multimodal_decode)
+    sql["multimodal_resize"] = """
+WITH m AS (
+  SELECT doc_id, text, md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+),
+d AS (
+  SELECT doc_id, text,
+         16 + ascii(substr(h, 1, 1)) % 64 AS width,
+         16 + ascii(substr(h, 2, 1)) % 64 AS height
+  FROM m
+),
+t AS (
+  SELECT doc_id, width, height,
+         array_to_string([substr(text, i, 1)
+                          for i in generate_series(1, length(text), 2)],
+                         '') AS thumb
+  FROM d
+)
+SELECT doc_id, width, height,
+       CAST(CEIL(width / 2.0) AS INT) AS thumb_width,
+       CAST(CEIL(height / 2.0) AS INT) AS thumb_height,
+       CAST(length(thumb) AS BIGINT) AS thumb_bytes,
+       md5(thumb) AS thumb_md5
+FROM t
+"""
     sql["multimodal_frames"] = """
 WITH v AS (
   SELECT doc_id, text, CAST(CEIL(length(text) / 32.0) AS INT) AS n_frames

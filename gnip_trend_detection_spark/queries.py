@@ -1489,6 +1489,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_arr(out, ["doc_id"], "features")
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail stage over the image subset (multimodal.resize_media,
+    scale 2): binary-in/binary-out Arrow pass; emitted as dims + md5
+    so the oracle can pin the resampled bytes."""
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    return multimodal.resize_media(media, scale=2)
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     frames = multimodal.sample_frames(media, frame_bytes=32, every_n=2)
@@ -1594,4 +1602,5 @@ ALL: dict[str, QueryFn] = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
 }

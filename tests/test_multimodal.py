@@ -79,3 +79,23 @@ def test_features_match_local_md5(spark, media):
         assert fv == pytest.approx([digest[i] / 255.0 for i in range(8)])
         checked += 1
     assert checked > 0
+
+
+def test_resize_gate_and_thumbnail_bytes(spark, media):
+    from gnip_trend_detection_spark.extras import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_media(media, use_real_codec=True)
+
+    out = {r["doc_id"]: r for r in multimodal.resize_media(media, scale=2).collect()}
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in media.filter("media_type = 'image'").collect()
+    }
+    assert set(out) == set(payloads)
+    for doc_id, r in out.items():
+        thumb = payloads[doc_id][::2]
+        assert r["thumb_bytes"] == len(thumb)
+        assert r["thumb_md5"] == hashlib.md5(thumb).hexdigest()
+        assert r["thumb_width"] == -(-r["width"] // 2)
+        assert r["thumb_height"] == -(-r["height"] // 2)
