@@ -77,6 +77,7 @@ HEADLINE = [
     "cohort_retention",
     "tpch_q13_custdist",
     "quality_blend",
+    "fuzzy_vocab_pairs",
     "tpch_q3_shipping",
     "tpch_q5_local_revenue",
     "sessionize",

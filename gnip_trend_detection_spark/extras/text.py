@@ -397,3 +397,46 @@ def pmi_bigrams(
             F.round(F.log2(ratio), 6).alias("pmi"),
         )
     )
+
+
+def fuzzy_vocab_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dist: int = 2,
+    max_word_len: int = 24,
+) -> DataFrame:
+    """Fuzzy vocabulary self-join (typo/variant clustering) via
+    SymSpell-style deletion neighborhoods: every word generates its
+    |w| one-character-deletion variants (plus itself), candidates are
+    the words sharing a variant — an EQUI-join on the variant key,
+    never an all-pairs comparison — and `levenshtein` verifies the
+    survivors.
+
+    The 1-deletion neighborhood provably covers every edit-distance-1
+    pair and the deletion/substitution portion of distance-2 (both
+    sides deleting one char); the fan-out is |w|+1 rows per word,
+    bounded by ``max_word_len``, and everything is keyed on
+    vocabulary-sized relations — the same bucket-then-verify shape as
+    the LSH and fingerprint dedup paths.
+    """
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") <= max_word_len)
+        .distinct()
+    )
+    variants = F.array_append(
+        F.expr(
+            "transform(sequence(1, length(w)),"
+            " i -> concat(substr(w, 1, i - 1), substr(w, i + 1, length(w))))"
+        ),
+        F.col("w"),
+    )
+    keyed = vocab.select("w", F.explode(variants).alias("v"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.w") < F.col("b.w")))
+        .select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .distinct()
+        .withColumn("dist", F.levenshtein("w1", "w2"))
+        .filter(F.col("dist").between(1, max_dist))
+    )

@@ -1882,6 +1882,26 @@ SELECT doc_id,
        [ROUND({digest_byte} / 255.0, 6) for i in generate_series(0, 7)] AS features
 FROM m
 """
+    sql["fuzzy_vocab_pairs"] = """
+WITH vocab AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(p_name), '\\s+'),
+                              x -> x <> '')) AS w
+    FROM part
+  ) WHERE length(w) <= 24
+),
+vars AS (
+  SELECT w, unnest(list_append(
+           [substr(w, 1, i - 1) || substr(w, i + 1, length(w))
+            for i in generate_series(1, length(w))], w)) AS v
+  FROM vocab
+)
+SELECT w1, w2, CAST(levenshtein(w1, w2) AS INT) AS dist FROM (
+  SELECT DISTINCT a.w AS w1, b.w AS w2
+  FROM vars a JOIN vars b ON a.v = b.v AND a.w < b.w
+)
+WHERE levenshtein(w1, w2) BETWEEN 1 AND 2
+"""
     # fake-resample twin of multimodal.resize_media (payload[::2] over
     # the ASCII-verified utf-8 text payload; header dims from the same
     # md5 scheme as multimodal_decode)

@@ -1489,6 +1489,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_arr(out, ["doc_id"], "features")
 
 
+def q_fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo/variant clustering over the part-name vocabulary
+    (extras/text.py:fuzzy_vocab_pairs): deletion-neighborhood
+    equi-join + levenshtein verify, never all-pairs."""
+    parts = load_table(spark, sf_dir, "part").select(
+        F.lower(F.col("p_name")).alias("text")
+    )
+    return text.fuzzy_vocab_pairs(parts, max_dist=2)
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail stage over the image subset (multimodal.resize_media,
     scale 2): binary-in/binary-out Arrow pass; emitted as dims + md5
@@ -1603,4 +1613,5 @@ ALL: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
+    "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
 }

@@ -325,3 +325,23 @@ def test_bpe_encode_applies_merges_in_rank_order(spark):
         (r["n_words"], r["n_bpe_tokens"]) == (first["n_words"], first["n_bpe_tokens"])
         for r in out.values()
     )
+
+
+def test_fuzzy_vocab_pairs_deletion_neighborhood(spark):
+    from gnip_trend_detection_spark.extras.text import fuzzy_vocab_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "cat bat cart card zebra")], "doc_id long, text string"
+    )
+    got = {
+        (r["w1"], r["w2"]): r["dist"]
+        for r in fuzzy_vocab_pairs(docs, max_dist=2).collect()
+    }
+    # cat-bat: substitution (1); cat-cart: insertion (1); cart-card:
+    # substitution (1); bat-cart etc. exceed the deletion neighborhood
+    # or distance 2; zebra pairs with nothing
+    assert got[("bat", "cat")] == 1
+    assert got[("cart", "cat")] == 1
+    assert got[("card", "cart")] == 1
+    assert all(w not in ("zebra",) for pair in got for w in pair)
+    assert all(1 <= d <= 2 for d in got.values())
