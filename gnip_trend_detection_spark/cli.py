@@ -71,6 +71,17 @@ def _build_parser() -> argparse.ArgumentParser:
     ch.add_argument("--max-tokens", type=int, default=512)
     ch.add_argument("--overlap", type=int, default=64)
 
+    ing = sub.add_parser(
+        "ingest",
+        help="incremental append of new landing-dir parquet files into a dataset",
+    )
+    ing.add_argument("-i", "--input", required=True, help="landing directory")
+    ing.add_argument("-o", "--output", required=True, help="dataset parquet dir")
+    ing.add_argument(
+        "-m", "--manifest", required=True, help="manifest directory (ingestion ledger)"
+    )
+    ing.add_argument("--pattern", default="*.parquet")
+
     sp = sub.add_parser(
         "split", help="deterministic train/val/test split (group-keyed)"
     )
@@ -135,6 +146,25 @@ def main(argv: list[str] | None = None) -> int:
                     f"{r['counter']},{r['interval_start'].isoformat()},"
                     f"{r['count']},{r['eta']}"
                 )
+        return 0
+
+    if args.cmd == "ingest":
+        from gnip_trend_detection_spark.sources.incremental import (
+            commit_files,
+            read_incremental,
+        )
+
+        delta, files = read_incremental(
+            spark, args.input, args.manifest, pattern=args.pattern
+        )
+        if delta is None:
+            print("ingest: nothing new")
+            return 0
+        # append BEFORE commit: a crash between the two reprocesses
+        # (at-least-once) rather than losing the delta
+        delta.write.mode("append").parquet(args.output)
+        batch = commit_files(spark, args.manifest, files)
+        print(f"ingest: batch {batch}, {len(files)} file(s)")
         return 0
 
     if args.cmd in ("curate", "chunk", "split"):

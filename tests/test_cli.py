@@ -146,3 +146,39 @@ def test_cli_chunk_and_split(tmp_path, spark):
         __import__("pyspark.sql.functions", fromlist=["countDistinct"]).countDistinct("split").alias("ns")
     ).collect()
     assert all(r["ns"] == 1 for r in per_src)
+
+
+def test_cli_ingest_incremental(tmp_path, spark):
+    from gnip_trend_detection_spark.cli import main
+
+    land = tmp_path / "land"
+    land.mkdir()
+    data = tmp_path / "dataset"
+    mani = tmp_path / "manifest"
+
+    def drop_file(name, rows):
+        df = spark.createDataFrame(rows, "k string, v long")
+        tmpdir = str(tmp_path / (name + ".d"))
+        df.coalesce(1).write.parquet(tmpdir)
+        import os as _os
+        import shutil as _shutil
+
+        part = [f for f in _os.listdir(tmpdir) if f.endswith(".parquet")][0]
+        _shutil.move(f"{tmpdir}/{part}", str(land / name))
+        _shutil.rmtree(tmpdir)
+
+    drop_file("a.parquet", [("x", 1), ("y", 2)])
+    args = ["ingest", "-i", str(land), "-o", str(data), "-m", str(mani)]
+    assert main(args) == 0
+    assert spark.read.parquet(str(data)).count() == 2
+
+    # idempotent when nothing new
+    assert main(args) == 0
+    assert spark.read.parquet(str(data)).count() == 2
+
+    drop_file("b.parquet", [("z", 3)])
+    assert main(args) == 0
+    got = {
+        (r["k"], r["v"]) for r in spark.read.parquet(str(data)).collect()
+    }
+    assert got == {("x", 1), ("y", 2), ("z", 3)}
