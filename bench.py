@@ -78,6 +78,7 @@ HEADLINE = [
     "tpch_q13_custdist",
     "quality_blend",
     "fuzzy_vocab_pairs",
+    "sample_estimate",
     "tpch_q3_shipping",
     "tpch_q5_local_revenue",
     "sessionize",

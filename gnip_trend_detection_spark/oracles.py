@@ -1882,6 +1882,25 @@ SELECT doc_id,
        [ROUND({digest_byte} / 255.0, 6) for i in generate_series(0, 7)] AS features
 FROM m
 """
+    # AQP estimator twin: same md5 key-hash sample as the samplers,
+    # integer-cent sums (exact), CI sqrt under the round-6 policy with
+    # identical operation order
+    sql["sample_estimate"] = """
+WITH s AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':42'), 1, 8))
+             AS BIGINT) / 4294967296.0 < 0.1
+)
+SELECT event_type,
+       COUNT(*) AS n_sample,
+       COUNT(*) * 10 AS est_count,
+       (CAST(SUM(cents) AS DOUBLE) / 100.0) / 0.1 AS est_sum,
+       ROUND(1.96 * SQRT(((1.0 - 0.1) / (0.1 * 0.1))
+                         * (CAST(SUM(cents * cents) AS DOUBLE) / 10000.0)),
+             6) AS ci95_halfwidth
+FROM s GROUP BY event_type
+"""
     sql["fuzzy_vocab_pairs"] = """
 WITH vocab AS (
   SELECT DISTINCT w FROM (

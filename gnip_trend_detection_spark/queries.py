@@ -1489,6 +1489,38 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_arr(out, ["doc_id"], "features")
 
 
+def q_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlinkDB-style approximate aggregation (AQP): estimate COUNT and
+    SUM(value) per event_type from a deterministic 10% key-hash sample
+    with Horvitz-Thompson inverse-probability weighting, plus a 95% CI
+    half-width from the Poisson-sampling variance estimator
+    (1-p)/p^2 * sum(v_i^2). The plan is scan + pushed filter
+    (u(event_id) < p) + one small hash agg — the estimator reads ~p of
+    the bytes, which is the whole point at 100 TB. Deterministic
+    sample + integer-cent sums ⇒ the estimate itself is
+    oracle-exact; only the sqrt in the CI needs the round-6 policy."""
+    p = 0.1
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(sample.uniform_draw(F.col("event_id")) < F.lit(p))
+    cents = F.round(F.col("value") * 100).cast("long")
+    sum_cents = F.sum(cents)
+    ssq = F.sum(cents * cents)
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        # 1/p is the exact integer 10 — never divide by the inexact
+        # double 0.1 and cast (truncate-vs-round differs cross-engine)
+        (F.count(F.lit(1)) * 10).alias("est_count"),
+        ((sum_cents.cast("double") / 100.0) / p).alias("est_sum"),
+        F.round(
+            1.96
+            * F.sqrt(
+                ((1.0 - p) / (p * p)) * (ssq.cast("double") / 10000.0)
+            ),
+            6,
+        ).alias("ci95_halfwidth"),
+    )
+
+
 def q_fuzzy_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo/variant clustering over the part-name vocabulary
     (extras/text.py:fuzzy_vocab_pairs): deletion-neighborhood
@@ -1614,4 +1646,5 @@ ALL: dict[str, QueryFn] = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
     "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
+    "sample_estimate": q_sample_estimate,
 }

@@ -1,5 +1,6 @@
 from gnip_trend_detection_spark.streaming.decontam import decontaminate_stream
 from gnip_trend_detection_spark.streaming.dedup import exact_dedup_stream
+from gnip_trend_detection_spark.streaming.curate import curate_stream
 from gnip_trend_detection_spark.streaming.hotkeys import heavy_hitters_stream
 from gnip_trend_detection_spark.streaming.neardup import lsh_neardup_stream
 from gnip_trend_detection_spark.streaming.rebin import streaming_rebin
@@ -15,6 +16,7 @@ from gnip_trend_detection_spark.streaming.models import (
 __all__ = [
     "decontaminate_stream",
     "exact_dedup_stream",
+    "curate_stream",
     "heavy_hitters_stream",
     "lsh_neardup_stream",
     "streaming_rebin",

@@ -700,3 +700,56 @@ def test_streaming_heavy_hitters_mg_guarantee_under_compression(spark):
             assert t in final, f"{t} (true {n}) must survive dec {final_dec}"
         if t in final:
             assert final[t] <= n <= final[t] + final_dec
+
+
+def test_streaming_curate_matches_batch(spark):
+    """The full curation pipeline over id-ordered micro-batches must
+    keep exactly the batch curate() rows (doc_id, predicted_lang,
+    quality_micro)."""
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.extras.curation import curate
+    from gnip_trend_detection_spark.sources.tables import load_table
+    from gnip_trend_detection_spark.streaming import curate_stream
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    # duplicate every 7th doc under a larger id so the dedup stage has
+    # real work and first-arrival == min doc_id under id order
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).cache()
+    benchmark = docs.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+    )
+
+    edges = [170, 340]
+    slices = [
+        corpus.filter(F.col("doc_id") < edges[0]),
+        corpus.filter(
+            (F.col("doc_id") >= edges[0]) & (F.col("doc_id") < edges[1])
+        ),
+        corpus.filter(F.col("doc_id") >= edges[1]),
+    ]
+    flat = _write_slices(spark, slices, "stream_curate_")
+    stream_in = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    sdf = curate_stream(stream_in, benchmark, quality_min=0.3)
+    _run_to_completion(sdf, "append", "curate_stream_q")
+    got = {
+        (r["doc_id"], r["predicted_lang"], r["quality_micro"])
+        for r in spark.sql("select * from curate_stream_q").collect()
+    }
+
+    want = {
+        (r["doc_id"], r["predicted_lang"], r["quality_micro"])
+        for r in curate(corpus, benchmark, quality_min=0.3).collect()
+    }
+    corpus.unpersist()
+    shutil.rmtree(flat, ignore_errors=True)
+    assert want, "batch curate kept nothing — fixture degenerate"
+    assert got == want
