@@ -79,6 +79,7 @@ HEADLINE = [
     "quality_blend",
     "fuzzy_vocab_pairs",
     "sample_estimate",
+    "embedding_quantize",
     "tpch_q3_shipping",
     "tpch_q5_local_revenue",
     "sessionize",

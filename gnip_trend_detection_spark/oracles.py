@@ -1882,6 +1882,32 @@ SELECT doc_id,
        [ROUND({digest_byte} / 255.0, 6) for i in generate_series(0, 7)] AS features
 FROM m
 """
+    # int8 quantization twin: same op order (x/scale rounds half away
+    # from zero on both engines; the err fold is a left fold with an
+    # exact 0+t1 head); only the l2 sqrt needs round-6
+    sql["embedding_quantize"] = """
+WITH e AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+),
+m AS (
+  SELECT vec_id, v, list_max([abs(x) for x in v]) / 127.0 AS scale FROM e
+),
+c AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale = 0 THEN [0 for x in v]
+              ELSE [CAST(ROUND(x / scale) AS INT) for x in v] END AS codes
+  FROM m
+)
+SELECT vec_id, scale,
+       CAST(len(codes) AS INT) AS dim,
+       CAST(len(list_filter(codes, x -> x <> 0)) AS BIGINT) AS n_nonzero,
+       ROUND(SQRT(list_reduce(
+         [(v[i] - CAST(codes[i] AS DOUBLE) * scale)
+          * (v[i] - CAST(codes[i] AS DOUBLE) * scale)
+          for i in generate_series(1, len(v))],
+         (a, b) -> a + b)), 6) AS l2_err
+FROM c
+"""
     # AQP estimator twin: same md5 key-hash sample as the samplers,
     # integer-cent sums (exact), CI sqrt under the round-6 policy with
     # identical operation order

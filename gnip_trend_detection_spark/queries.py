@@ -1489,6 +1489,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_arr(out, ["doc_id"], "features")
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization audit (similarity.quantize_int8): per-vector
+    scale, code occupancy, and reconstruction error — the memory-vs-
+    precision dashboard before switching an ANN corpus to int8."""
+    q = similarity.quantize_int8(_emb(spark, sf_dir), keep_vec=True)
+    sq_err = F.zip_with(
+        F.col("v"),
+        F.col("codes"),
+        lambda x, c: (x - c.cast("double") * F.col("scale"))
+        * (x - c.cast("double") * F.col("scale")),
+    )
+    l2_err = F.sqrt(F.aggregate(sq_err, F.lit(0.0), lambda a, b: a + b))
+    n_nonzero = F.size(F.filter(F.col("codes"), lambda c: c != 0))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.size("codes").alias("dim"),
+        n_nonzero.cast("long").alias("n_nonzero"),
+        F.round(l2_err, 6).alias("l2_err"),
+    )
+
+
 def q_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BlinkDB-style approximate aggregation (AQP): estimate COUNT and
     SUM(value) per event_type from a deterministic 10% key-hash sample
@@ -1647,4 +1669,5 @@ ALL: dict[str, QueryFn] = {
     "multimodal_resize": q_multimodal_resize,
     "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
     "sample_estimate": q_sample_estimate,
+    "embedding_quantize": q_embedding_quantize,
 }

@@ -158,3 +158,36 @@ def test_knn_classify_majority_vote(spark, embeddings):
             votes[lab] = votes.get(lab, 0) + 1
         want = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
         assert got[qid] == want, qid
+
+
+def test_int8_quantization_preserves_topk_recall(spark):
+    import numpy as np
+
+    from gnip_trend_detection_spark.extras.similarity import quantize_int8
+
+    SF = "/root/testdata/sf0.001"
+    from gnip_trend_detection_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("a")
+    )
+    rows = quantize_int8(embs, keep_vec=True).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.stack([np.asarray(r["v"]) for r in rows])
+    S = np.array([r["scale"] for r in rows])
+    C = np.stack([np.asarray(r["codes"], dtype=np.int64) for r in rows])
+    assert np.abs(C).max() <= 127
+
+    exact = V @ V.T
+    recon = (C * S[:, None]) @ (C * S[:, None]).T
+    np.fill_diagonal(exact, -np.inf)
+    np.fill_diagonal(recon, -np.inf)
+    k = 10
+    hits = 0
+    for i in range(len(ids)):
+        te = set(np.argsort(-exact[i])[:k])
+        tq = set(np.argsort(-recon[i])[:k])
+        hits += len(te & tq)
+    recall = hits / (len(ids) * k)
+    assert recall >= 0.9, recall
