@@ -80,6 +80,7 @@ HEADLINE = [
     "fuzzy_vocab_pairs",
     "sample_estimate",
     "embedding_quantize",
+    "conversion_within_hour",
     "tpch_q3_shipping",
     "tpch_q5_local_revenue",
     "sessionize",

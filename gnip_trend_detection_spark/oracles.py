@@ -1882,6 +1882,23 @@ SELECT doc_id,
        [ROUND({digest_byte} / 255.0, 6) for i in generate_series(0, 7)] AS features
 FROM m
 """
+    sql["conversion_within_hour"] = """
+WITH s AS (
+  SELECT user_id, event_id AS signup_id, epoch(ts) AS t0
+  FROM events WHERE event_type = 'signup'
+),
+p AS (SELECT user_id, epoch(ts) AS t FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT s.user_id, s.signup_id, COUNT(p.t) AS n
+  FROM s LEFT JOIN p
+    ON s.user_id = p.user_id AND p.t >= s.t0 AND p.t < s.t0 + 3600.0
+  GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_signups,
+       SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS n_converted,
+       SUM(n) AS total_followups
+FROM m GROUP BY user_id
+"""
     # int8 quantization twin: same op order (x/scale rounds half away
     # from zero on both engines; the err fold is a left fold with an
     # exact 0+t1 head); only the l2 sqrt needs round-6

@@ -1338,6 +1338,42 @@ def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversion_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern analytics (MATCH_RECOGNIZE-lite): for every
+    signup, count same-user purchases in [t, t+3600), then roll up
+    per-user conversion. The time-window join runs through the
+    bucketed range join (operators/rangejoin.py) — interval rows
+    explode to at most 2 hour-buckets, the join is a plain equi-join
+    on (user, bucket), no BNLJ — so the pattern scan stays linear at
+    any scale."""
+    from gnip_trend_detection_spark.operators.rangejoin import range_count_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.col("ts").cast("double").alias("t")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("t").alias("s"),
+        (F.col("t") + 3600.0).alias("e"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "t")
+    per_signup = range_count_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        point_time="t",
+        start_col="s",
+        end_col="e",
+        bucket_width=3600,
+    )
+    return per_signup.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.sum((F.col("n_points") > 0).cast("long")).alias("n_converted"),
+        F.sum("n_points").alias("total_followups"),
+    )
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential conversion funnel signup → view → purchase: a user
     counts at step k only if step k's earliest qualifying event is
@@ -1670,4 +1706,5 @@ ALL: dict[str, QueryFn] = {
     "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
     "sample_estimate": q_sample_estimate,
     "embedding_quantize": q_embedding_quantize,
+    "conversion_within_hour": q_conversion_within_hour,
 }
