@@ -81,6 +81,7 @@ HEADLINE = [
     "sample_estimate",
     "embedding_quantize",
     "conversion_within_hour",
+    "label_centroids",
     "tpch_q3_shipping",
     "tpch_q5_local_revenue",
     "sessionize",

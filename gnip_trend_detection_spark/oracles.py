@@ -1882,6 +1882,34 @@ SELECT doc_id,
        [ROUND({digest_byte} / 255.0, 6) for i in generate_series(0, 7)] AS features
 FROM m
 """
+    # centroid components round to 6 BEFORE the cosine (identical fold
+    # inputs on both engines); the remaining folds are left folds
+    sql["label_centroids"] = """
+WITH e AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+),
+x AS (
+  SELECT label, i, v[i] AS val
+  FROM e, unnest(generate_series(1, len(v))) AS u(i)
+),
+cent AS (SELECT label, i, ROUND(AVG(val), 6) AS cv FROM x GROUP BY label, i),
+carr AS (SELECT label, list(cv ORDER BY i) AS c FROM cent GROUP BY label),
+j AS (SELECT e.label, e.v, carr.c FROM e JOIN carr USING (label)),
+s AS (
+  SELECT label,
+         list_reduce([v[i] * c[i] for i in generate_series(1, len(v))],
+                     (a, b) -> a + b) AS dot,
+         list_reduce([v[i] * v[i] for i in generate_series(1, len(v))],
+                     (a, b) -> a + b) AS na,
+         list_reduce([c[i] * c[i] for i in generate_series(1, len(c))],
+                     (a, b) -> a + b) AS nc
+  FROM j
+)
+SELECT label, COUNT(*) AS n_members,
+       ROUND(SQRT(MIN(nc)), 6) AS centroid_norm,
+       ROUND(AVG(dot / (SQRT(na) * SQRT(nc))), 6) AS mean_cos
+FROM s GROUP BY label
+"""
     sql["conversion_within_hour"] = """
 WITH s AS (
   SELECT user_id, event_id AS signup_id, epoch(ts) AS t0

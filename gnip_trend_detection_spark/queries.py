@@ -1338,6 +1338,42 @@ def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification-dataset audit: per-label class centroid and
+    intra-class compactness (mean member-to-centroid cosine) — the
+    label-noise smell test before training a classifier. Plan: one
+    posexplode feeds a (label, dim) hash agg (centroids are
+    labels x d rows, tiny), centroids rebuild as ordered arrays and
+    broadcast back onto the corpus for a zero-shuffle cosine map, one
+    final per-label agg. Centroid components round to 6 BEFORE the
+    cosine so both engines fold identical inputs."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", similarity.as_double(F.col("embedding")).alias("a")
+    )
+    x = e.select("label", F.posexplode("a").alias("i", "val"))
+    cent = x.groupBy("label", "i").agg(F.round(F.avg("val"), 6).alias("cv"))
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda s: s["cv"]
+        ).alias("c")
+    )
+    j = e.join(F.broadcast(carr), "label")
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, t: acc + t)
+    dot = fold(F.zip_with(F.col("a"), F.col("c"), lambda p, q: p * q))
+    na = fold(F.transform(F.col("a"), lambda p: p * p))
+    nc = fold(F.transform(F.col("c"), lambda q: q * q))
+    cos = dot / (F.sqrt(na) * F.sqrt(nc))
+    return (
+        j.select("label", nc.alias("nc"), cos.alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sqrt(F.first("nc")), 6).alias("centroid_norm"),
+            F.round(F.avg("cos"), 6).alias("mean_cos"),
+        )
+    )
+
+
 def q_conversion_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-pattern analytics (MATCH_RECOGNIZE-lite): for every
     signup, count same-user purchases in [t, t+3600), then roll up
@@ -1707,4 +1743,5 @@ ALL: dict[str, QueryFn] = {
     "sample_estimate": q_sample_estimate,
     "embedding_quantize": q_embedding_quantize,
     "conversion_within_hour": q_conversion_within_hour,
+    "label_centroids": q_label_centroids,
 }
