@@ -82,6 +82,9 @@ HEADLINE = [
     "embedding_quantize",
     "conversion_within_hour",
     "label_centroids",
+    "value_outliers",
+    "dq_audit",
+    "hashed_tf_features",
     "tpch_q3_shipping",
     "tpch_q5_local_revenue",
     "sessionize",

@@ -1882,6 +1882,52 @@ SELECT doc_id,
        [ROUND({digest_byte} / 255.0, 6) for i in generate_series(0, 7)] AS features
 FROM m
 """
+    sql["value_outliers"] = """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+  FROM events GROUP BY event_type
+),
+f AS (
+  SELECT e.event_type, ROUND((e.value - s.mu) / s.sd, 6) AS z
+  FROM events e JOIN stats s ON e.event_type = s.event_type
+)
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CASE WHEN ABS(z) > 3.0 THEN 1 ELSE 0 END) AS n_outliers,
+       MAX(ABS(z)) AS max_abs_z
+FROM f GROUP BY event_type
+"""
+    sql["dq_audit"] = """
+SELECT 'lineitem.orderkey_complete' AS check,
+       COALESCE(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0)
+         AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.pk_unique',
+       COALESCE((SELECT SUM(c - 1) FROM (
+          SELECT COUNT(*) AS c FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)), 0)
+UNION ALL
+SELECT 'lineitem.orderkey_in_orders',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem.discount_in_range',
+       COALESCE(SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+                         THEN 1 ELSE 0 END), 0)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.quantity_positive',
+       COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0)
+FROM lineitem
+"""
+    sql["hashed_tf_features"] = f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS w FROM documents)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 32 AS bucket,
+       COUNT(*) AS tf
+FROM tok GROUP BY doc_id, bucket
+"""
     # centroid components round to 6 BEFORE the cosine (identical fold
     # inputs on both engines); the remaining folds are left folds
     sql["label_centroids"] = """

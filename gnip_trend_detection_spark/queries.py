@@ -1338,6 +1338,101 @@ def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier audit: one agg computes per-type
+    mean/stddev, broadcasts back onto the scan, flags |z| > 3 on the
+    ROUNDED z (deterministic threshold compare, same discipline as
+    detect_threshold's sig-rounded eta). Two narrow passes, no
+    window."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6)
+    flagged = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type", z.alias("z")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.abs(F.col("z")) > 3.0).cast("long")).alias("n_outliers"),
+        F.max(F.abs(F.col("z"))).alias("max_abs_z"),
+    )
+
+
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality audit as one relational report:
+    completeness (nulls), key uniqueness (duplicate (orderkey,
+    linenumber) pairs), referential integrity (orphan lineitems via
+    LEFT ANTI join), and range rules — each check a narrow aggregate,
+    unioned into a (check, n_violations) contract table. At 100 TB
+    each check is a scan-local partial agg; the anti join is the only
+    shuffle (or a broadcast when orders' key set fits)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        # a global agg emits exactly one row even over empty input
+        # (sum → null), so coalescing the column is enough
+        return df.select(
+            F.lit(name).alias("check"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_violations"),
+        )
+
+    null_keys = one(
+        "lineitem.orderkey_complete",
+        li.agg(F.sum(F.col("l_orderkey").isNull().cast("long")).alias("n")),
+    )
+    dup_pk = one(
+        "lineitem.pk_unique",
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.sum(F.col("c") - 1).alias("n")),
+    )
+    orphans = one(
+        "lineitem.orderkey_in_orders",
+        li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    disc_range = one(
+        "lineitem.discount_in_range",
+        li.agg(
+            F.sum(
+                (~F.col("l_discount").between(0.0, 0.1)).cast("long")
+            ).alias("n")
+        ),
+    )
+    qty_pos = one(
+        "lineitem.quantity_positive",
+        li.agg(F.sum((F.col("l_quantity") <= 0).cast("long")).alias("n")),
+    )
+    out = null_keys
+    for part in (dup_pk, orphans, disc_range, qty_pos):
+        out = out.unionByName(part)
+    return out
+
+
+def q_hashed_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (the hashing trick): tokens hash to
+    a fixed 32-bucket space, per-doc term frequencies come out as
+    SPARSE (doc_id, bucket, tf) rows — the text→vector bridge when no
+    embedding model is in the loop, and the natural relational sparse
+    representation (no array cell for the comparator to choke on).
+    One explode + one hash agg; the bucket id reuses the md5-prefix
+    integer trick shared with the samplers and MinHash."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("w"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(32),
+    )
+    return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classification-dataset audit: per-label class centroid and
     intra-class compactness (mean member-to-centroid cosine) — the
@@ -1744,4 +1839,7 @@ ALL: dict[str, QueryFn] = {
     "embedding_quantize": q_embedding_quantize,
     "conversion_within_hour": q_conversion_within_hour,
     "label_centroids": q_label_centroids,
+    "value_outliers": q_value_outliers,
+    "dq_audit": q_dq_audit,
+    "hashed_tf_features": q_hashed_tf_features,
 }
