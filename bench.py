@@ -85,6 +85,7 @@ HEADLINE = [
     "value_outliers",
     "dq_audit",
     "hashed_tf_features",
+    "session_motifs",
     "tpch_q3_shipping",
     "tpch_q5_local_revenue",
     "sessionize",

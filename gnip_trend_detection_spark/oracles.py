@@ -1882,6 +1882,31 @@ SELECT doc_id,
        [ROUND({digest_byte} / 255.0, 6) for i in generate_series(0, 7)] AS features
 FROM m
 """
+    sql["session_motifs"] = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch(ts) AS t FROM events
+),
+x AS (
+  SELECT *, CASE WHEN LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > 1800.0
+                 THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS sess
+  FROM x
+),
+p AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id, sess
+                               ORDER BY t, event_id) AS src
+  FROM s
+)
+SELECT src AS src_type, event_type AS dst_type, COUNT(*) AS n_transitions
+FROM p WHERE src IS NOT NULL
+GROUP BY src, event_type
+"""
     sql["value_outliers"] = """
 WITH stats AS (
   SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd

@@ -1338,6 +1338,34 @@ def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral motif mining: the corpus-wide transition matrix of
+    consecutive event types WITHIN a session (30-min gap sessions, the
+    same sessionize windowing) — 'what follows what'. One per-user
+    exchange serves the gap detection, the session numbering, and the
+    lag; the motif count is a tiny (src, dst) hash agg. Total row
+    order inside ties is pinned by (t, event_id)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("double").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    brk = F.when(
+        F.lag("t").over(w).isNull() | ((F.col("t") - F.lag("t").over(w)) > 1800.0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    s = ev.withColumn("brk", brk).withColumn(
+        "sess",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    ws = Window.partitionBy("user_id", "sess").orderBy("t", "event_id")
+    pairs = s.withColumn("src", F.lag("event_type").over(ws)).filter(
+        F.col("src").isNotNull()
+    )
+    return pairs.groupBy(
+        F.col("src").alias("src_type"), F.col("event_type").alias("dst_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+
+
 def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score outlier audit: one agg computes per-type
     mean/stddev, broadcasts back onto the scan, flags |z| > 3 on the
@@ -1842,4 +1870,5 @@ ALL: dict[str, QueryFn] = {
     "value_outliers": q_value_outliers,
     "dq_audit": q_dq_audit,
     "hashed_tf_features": q_hashed_tf_features,
+    "session_motifs": q_session_motifs,
 }
