@@ -86,6 +86,7 @@ HEADLINE = [
     "dq_audit",
     "hashed_tf_features",
     "session_motifs",
+    "tpch_q14_promo_share",
     "tpch_q3_shipping",
     "tpch_q5_local_revenue",
     "sessionize",

@@ -1882,6 +1882,26 @@ SELECT doc_id,
        [ROUND({digest_byte} / 255.0, 6) for i in generate_series(0, 7)] AS features
 FROM m
 """
+    sql["tpch_q14_promo_share"] = """
+WITH j AS (
+  SELECT CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS rev, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+    AND l_shipdate < TIMESTAMP '1997-07-01'
+),
+a AS (
+  SELECT SUM(CASE WHEN p_type = 'ECONOMY' THEN rev ELSE 0 END) AS promo_cents,
+         SUM(rev) AS total_cents, COUNT(*) AS n_items
+  FROM j
+)
+SELECT CAST(promo_cents AS DOUBLE) / 10000.0 AS promo_revenue,
+       CAST(total_cents AS DOUBLE) / 10000.0 AS total_revenue,
+       ROUND(100.0 * (CAST(promo_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)),
+             6) AS promo_share_pct,
+       n_items
+FROM a
+"""
     sql["session_motifs"] = """
 WITH ev AS (
   SELECT user_id, event_id, event_type, epoch(ts) AS t FROM events

@@ -1338,6 +1338,41 @@ def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: revenue share of a part class over one month —
+    the broadcast-dimension conditional-aggregate pattern. part rides
+    to every executor (AQE broadcast), the fact scan keeps only the
+    date-pruned slice, and the share is a ratio of two integer-cent
+    sums rounded once at the end."""
+    lo = F.to_timestamp_ntz(F.lit("1997-06-01"))
+    hi = F.to_timestamp_ntz(F.lit("1997-07-01"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0))).alias(
+            "promo_cents"
+        ),
+        F.sum(rev).alias("total_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.select(
+        (F.col("promo_cents").cast("double") / 10000.0).alias("promo_revenue"),
+        (F.col("total_cents").cast("double") / 10000.0).alias("total_revenue"),
+        F.round(
+            100.0
+            * (F.col("promo_cents").cast("double") / F.col("total_cents").cast("double")),
+            6,
+        ).alias("promo_share_pct"),
+        "n_items",
+    )
+
+
 def q_session_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral motif mining: the corpus-wide transition matrix of
     consecutive event types WITHIN a session (30-min gap sessions, the
@@ -1871,4 +1906,5 @@ ALL: dict[str, QueryFn] = {
     "dq_audit": q_dq_audit,
     "hashed_tf_features": q_hashed_tf_features,
     "session_motifs": q_session_motifs,
+    "tpch_q14_promo_share": q_tpch_q14_promo_share,
 }
