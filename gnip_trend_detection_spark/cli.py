@@ -82,6 +82,21 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     ing.add_argument("--pattern", default="*.parquet")
 
+    mt = sub.add_parser(
+        "maintain",
+        help="layout audit + small-file compaction over a parquet dataset",
+    )
+    mt.add_argument("-i", "--input", required=True, help="parquet dataset dir")
+    mt.add_argument("--target-mb", type=int, default=128)
+    mt.add_argument(
+        "--sort-by", default="", help="comma-separated within-file sort columns"
+    )
+    mt.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="report the layout and projected rewrite, change nothing",
+    )
+
     sp = sub.add_parser(
         "split", help="deterministic train/val/test split (group-keyed)"
     )
@@ -146,6 +161,32 @@ def main(argv: list[str] | None = None) -> int:
                     f"{r['counter']},{r['interval_start'].isoformat()},"
                     f"{r['count']},{r['eta']}"
                 )
+        return 0
+
+    if args.cmd == "maintain":
+        from gnip_trend_detection_spark.sources.compact import compact_parquet
+        from gnip_trend_detection_spark.sources.stats import (
+            compaction_candidates,
+            parquet_layout,
+        )
+
+        layout = parquet_layout(spark, args.input).collect()
+        rep = compaction_candidates(
+            spark, args.input, target_bytes=args.target_mb * 1024 * 1024
+        ).first()
+        print(
+            f"maintain: {len(layout)} file(s), "
+            f"{sum(r['n_rows'] for r in layout)} rows, "
+            f"{rep['n_small_files']} below half-target "
+            f"-> {rep['projected_files']} projected file(s)"
+        )
+        if args.dry_run or rep["n_small_files"] == 0:
+            return 0
+        sort_cols = tuple(c for c in args.sort_by.split(",") if c)
+        n = compact_parquet(
+            spark, args.input, target_file_mb=args.target_mb, sort_cols=sort_cols
+        )
+        print(f"maintain: rewrote to {n} file(s)")
         return 0
 
     if args.cmd == "ingest":

@@ -182,3 +182,23 @@ def test_cli_ingest_incremental(tmp_path, spark):
         (r["k"], r["v"]) for r in spark.read.parquet(str(data)).collect()
     }
     assert got == {("x", 1), ("y", 2), ("z", 3)}
+
+
+def test_cli_maintain_compacts_small_files(tmp_path, spark):
+    from gnip_trend_detection_spark.cli import main
+    from gnip_trend_detection_spark.sources.stats import parquet_layout
+
+    data = str(tmp_path / "ds")
+    spark.range(0, 2000).repartition(8).write.parquet(data)
+    assert len(parquet_layout(spark, data).collect()) == 8
+
+    # dry run changes nothing
+    assert main(["maintain", "-i", data, "--dry-run"]) == 0
+    assert len(parquet_layout(spark, data).collect()) == 8
+
+    assert main(["maintain", "-i", data, "--target-mb", "64"]) == 0
+    layout = parquet_layout(spark, data).collect()
+    assert len(layout) == 1
+    assert sum(r["n_rows"] for r in layout) == 2000
+    got = sorted(r["id"] for r in spark.read.parquet(data).collect())
+    assert got == list(range(2000))
