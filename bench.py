@@ -87,6 +87,7 @@ HEADLINE = [
     "hashed_tf_features",
     "session_motifs",
     "tpch_q14_promo_share",
+    "mix_temperature",
     "tpch_q3_shipping",
     "tpch_q5_local_revenue",
     "sessionize",

@@ -1882,6 +1882,24 @@ SELECT doc_id,
        [ROUND({digest_byte} / 255.0, 6) for i in generate_series(0, 7)] AS features
 FROM m
 """
+    # est_kept_tokens: keep_frac is already rounded to 6 on both sides,
+    # so the final product+round sees identical inputs
+    sql["mix_temperature"] = f"""
+WITH t AS (SELECT source, len({toks}) AS n FROM documents),
+per_src AS (SELECT source, SUM(n) AS tokens FROM t GROUP BY source),
+weighted AS (
+  SELECT source, tokens, POWER(CAST(tokens AS DOUBLE), 0.5) AS w FROM per_src
+),
+total AS (SELECT SUM(w) AS wsum FROM weighted)
+SELECT source, tokens,
+       ROUND(w / wsum, 6) AS weight,
+       ROUND(LEAST(1.0, (20000.0 * (w / wsum)) / CAST(tokens AS DOUBLE)), 6)
+         AS keep_frac,
+       CAST(ROUND(ROUND(LEAST(1.0, (20000.0 * (w / wsum))
+                              / CAST(tokens AS DOUBLE)), 6)
+                  * CAST(tokens AS DOUBLE)) AS BIGINT) AS est_kept_tokens
+FROM weighted CROSS JOIN total
+"""
     sql["tpch_q14_promo_share"] = """
 WITH j AS (
   SELECT CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)

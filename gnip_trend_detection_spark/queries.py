@@ -1338,6 +1338,41 @@ def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual/multi-source
+    sampling recipe: weight_i ∝ tokens_i^alpha, alpha=0.5 — upweights
+    small sources without drowning large ones), solved relationally:
+    per-source token counts → alpha-powered weights normalized by a
+    1-row broadcast total → keep fraction against a token budget,
+    capped at 1. No collect; POWER under the round-6 policy."""
+    alpha, budget = 0.5, 20_000.0
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.size(text.tokens(F.col("text"))).alias("n")
+    )
+    per_src = toks.groupBy("source").agg(F.sum("n").alias("tokens"))
+    wcol = F.pow(F.col("tokens").cast("double"), alpha)
+    weighted = per_src.select("source", "tokens", wcol.alias("w"))
+    total = weighted.agg(F.sum("w").alias("wsum"))
+    out = weighted.crossJoin(F.broadcast(total)).select(
+        "source",
+        "tokens",
+        F.round(F.col("w") / F.col("wsum"), 6).alias("weight"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.lit(budget) * (F.col("w") / F.col("wsum")))
+                / F.col("tokens").cast("double"),
+            ),
+            6,
+        ).alias("keep_frac"),
+    )
+    return out.withColumn(
+        "est_kept_tokens",
+        F.round(F.col("keep_frac") * F.col("tokens").cast("double")).cast("long"),
+    )
+
+
 def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: revenue share of a part class over one month —
     the broadcast-dimension conditional-aggregate pattern. part rides
@@ -1907,4 +1942,5 @@ ALL: dict[str, QueryFn] = {
     "hashed_tf_features": q_hashed_tf_features,
     "session_motifs": q_session_motifs,
     "tpch_q14_promo_share": q_tpch_q14_promo_share,
+    "mix_temperature": q_mix_temperature,
 }

@@ -34,6 +34,7 @@ BNLJ_OK = {
     "embedding_covariance",     # broadcast 1-row vector count n
     "heavy_hitter_terms",  # broadcast 1-row total-count scalar
     "mix_sources",         # broadcast 1-row admissible-total scalar
+    "mix_temperature",     # broadcast 1-row weight-sum scalar
     "pmi_collocations",    # broadcast 1-row corpus totals (N, B)
     "quality_blend",       # inherits unigram_logppl's 1-row total cross join
     "precision_recall",    # broadcast 1-row threshold grid base
