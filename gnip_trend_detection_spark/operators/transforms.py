@@ -56,8 +56,15 @@ def spike_normalization(arr: Column, alpha: float) -> Column:
 
 def smoothing(arr: Column, n_smooth: int) -> Column:
     """T4 (library.py:128-137): trailing moving average whose window
-    grows to n_smooth then slides."""
+    grows to n_smooth then slides. Empty-array guard: sequence(1, 0)
+    DESCENDS by default (step -1), which would emit i=0 and divide by
+    zero — empty in, empty out instead."""
     idx = F.sequence(F.lit(1), F.size(arr))
+    empty = F.array().cast("array<double>")
+    return F.when(F.size(arr) == 0, empty).otherwise(_smooth_body(arr, n_smooth, idx))
+
+
+def _smooth_body(arr: Column, n_smooth: int, idx: Column) -> Column:
     return F.transform(
         idx,
         lambda i: F.aggregate(
@@ -72,8 +79,16 @@ def smoothing(arr: Column, n_smooth: int) -> Column:
 def index_smoothing(arr: Column, n_smooth: int) -> Column:
     """T6 (library.py:150-160): mean over [max(0,i-n), i) — excludes
     the current point, drops element 0, output length n-1. Dead
-    variant kept for parity."""
+    variant kept for parity. Same short-array sequence() guard as
+    smoothing (sequence(2, n) descends for n < 2)."""
     idx = F.sequence(F.lit(2), F.size(arr))
+    empty = F.array().cast("array<double>")
+    return F.when(F.size(arr) < 2, empty).otherwise(
+        _index_smooth_body(arr, n_smooth, idx)
+    )
+
+
+def _index_smooth_body(arr: Column, n_smooth: int, idx: Column) -> Column:
     return F.transform(
         idx,
         lambda i: F.aggregate(
@@ -108,11 +123,16 @@ def sizing(arr: Column, reference_length: int) -> Column:
 
 def sliding_subseries(arr: Column, length: int) -> Column:
     """T10 (library.py:12-19): all contiguous sub-arrays of a given
-    length → array<array<double>>."""
+    length → array<array<double>> (empty when the series is shorter
+    than ``length`` — sequence(1, 0) would otherwise descend)."""
     n_windows = F.size(arr) - length + 1
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(0))),
-        lambda i: F.slice(arr, i, F.lit(length)),
+    return F.when(
+        n_windows < 1, F.array().cast("array<array<double>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.slice(arr, i, F.lit(length)),
+        )
     )
 
 
@@ -145,6 +165,88 @@ def apply_chain(df, input_col: str, output_col: str, stages) -> "DataFrame":
             df = df.drop(cur)
         cur = nxt
     return df
+
+
+def chain_numpy(
+    df,
+    id_col: str,
+    input_col: str,
+    output_col: str,
+    *,
+    reference_length: int,
+    baseline_offset: int,
+    n_smooth: int,
+    sizing_length: int | None = None,
+) -> "DataFrame":
+    """Vectorized twin of ``apply_chain`` over the canonical reference
+    recipe (add_one → unit_normalization → log10 → smoothing
+    [→ sizing]) as ONE Arrow-batched mapInPandas stage.
+
+    Same zero-shuffle shape as the HOF chain, but the per-element work
+    runs as numpy matrix ops instead of interpreted HOF lambda
+    evaluation — measured 4.4s → well under target on the sf0.1 chain
+    bench (the HOF chain's smoothing is O(len·n_smooth) interpreted
+    slice+aggregate per row).
+
+    Float parity: every sum is evaluated in the exact left-fold order
+    the HOF/DuckDB twins use — np.cumsum for prefix folds and ordered
+    shifted adds for full smoothing windows — so results are
+    bit-identical to the HOF chain up to the engines' log10 ulp (Java
+    Math.log10 vs numpy libm), which sits ~1e11 below the 1e-6 output
+    round grid (measured in tools/tiecheck_diag.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rl, off, ns = reference_length, baseline_offset, n_smooth
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            arrs = pdf[input_col]
+            lens = np.array([0 if a is None else len(a) for a in arrs])
+            out: list = [None] * len(pdf)
+            for L in np.unique(lens):
+                idx = np.nonzero(lens == L)[0]
+                if L == 0:
+                    for i in idx:
+                        out[i] = [] if arrs.iloc[i] is not None else None
+                    continue
+                M = np.asarray(
+                    [np.asarray(arrs.iloc[i], dtype=np.float64) for i in idx]
+                )
+                M = M + 1.0  # T1
+                # T2: divisor = leftfold-sum(py_slice[-(rl+off):-off]) / rl
+                lo = max(1, L + 1 - (rl + off))  # 1-based inclusive
+                hi = L - off
+                if off == 0 or hi < lo:
+                    total = np.zeros(len(idx))
+                else:
+                    total = np.cumsum(M[:, lo - 1 : hi], axis=1)[:, -1] / float(rl)
+                denom = np.where(total == 0.0, 1e-5, total)
+                M = M / denom[:, None]
+                # T7: log10 with x <= 0 -> 1e-5 first
+                M = np.log10(np.where(M <= 0.0, 1e-5, M))
+                # T4: trailing moving average, window grows to ns
+                S = np.empty_like(M)
+                head = min(ns - 1, L)
+                if head:
+                    cs = np.cumsum(M[:, :head], axis=1)
+                    S[:, :head] = cs / np.arange(1.0, head + 1.0)
+                if L >= ns:
+                    acc = M[:, 0 : L - ns + 1].copy()
+                    for k in range(1, ns):
+                        acc += M[:, k : L - ns + 1 + k]
+                    S[:, ns - 1 :] = acc / float(ns)
+                if sizing_length is not None:  # T8
+                    S = S[:, max(0, L - sizing_length) :]
+                for j, i in enumerate(idx):
+                    out[i] = S[j].tolist()
+            yield pd.DataFrame({id_col: ids, output_col: out})
+
+    return df.select(id_col, input_col).mapInPandas(
+        run, f"{id_col} long, {output_col} array<double>"
+    )
 
 
 def reference_stages(reference_length: int, baseline_offset: int, n_smooth: int):

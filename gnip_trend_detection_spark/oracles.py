@@ -395,13 +395,23 @@ avgd AS (
   FROM idx
 ),
 sl AS (
+  -- explicit-sum slope, bit-identical to the engine's formula (see
+  -- linreg.py docstring): every summand is an exact dyadic rational,
+  -- so fold order cannot matter. regr_slope is deliberately NOT used
+  -- (engines accumulate it differently -> last-ulp deltas).
   SELECT counter, bin_ts, count, rn,
-         regr_slope(averaged, CAST(rn AS DOUBLE)) OVER (
-           PARTITION BY counter ORDER BY rn ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS slope
+         CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+         SUM(CAST(rn AS DOUBLE)) OVER w AS sx,
+         SUM(averaged) OVER w AS sy,
+         SUM(CAST(rn AS DOUBLE) * averaged) OVER w AS sxy,
+         SUM(CAST(rn AS DOUBLE) * CAST(rn AS DOUBLE)) OVER w AS sxx
   FROM avgd
+  WINDOW w AS (PARTITION BY counter ORDER BY rn ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
 )
 SELECT counter, bin_ts, count,
-       ROUND(CASE WHEN rn >= 8 THEN COALESCE(slope, 0.0) ELSE 0.0 END, 4) AS eta
+       ROUND(CASE WHEN rn >= 8 AND (n * sxx - sx * sx) <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                  ELSE 0.0 END, 4) + 0.0 AS eta
 FROM sl
 """
 
@@ -629,7 +639,7 @@ t3 AS (
 )
 SELECT vec_id,
        [ROUND(list_reduce(list_slice(a, GREATEST(1, i - 4), i), (x, y) -> x + y)
-              / CAST(LEAST(i, 5) AS DOUBLE), 6)
+              / CAST(LEAST(i, 5) AS DOUBLE), 6) + 0.0
         for i in generate_series(1, len(a))] AS arr
 FROM t3
 """
@@ -660,7 +670,7 @@ t4 AS (
   FROM t3
 )
 SELECT vec_id,
-       [ROUND(x, 6) for x in list_slice(a, GREATEST(1, len(a) - 31), len(a))] AS arr
+       [ROUND(x, 6) + 0.0 for x in list_slice(a, GREATEST(1, len(a) - 31), len(a))] AS arr
 FROM t4
 """
 
@@ -1414,7 +1424,7 @@ WITH e AS (
   SELECT i - 1 AS i, SUM(xi) AS si FROM x GROUP BY 1
 ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e)
 SELECT CAST(s.i AS INT) AS i, CAST(s.j AS INT) AS j,
-       ROUND(s.s / n.n - (ma.si / n.n) * (mb.si / n.n), 6) AS cov
+       ROUND(s.s / n.n - (ma.si / n.n) * (mb.si / n.n), 6) + 0.0 AS cov
 FROM s
 CROSS JOIN n
 JOIN m ma ON ma.i = s.i
@@ -1795,22 +1805,36 @@ FROM (
   FROM events
 ) WHERE rn = 1
 """
+    # trend slope from explicit exact sums over the shifted bin index
+    # (see q_series_features: bit-identical cross-engine, unlike
+    # REGR_SLOPE whose accumulation is engine-specific); `+ 0.0`
+    # normalizes a round-to--0.0 to +0.0 like Spark's round.
     sql["series_features"] = f"""
 WITH ser AS ({events_series(3600)}),
 lagged AS (
   SELECT counter, bin_ts, count,
-         LAG(count) OVER (PARTITION BY counter ORDER BY bin_ts) AS prev
+         LAG(count) OVER (PARTITION BY counter ORDER BY bin_ts) AS prev,
+         CAST((bin_ts - MIN(bin_ts) OVER (PARTITION BY counter)) / 3600 AS DOUBLE) AS u
   FROM ser
+),
+g AS (
+  SELECT counter,
+         COUNT(*) AS n_bins,
+         ROUND(AVG(count), 6) AS mean_count,
+         ROUND(STDDEV_SAMP(count), 6) AS std_count,
+         MIN(count) AS min_count,
+         MAX(count) AS max_count,
+         ROUND(CORR(count, prev), 6) + 0.0 AS acf1,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(u) AS su, SUM(count) AS sy,
+         SUM(u * count) AS suy, SUM(u * u) AS suu
+  FROM lagged GROUP BY counter
 )
-SELECT counter,
-       COUNT(*) AS n_bins,
-       ROUND(AVG(count), 6) AS mean_count,
-       ROUND(STDDEV_SAMP(count), 6) AS std_count,
-       MIN(count) AS min_count,
-       MAX(count) AS max_count,
-       ROUND(CORR(count, prev), 6) AS acf1,
-       ROUND(REGR_SLOPE(count, CAST(bin_ts AS DOUBLE)), 6) AS trend_slope
-FROM lagged GROUP BY counter
+SELECT counter, n_bins, mean_count, std_count, min_count, max_count, acf1,
+       ROUND(CASE WHEN (n * suu - su * su) <> 0
+                  THEN (n * suy - su * sy) / (n * suu - su * su) / 3600.0
+                  END, 6) + 0.0 AS trend_slope
+FROM g
 """
     sql["sessionize"] = """
 WITH ev AS (SELECT user_id, epoch(ts) AS e FROM events),

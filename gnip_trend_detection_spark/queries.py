@@ -448,11 +448,18 @@ def q_transform_index_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_transform_chain_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 test chain via the vectorized numpy kernel (bit-compatible
+    with the HOF apply_chain twin — asserted in tests). The trailing
+    `+ 0.0` normalizes a possible round-to--0.0 to +0.0 exactly like
+    the DuckDB oracle's `ROUND(...) + 0.0` (the r02 hash mismatches
+    were Spark +0.0 vs DuckDB -0.0, not FP ties)."""
     e = _emb(spark, sf_dir)
-    out = transforms.apply_chain(
-        e, "a", "arr", transforms.test_stages(reference_length=32, baseline_offset=8, n_smooth=5)
+    out = transforms.chain_numpy(
+        e, "vec_id", "a", "arr", reference_length=32, baseline_offset=8, n_smooth=5
     )
-    out = out.select("vec_id", _round_arr(F.col("arr")).alias("arr"))
+    out = out.select(
+        "vec_id", F.transform("arr", lambda x: F.round(x, 6) + 0.0).alias("arr")
+    )
     return _explode_arr(out, ["vec_id"], "arr")
 
 
@@ -460,13 +467,19 @@ def q_transform_chain_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T9 full reference chain (library build path): test chain +
     trailing sizing to reference_length (library.py:42-47)."""
     e = _emb(spark, sf_dir)
-    out = transforms.apply_chain(
+    out = transforms.chain_numpy(
         e,
+        "vec_id",
         "a",
         "arr",
-        transforms.reference_stages(reference_length=32, baseline_offset=8, n_smooth=5),
+        reference_length=32,
+        baseline_offset=8,
+        n_smooth=5,
+        sizing_length=32,
     )
-    out = out.select("vec_id", _round_arr(F.col("arr")).alias("arr"))
+    out = out.select(
+        "vec_id", F.transform("arr", lambda x: F.round(x, 6) + 0.0).alias("arr")
+    )
     return _explode_arr(out, ["vec_id"], "arr")
 
 
@@ -1263,16 +1276,46 @@ def q_series_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ser = _events_series(spark, sf_dir, 3600)
     w = Window.partitionBy("counter").orderBy("bin_ts")
     lagged = ser.withColumn("prev", F.lag("count").over(w))
-    return lagged.groupBy("counter").agg(
+    # trend slope from explicit sums over the SHIFTED bin index
+    # u = (bin_ts - min)/3600 instead of regr_slope over raw epochs:
+    # engines accumulate regr_slope differently and epoch-scale x
+    # overflows exact-double range (sum u^2 stays < 2^52, so every
+    # sum here is exact and the slope is bit-identical cross-engine —
+    # same determinism argument as linreg.py). slope/sec = slope_u/3600.
+    mn = F.min("bin_ts").over(Window.partitionBy("counter"))
+    lagged = lagged.withColumn(
+        "u", ((F.col("bin_ts") - mn) / F.lit(3600)).cast("double")
+    )
+    y = F.col("count").cast("double")
+    agg = lagged.groupBy("counter").agg(
         F.count(F.lit(1)).alias("n_bins"),
         F.round(F.avg("count"), 6).alias("mean_count"),
         F.round(F.stddev_samp("count"), 6).alias("std_count"),
         F.min("count").alias("min_count"),
         F.max("count").alias("max_count"),
-        F.round(F.corr("count", "prev"), 6).alias("acf1"),
-        F.round(
-            F.regr_slope(F.col("count"), F.col("bin_ts").cast("double")), 6
-        ).alias("trend_slope"),
+        (F.round(F.corr("count", "prev"), 6) + F.lit(0.0)).alias("acf1"),
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("u").alias("__su"),
+        F.sum(y).alias("__sy"),
+        F.sum(F.col("u") * y).alias("__suy"),
+        F.sum(F.col("u") * F.col("u")).alias("__suu"),
+    )
+    den = F.col("__n") * F.col("__suu") - F.col("__su") * F.col("__su")
+    slope = F.when(
+        den != 0,
+        (F.col("__n") * F.col("__suy") - F.col("__su") * F.col("__sy"))
+        / den
+        / F.lit(3600.0),
+    )
+    return agg.select(
+        "counter",
+        "n_bins",
+        "mean_count",
+        "std_count",
+        "min_count",
+        "max_count",
+        "acf1",
+        (F.round(slope, 6) + F.lit(0.0)).alias("trend_slope"),
     )
 
 
