@@ -50,27 +50,39 @@ def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", n_hashes: int = 16, k: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    k: int = 3,
+    hash_impl: str = "md5",
 ) -> DataFrame:
-    """(doc_id, shingles, sig): ONE md5 per shingle (its first 8 hex
-    chars as a 32-bit int), then ``n_hashes`` affine families
-    (a_i*h + b_i) mod P — the standard universal-hashing MinHash. The
-    expensive digest runs once per shingle instead of once per
-    (family, shingle): 16x less hashing on the scan-dominated path.
-    Docs with fewer than k tokens are dropped (no shingle support)."""
+    """(doc_id, shingles, sig): ONE base hash per shingle, then
+    ``n_hashes`` affine families (a_i*h + b_i) mod P — the standard
+    universal-hashing MinHash. The expensive digest runs once per
+    shingle instead of once per (family, shingle): 16x less hashing on
+    the scan-dominated path. Docs with fewer than k tokens are dropped
+    (no shingle support).
+
+    ``hash_impl``: the base hash FEEDS the signature values, so unlike
+    duplicated_spans/source_overlap it is NOT output-invariant.
+    "md5" (default) takes the digest's first 8 hex chars as a 32-bit
+    int and is reproducible in the DuckDB oracle; "xxhash64" folds the
+    JVM hash into 32 bits with no string digest — the production
+    setting when cross-engine reproducibility isn't needed (signatures
+    differ from md5 mode, Jaccard-estimate quality is identical)."""
     t = docs.withColumn("toks", tokens(F.col(text_col))).filter(
         F.size("toks") >= k
     )
     t = t.withColumn("shingles", shingles(F.col("toks"), k))
-    t = t.withColumn(
-        "h32",
-        F.transform(
-            F.col("shingles"),
-            lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast(
-                "long"
-            ),
-        ),
-    )
+    if hash_impl == "md5":
+        base = lambda s: F.conv(  # noqa: E731
+            F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10
+        ).cast("long")
+    elif hash_impl == "xxhash64":
+        base = lambda s: F.pmod(F.xxhash64(s), F.lit(2**32))  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_impl: {hash_impl!r}")
+    t = t.withColumn("h32", F.transform(F.col("shingles"), base))
     params = minhash_params(n_hashes)
 
     def family(a: int, b: int):
@@ -355,30 +367,60 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bit p lives in digest nibble p//4 at in-nibble position p%4).
 
     SimHash is a per-document map — no cross-document state — so the
-    whole computation runs in ONE shuffle-free mapInPandas stage:
-    tokenize, count, hash each distinct token once, accumulate the 64
-    signed bit sums with numpy. Relational explode/agg formulations
-    were measured 2-4x slower at sf0.1 (shuffle + codegen overhead for
-    what is row-local arithmetic), and this shape scales as a pure map
-    with zero exchange."""
-    import hashlib
+    whole computation runs in ONE shuffle-free mapInPandas stage.
+    Relational explode/agg formulations were measured 2-4x slower at
+    sf0.1 (shuffle + codegen overhead for what is row-local
+    arithmetic), and this shape scales as a pure map with zero
+    exchange.
+
+    The token hashing is batch-vectorized (r02 fix: the old inner loop
+    md5'd every distinct token PER ROW): each Arrow batch builds one
+    vocabulary of its distinct tokens, md5s each new token exactly once
+    into a ±1 bit-row of a (vocab x 64) matrix (sign rows cached across
+    batches — natural-language vocab is Zipfian, so the cache hit rate
+    climbs fast), and each document's 64 signed sums collapse to a
+    single weights @ signs matmul."""
     from collections import Counter
 
     import numpy as np
     import pandas as pd
 
     def sh(batches):
+        import hashlib
+
+        signs: dict[str, np.ndarray] = {}  # token -> (64,) int64 of ±1
+
+        def sign_row(tok: str) -> np.ndarray:
+            row = signs.get(tok)
+            if row is None:
+                d = hashlib.md5(tok.encode("utf-8")).digest()[:8]
+                bits = np.unpackbits(np.frombuffer(d, dtype=np.uint8)).astype(
+                    np.int64
+                )
+                row = 2 * bits - 1
+                signs[tok] = row
+            return row
+
         for pdf in batches:
+            counters = [
+                Counter(t for t in s.lower().split() if t) for s in pdf[text_col]
+            ]
+            vocab: dict[str, int] = {}
+            for c in counters:
+                for tok in c:
+                    if tok not in vocab:
+                        vocab[tok] = len(vocab)
+            S = np.empty((max(len(vocab), 1), 64), dtype=np.int64)
+            for tok, i in vocab.items():
+                S[i] = sign_row(tok)
             out = []
-            for s in pdf[text_col]:
-                toks = [t for t in s.lower().split() if t]
-                acc = np.zeros(64, dtype=np.int64)
-                for tok, w in Counter(toks).items():
-                    d = hashlib.md5(tok.encode("utf-8")).digest()[:8]
-                    bits = np.unpackbits(np.frombuffer(d, dtype=np.uint8)).astype(
-                        np.int64
-                    )
-                    acc += w * (2 * bits - 1)
+            for c in counters:
+                if not c:
+                    out.append("0" * 64)
+                    continue
+                idx = np.fromiter((vocab[t] for t in c), dtype=np.int64, count=len(c))
+                w = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+                acc = w @ S[idx]
                 out.append("".join("1" if a > 0 else "0" for a in acc))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 

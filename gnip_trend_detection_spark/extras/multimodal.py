@@ -2,11 +2,22 @@
 with typed metadata, processed by Arrow-batched python stages
 (north-star extension; no reference analog).
 
-The container has no codec libraries, so the actual decode is a
-DETERMINISTIC FAKE (md5-derived header fields) clearly marked below;
-pass ``use_real_codec=True`` to hit the NotImplementedError wall where
-PIL/librosa/ffmpeg would plug in. Everything around the stub is real
-and scale-true:
+Two decode paths:
+
+- default: a DETERMINISTIC FAKE (md5-derived header fields) clearly
+  marked below — the stand-in for codecs (JPEG/PNG/MP4) whose
+  libraries (PIL/ffmpeg) this container lacks;
+- ``use_real_codec=True``: a REAL dependency-free byte-level decoder
+  for two trivial containers — BMP (BITMAPINFOHEADER, 8/24/32 bpp
+  uncompressed) and WAV (RIFF PCM, 8/16-bit) — parsing actual headers
+  and computing intensity stats from the actual pixel/sample bytes.
+  `synthesize_media` builds real BMP/WAV payloads deterministically
+  from doc_id, so a SQL oracle can pin the decode by recomputing the
+  fields arithmetically — matching proves the encode→parse
+  round-trip, not just the plumbing.
+
+Everything around the decode kernel is real and scale-true either
+way:
 
 - payloads live in a `binary` column — never stringified, never
   collected to the driver;
@@ -63,40 +74,201 @@ def _fake_header(payload: bytes) -> tuple[str, int, int, int, float]:
     return h, width, height, n_channels, mean_intensity
 
 
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal 24-bpp bottom-up BMP (BITMAPINFOHEADER): ``pixels`` is
+    width*height*3 raw bytes, rows padded to 4-byte multiples per the
+    spec. Pure struct packing — no imaging library."""
+    import struct
+
+    row_raw = width * 3
+    row_size = (row_raw + 3) // 4 * 4
+    pad = b"\x00" * (row_size - row_raw)
+    body = b"".join(
+        pixels[r * row_raw : (r + 1) * row_raw] + pad
+        for r in range(height - 1, -1, -1)  # bottom-up row order
+    )
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + dib + body
+
+
+def parse_bmp(payload: bytes) -> tuple[int, int, int, float] | None:
+    """Real BMP header parse + pixel-byte mean. Returns (width, height,
+    n_channels, mean_intensity over the UNpadded pixel bytes / 255) or
+    None when not an uncompressed 8/24/32-bpp BITMAPINFOHEADER BMP."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (pixel_offset,) = struct.unpack_from("<I", payload, 10)
+    (dib_size,) = struct.unpack_from("<I", payload, 14)
+    if dib_size < 40:
+        return None
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (8, 24, 32) or width <= 0:
+        return None
+    height = abs(height_raw)
+    n_channels = bpp // 8
+    row_raw = width * n_channels
+    row_size = (row_raw + 3) // 4 * 4
+    total = 0
+    n = 0
+    for r in range(height):
+        row = payload[pixel_offset + r * row_size :][:row_raw]
+        if len(row) < row_raw:
+            return None
+        total += sum(row)
+        n += row_raw
+    mean = (total / n / 255.0) if n else 0.0
+    return width, height, n_channels, mean
+
+
+def encode_wav(
+    sample_rate: int, n_channels: int, samples: list[int]
+) -> bytes:
+    """Minimal RIFF/WAVE PCM 16-bit container from int16 samples
+    (interleaved when n_channels > 1)."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate, byte_rate,
+        n_channels * 2, 16,
+    )
+    chunks = fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+
+def parse_wav(payload: bytes) -> tuple[int, int, int, float] | None:
+    """Real RIFF chunk walk for PCM WAV. Returns (sample_rate,
+    n_frames, n_channels, mean |amplitude| normalized to full scale)
+    or None for non-PCM / non-8/16-bit / malformed payloads."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, n_channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if audio_fmt != 1 or bits not in (8, 16) or n_channels < 1:
+        return None
+    if bits == 16:
+        n_samp = len(data) // 2
+        vals = struct.unpack(f"<{n_samp}h", data[: n_samp * 2])
+        mean = sum(abs(v) for v in vals) / n_samp / 32768.0 if n_samp else 0.0
+    else:
+        n_samp = len(data)
+        mean = (
+            sum(abs(b - 128) for b in data) / n_samp / 128.0 if n_samp else 0.0
+        )
+    n_frames = n_samp // n_channels
+    return sample_rate, n_frames, n_channels, mean
+
+
+def _real_header(payload: bytes) -> tuple[str, int, int, int, float] | None:
+    """Dispatch on container magic. Field mapping: for images,
+    (width, height); for audio, width=sample_rate, height=n_frames —
+    documented schema overloading so both share one typed row."""
+    h = hashlib.md5(payload).hexdigest()
+    parsed = parse_bmp(payload) or parse_wav(payload)
+    if parsed is None:
+        return None
+    a, b, c, m = parsed
+    return h, a, b, c, m
+
+
 def decode_media(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
     """payload → decoded header fields, streamed through Arrow batches.
 
     Output: doc_id, media_type, width, height, n_channels,
-    mean_intensity, content_md5.
+    mean_intensity, content_md5. With ``use_real_codec=True`` the
+    fields come from actual BMP/WAV container parsing (see parse_bmp /
+    parse_wav; unparseable payloads yield nulls); the default is the
+    deterministic fake for formats whose codecs this container lacks.
     """
-    if use_real_codec:
-        raise NotImplementedError(
-            "real codecs (PIL/libsndfile/ffmpeg) are not available in "
-            "this container; the deterministic fake decode is the "
-            "supported path"
-        )
-
     schema = (
         "doc_id long, media_type string, width int, height int, "
         "n_channels int, mean_intensity double, content_md5 string"
     )
+    header = _real_header if use_real_codec else _fake_header
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_fake_header(bytes(p)) for p in pdf["payload"]]
+            rows = [header(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "width": [r[1] for r in rows],
-                    "height": [r[2] for r in rows],
-                    "n_channels": [r[3] for r in rows],
-                    "mean_intensity": [r[4] for r in rows],
-                    "content_md5": [r[0] for r in rows],
+                    "width": [r[1] if r else None for r in rows],
+                    "height": [r[2] if r else None for r in rows],
+                    "n_channels": [r[3] if r else None for r in rows],
+                    "mean_intensity": [r[4] if r else None for r in rows],
+                    "content_md5": [
+                        r[0] if r else hashlib.md5(bytes(p)).hexdigest()
+                        for r, p in zip(rows, pdf["payload"])
+                    ],
                 }
             )
 
     return media.select("doc_id", "media_type", "payload").mapInPandas(decode, schema)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Build REAL container payloads deterministically from doc_id:
+    even ids → 24-bpp BMP (width 4+id%13, height 3+id%7, pixel byte i
+    = (id*31 + i*7) mod 256), odd ids → 16-bit mono/stereo PCM WAV
+    (rate 8000, channels 1+(id//2)%2, frames 64+id%32, sample i =
+    ((id*17 + i*13) mod 65536) - 32768). Every field is a pure
+    function of doc_id, so a SQL oracle can recompute the decoded
+    header + intensity stats without touching bytes — equality proves
+    the encoder and parser round-trip real containers."""
+    schema = "doc_id long, media_type string, payload binary"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 2 == 0:
+                    w, hgt = 4 + i % 13, 3 + i % 7
+                    n = w * hgt * 3
+                    px = bytes((i * 31 + j * 7) % 256 for j in range(n))
+                    payloads.append(encode_bmp(w, hgt, px))
+                    types.append("image")
+                else:
+                    ch = 1 + (i // 2) % 2
+                    frames = 64 + i % 32
+                    samples = [
+                        ((i * 17 + j * 13) % 65536) - 32768
+                        for j in range(frames * ch)
+                    ]
+                    payloads.append(encode_wav(8000, ch, samples))
+                    types.append("audio")
+                ids.append(i)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": types, "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(synth, schema)
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:

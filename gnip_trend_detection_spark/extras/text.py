@@ -355,7 +355,13 @@ def pmi_bigrams(
     rounded to 6 decimals, the file-wide policy for libm-sensitive
     outputs.
     """
-    t = docs.select(tokens(F.col(text_col)).alias("toks")).persist()
+    # localCheckpoint, NOT persist: the tokenized relation feeds three
+    # branches, but a persist here is never unpersisted (the operator
+    # returns before materialization) and would pin cache across a
+    # long-lived session's whole query sweep — CacheManager holds
+    # persisted plans until an explicit unpersist, while checkpoint
+    # blocks are released when the relation is garbage-collected.
+    t = docs.select(tokens(F.col(text_col)).alias("toks")).localCheckpoint()
     uni = t.select(F.explode("toks").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("c")
     )

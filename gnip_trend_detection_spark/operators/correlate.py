@@ -26,6 +26,14 @@ def pair_correlations(
     ts_col: str = "bin_start",
     round_digits: int | None = 4,
 ) -> DataFrame:
+    """Pearson r from explicit sums, NOT F.corr: Spark merges Corr
+    partials in shuffle-fetch order, which varies run to run, so a
+    near-round-boundary r can flip between executions (observed once
+    in a full-suite run). With integer counts every SUM here is exact
+    (magnitudes < 2^53), making the sums merge-order-independent and r
+    bit-deterministic — and bit-identical to the DuckDB oracle's same
+    formula. r = (n·Σxy − ΣxΣy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²));
+    NULL when either variance is 0, matching corr()."""
     a = rebinned.select(
         F.col("counter").alias("counter_a"),
         F.col(ts_col).alias("ts"),
@@ -37,12 +45,25 @@ def pair_correlations(
         F.col("count").cast("double").alias("count_b"),
     )
     paired = a.join(b, "ts").filter(F.col("counter_a") < F.col("counter_b"))
-    r = F.corr("count_a", "count_b")
+    x, y = F.col("count_a"), F.col("count_b")
+    agg = paired.groupBy("counter_a", "counter_b").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    n = F.col("__n")
+    varx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vary = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    r = F.when((varx > 0) & (vary > 0), cov / F.sqrt(varx * vary))
     if round_digits is not None:
-        r = F.round(r, round_digits)
+        r = F.round(r, round_digits) + F.lit(0.0)
     return (
-        paired.groupBy("counter_a", "counter_b")
-        .agg(r.alias("r"), F.count(F.lit(1)).alias("n_bins"))
+        agg.select("counter_a", "counter_b", r.alias("r"), "n_bins")
         .orderBy("r", "counter_a", "counter_b")
     )
 

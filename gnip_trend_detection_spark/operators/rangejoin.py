@@ -29,11 +29,19 @@ def range_count_join(
 ) -> DataFrame:
     """Count points with s <= t < e for every interval row.
 
-    ``points``: key cols + ``point_time`` (numeric). ``intervals``:
-    key cols + ``start_col``/``end_col`` + any id/payload columns,
-    which pass through. Intervals with no points emit n_points = 0
-    (left-outer), so the result row count always equals the interval
-    row count.
+    ``points``: key cols + ``point_time`` (numeric — integer OR
+    fractional seconds). ``intervals``: key cols + ``start_col``/
+    ``end_col`` + any id/payload columns, which pass through.
+    Intervals with no points emit n_points = 0 (left-outer), so the
+    result row count always equals the interval row count.
+
+    The upper bucket bound is floor(end/w), NOT floor((end-1)/w): the
+    latter assumes integer timestamps and silently drops points in the
+    trailing sub-second of a fractionally-aligned half-open window
+    (end-1 < t < end lands in a bucket the interval never explodes
+    to). The exact post-filter prunes the at-most-one extra bucket a
+    boundary-aligned integer end now explodes to, so results are
+    identical for integer inputs and correct for fractional ones.
     """
     w = int(bucket_width)
     iv_cols = [c for c in intervals.columns]
@@ -42,7 +50,7 @@ def range_count_join(
         F.explode(
             F.sequence(
                 F.floor(F.col(start_col) / w).cast("long"),
-                F.floor((F.col(end_col) - 1) / w).cast("long"),
+                F.floor(F.col(end_col) / w).cast("long"),
             )
         ),
     )

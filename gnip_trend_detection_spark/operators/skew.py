@@ -48,7 +48,18 @@ def salted_join(
     side is exploded once per salt value — n_salt x replication — and
     the join runs on ``on + [salt]``, so each hot key occupies n_salt
     reducers instead of one.
+
+    Only inner/left/left_semi/left_anti/cross ``how`` values are
+    accepted: with a right or full outer join, an unmatched small-side
+    key survives once per salt replica and would emit n_salt duplicate
+    null-extended rows. Salt the other way around for those.
     """
+    normalized = how.lower().replace("_", "").replace("outer", "")
+    if normalized not in {"inner", "left", "leftsemi", "semi", "leftanti", "anti", "cross"}:
+        raise ValueError(
+            f"salted_join how={how!r} unsupported: unmatched small-side keys "
+            f"would duplicate n_salt times under right/full outer joins"
+        )
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(salt_from), F.lit(n_salt)).cast("int")
     )

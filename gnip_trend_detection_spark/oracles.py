@@ -526,14 +526,31 @@ SELECT o.counter, o.onset_ts, d.first_detection_ts,
 FROM onsets o LEFT JOIN det d ON d.counter = o.counter
 """
 
-    # --- correlations (A4/A5), timestamp-aligned (reference bug fixed) ---
+    # --- correlations (A4/A5), timestamp-aligned (reference bug fixed).
+    # Explicit exact-sum Pearson r, mirroring correlate.py — CORR's
+    # internal accumulation is engine-specific AND merge-order-
+    # sensitive; integer-count sums are exact, so this formula is
+    # bit-identical on both engines. `+ 0.0` normalizes -0.0.
     sql["correlation_pairs"] = f"""
-WITH ser AS ({events_series(3600)})
-SELECT a.counter AS counter_a, b.counter AS counter_b,
-       ROUND(CORR(a.count, b.count), 4) AS r,
-       COUNT(*) AS n_bins
-FROM ser a JOIN ser b ON a.bin_ts = b.bin_ts AND a.counter < b.counter
-GROUP BY 1, 2
+WITH ser AS ({events_series(3600)}),
+g AS (
+  SELECT a.counter AS counter_a, b.counter AS counter_b,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(a.count) AS sx, SUM(b.count) AS sy,
+         SUM(a.count * b.count) AS sxy,
+         SUM(a.count * a.count) AS sxx,
+         SUM(b.count * b.count) AS syy,
+         COUNT(*) AS n_bins
+  FROM ser a JOIN ser b ON a.bin_ts = b.bin_ts AND a.counter < b.counter
+  GROUP BY 1, 2
+)
+SELECT counter_a, counter_b,
+       ROUND(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                  THEN (n * sxy - sx * sy)
+                       / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+                  END, 4) + 0.0 AS r,
+       n_bins
+FROM g
 """
 
     # dense twin: zero-filled common grid, constant series dropped —
@@ -549,7 +566,7 @@ dense AS (
 ),
 st AS (SELECT counter, STDDEV_POP(count) AS sd FROM dense GROUP BY 1)
 SELECT a.counter AS counter_a, b.counter AS counter_b,
-       ROUND(CORR(a.count, b.count), 4) AS r,
+       ROUND(CORR(a.count, b.count), 4) + 0.0 AS r,
        COUNT(*) AS n_bins
 FROM dense a
 JOIN dense b ON a.bin_ts = b.bin_ts AND a.counter < b.counter
@@ -1824,13 +1841,22 @@ g AS (
          ROUND(STDDEV_SAMP(count), 6) AS std_count,
          MIN(count) AS min_count,
          MAX(count) AS max_count,
-         ROUND(CORR(count, prev), 6) + 0.0 AS acf1,
+         CAST(COUNT(prev) AS DOUBLE) AS pn,
+         SUM(CASE WHEN prev IS NOT NULL THEN count END) AS px,
+         SUM(prev) AS py,
+         SUM(count * prev) AS pxy,
+         SUM(CASE WHEN prev IS NOT NULL THEN count * count END) AS pxx,
+         SUM(prev * prev) AS pyy,
          CAST(COUNT(*) AS DOUBLE) AS n,
          SUM(u) AS su, SUM(count) AS sy,
          SUM(u * count) AS suy, SUM(u * u) AS suu
   FROM lagged GROUP BY counter
 )
-SELECT counter, n_bins, mean_count, std_count, min_count, max_count, acf1,
+SELECT counter, n_bins, mean_count, std_count, min_count, max_count,
+       ROUND(CASE WHEN (pn * pxx - px * px) > 0 AND (pn * pyy - py * py) > 0
+                  THEN (pn * pxy - px * py)
+                       / SQRT((pn * pxx - px * px) * (pn * pyy - py * py))
+                  END, 6) + 0.0 AS acf1,
        ROUND(CASE WHEN (n * suu - su * su) <> 0
                   THEN (n * suy - su * sy) / (n * suu - su * su) / 3600.0
                   END, 6) + 0.0 AS trend_slope
@@ -1895,6 +1921,43 @@ SELECT doc_id, media_type,
          AS mean_intensity,
        h AS content_md5
 FROM m
+"""
+    # arithmetic twin of multimodal.synthesize_media + the REAL
+    # BMP/WAV parsers: every decoded field is a pure function of
+    # doc_id, recomputed here without touching bytes — equality proves
+    # the Spark side's container encode -> header parse round-trip.
+    # Sums are over INTEGERS (exact, fold-order-free), then one
+    # division chain identical to the Python kernel's.
+    sql["multimodal_real_decode"] = """
+WITH img AS (
+  SELECT doc_id, 'image' AS media_type,
+         4 + doc_id % 13 AS width, 3 + doc_id % 7 AS height,
+         3 AS n_channels,
+         (4 + doc_id % 13) * (3 + doc_id % 7) * 3 AS n
+  FROM documents WHERE doc_id % 2 = 0
+),
+aud AS (
+  SELECT doc_id, 'audio' AS media_type,
+         8000 AS width, 64 + doc_id % 32 AS height,
+         1 + (doc_id // 2) % 2 AS n_channels,
+         (64 + doc_id % 32) * (1 + (doc_id // 2) % 2) AS n
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT doc_id, media_type,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(n_channels AS INT) AS n_channels,
+       ROUND(list_sum([(doc_id * 31 + j * 7) % 256
+                       for j in generate_series(0, n - 1)])
+             / n / 255.0, 6) AS mean_intensity
+FROM img
+UNION ALL
+SELECT doc_id, media_type,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(n_channels AS INT) AS n_channels,
+       ROUND(list_sum([ABS((doc_id * 17 + j * 13) % 65536 - 32768)
+                       for j in generate_series(0, n - 1)])
+             / n / 32768.0, 6) AS mean_intensity
+FROM aud
 """
     hexval = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
     digest_byte = (

@@ -1286,14 +1286,23 @@ def q_series_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = lagged.withColumn(
         "u", ((F.col("bin_ts") - mn) / F.lit(3600)).cast("double")
     )
+    # acf1 likewise from exact sums over the prev-notnull pairs (F.corr
+    # merges partials in shuffle-fetch order — run-to-run ulp drift)
     y = F.col("count").cast("double")
+    pv = F.col("prev").cast("double")
+    has = pv.isNotNull()
     agg = lagged.groupBy("counter").agg(
         F.count(F.lit(1)).alias("n_bins"),
         F.round(F.avg("count"), 6).alias("mean_count"),
         F.round(F.stddev_samp("count"), 6).alias("std_count"),
         F.min("count").alias("min_count"),
         F.max("count").alias("max_count"),
-        (F.round(F.corr("count", "prev"), 6) + F.lit(0.0)).alias("acf1"),
+        F.count("prev").cast("double").alias("__pn"),
+        F.sum(F.when(has, y)).alias("__px"),
+        F.sum(pv).alias("__py"),
+        F.sum(y * pv).alias("__pxy"),
+        F.sum(F.when(has, y * y)).alias("__pxx"),
+        F.sum(pv * pv).alias("__pyy"),
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.sum("u").alias("__su"),
         F.sum(y).alias("__sy"),
@@ -1307,6 +1316,11 @@ def q_series_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         / den
         / F.lit(3600.0),
     )
+    pn = F.col("__pn")
+    varx = pn * F.col("__pxx") - F.col("__px") * F.col("__px")
+    vary = pn * F.col("__pyy") - F.col("__py") * F.col("__py")
+    cov = pn * F.col("__pxy") - F.col("__px") * F.col("__py")
+    acf1 = F.when((varx > 0) & (vary > 0), cov / F.sqrt(varx * vary))
     return agg.select(
         "counter",
         "n_bins",
@@ -1314,7 +1328,7 @@ def q_series_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "std_count",
         "min_count",
         "max_count",
-        "acf1",
+        (F.round(acf1, 6) + F.lit(0.0)).alias("acf1"),
         (F.round(slope, 6) + F.lit(0.0)).alias("trend_slope"),
     )
 
@@ -1788,6 +1802,25 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path: synthesize actual BMP / WAV RIFF containers
+    deterministically from doc_id (multimodal.synthesize_media), then
+    parse them back with the dependency-free byte-level decoders
+    (decode_media(use_real_codec=True)). The oracle recomputes every
+    decoded field arithmetically from doc_id, so a green row proves
+    the container encode → header parse → intensity stats round-trip,
+    not just the Arrow plumbing."""
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    return multimodal.decode_media(media, use_real_codec=True).select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "n_channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     feats = multimodal.extract_features(media, dim=8)
@@ -1972,6 +2005,7 @@ ALL: dict[str, QueryFn] = {
     "props_field_stats": q_props_field_stats,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_real_decode": q_multimodal_real_decode,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,

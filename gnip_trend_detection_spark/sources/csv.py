@@ -19,19 +19,62 @@ from pyspark.sql import functions as F
 
 from gnip_trend_detection_spark import schemas
 
-# The formats seen in the reference repo + common ISO variants.
+# The formats seen in the reference repo + common ISO variants, then
+# the frequent dateutil-parseable layouts (month-name, '/'-separated,
+# offset-suffixed, RFC/ctime) — the reference accepts anything
+# dateutil.parser.parse eats (analysis.py:59), and real-world CSVs
+# like "Aug 24 2014 00:00" hit the gap first. Coalesce stops at the
+# first matching format, so order = likelihood; ambiguous x/y/z dates
+# resolve month-first like dateutil's US default.
 _TS_FORMATS = (
     "yyyyMMddHHmmss",
     "yyyy-MM-dd HH:mm:ss",
     "yyyy-MM-dd'T'HH:mm:ss",
     "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
     "yyyy-MM-dd",
+    # offset-suffixed ISO (XXX also matches the literal 'Z')
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    # month-name forms: "Aug 24 2014 00:00", "24 Aug 2014 13:45:10"
+    "MMM d yyyy HH:mm:ss",
+    "MMM d yyyy HH:mm",
+    "MMM d, yyyy HH:mm:ss",
+    "MMM d, yyyy",
+    "d MMM yyyy HH:mm:ss",
+    "d MMM yyyy HH:mm",
+    "d MMM yyyy",
+    # slash-separated (month-first, dateutil's default for x/y/z)
+    "MM/dd/yyyy HH:mm:ss",
+    "MM/dd/yyyy HH:mm",
+    "MM/dd/yyyy",
+    "yyyy/MM/dd HH:mm:ss",
+    "yyyy/MM/dd",
 )
+
+# RFC-2822 / asctime carry a leading weekday name, which Spark >= 3.0
+# refuses to PARSE ('E' is format-only). The weekday is redundant for
+# the instant, so it's stripped by regexp (weekday names only — a bare
+# 3-letter month prefix like "Aug 24 2014" must survive) and the tails
+# parse with these:
+_TS_FORMATS_WEEKDAY_TAIL = (
+    "d MMM yyyy HH:mm:ss",  # RFC-2822: "Sun, 24 Aug 2014 13:45:10"
+    "MMM d HH:mm:ss yyyy",  # asctime:  "Sun Aug 24 13:45:10 2014"
+)
+_WEEKDAY_PREFIX = r"^(?i)(Mon|Tue|Wed|Thu|Fri|Sat|Sun)[a-z]*,?\s+"
 
 
 def lenient_timestamp(col: Column) -> Column:
     trimmed = F.trim(col)
-    return F.coalesce(*[F.try_to_timestamp(trimmed, F.lit(f)) for f in _TS_FORMATS])
+    stripped = F.regexp_replace(trimmed, _WEEKDAY_PREFIX, "")
+    return F.coalesce(
+        *[F.try_to_timestamp(trimmed, F.lit(f)) for f in _TS_FORMATS],
+        *[
+            F.try_to_timestamp(stripped, F.lit(f))
+            for f in _TS_FORMATS_WEEKDAY_TAIL
+        ],
+    )
 
 
 def load_counts_csv(

@@ -25,8 +25,11 @@ def parquet_layout(
     spark: SparkSession, path: str, pattern: str = "*.parquet"
 ) -> DataFrame:
     """(file, n_rows, n_row_groups, n_columns, file_bytes,
-    compressed_bytes, min_rg_rows, max_rg_rows) per parquet file under
-    ``path`` — small-file and row-group-skew diagnostics."""
+    uncompressed_bytes, min_rg_rows, max_rg_rows) per parquet file
+    under ``path`` — small-file and row-group-skew diagnostics.
+    ``uncompressed_bytes`` sums row-group ``total_byte_size``, which
+    pyarrow defines as the UNcompressed data size (on-disk size is
+    ``file_bytes``)."""
     import pyarrow.parquet as pq
 
     files = sorted(_glob.glob(os.path.join(path, pattern)))
@@ -36,7 +39,7 @@ def parquet_layout(
     for f in files:
         md = pq.ParquetFile(f).metadata
         rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
-        comp = sum(
+        uncomp = sum(
             md.row_group(i).total_byte_size for i in range(md.num_row_groups)
         )
         rows.append(
@@ -46,7 +49,7 @@ def parquet_layout(
                 int(md.num_row_groups),
                 int(md.num_columns),
                 int(os.path.getsize(f)),
-                int(comp),
+                int(uncomp),
                 int(min(rg_rows)) if rg_rows else 0,
                 int(max(rg_rows)) if rg_rows else 0,
             )
@@ -65,22 +68,29 @@ def compaction_candidates(
     target_bytes: int = 128 * 1024 * 1024,
     pattern: str = "*.parquet",
 ) -> DataFrame:
-    """Files smaller than half the target size — the set
-    `sources/compact.py` should rewrite, with the projected output
-    file count."""
+    """Files smaller than half the target size (the compaction
+    trigger), plus the projected post-rewrite file count.
+
+    ``projected_files`` is sized from the TOTAL dataset bytes, because
+    `sources/compact.py:compact_parquet` rewrites the whole table
+    (ceil(total/target)) — sizing it from small-file bytes alone made
+    the CLI `maintain` report disagree with the actual rewrite."""
     from pyspark.sql import functions as F
 
     layout = parquet_layout(spark, path, pattern)
-    small = layout.filter(F.col("file_bytes") < target_bytes // 2)
-    total = small.agg(
-        F.count(F.lit(1)).alias("n_small_files"),
-        F.coalesce(F.sum("file_bytes"), F.lit(0)).alias("small_bytes"),
+    small = (F.col("file_bytes") < target_bytes // 2).cast("long")
+    total = layout.agg(
+        F.coalesce(F.sum(small), F.lit(0)).alias("n_small_files"),
+        F.coalesce(
+            F.sum(F.when(small == 1, F.col("file_bytes"))), F.lit(0)
+        ).alias("small_bytes"),
+        F.coalesce(F.sum("file_bytes"), F.lit(0)).alias("total_bytes"),
     )
     return total.select(
         "n_small_files",
         "small_bytes",
         F.greatest(
             F.lit(1),
-            F.ceil(F.col("small_bytes") / float(target_bytes)).cast("long"),
+            F.ceil(F.col("total_bytes") / float(target_bytes)).cast("long"),
         ).alias("projected_files"),
     )

@@ -162,3 +162,43 @@ def test_directory_walk_postfix_filter(spark, tmp_path):
     shutil.copy(EXAMPLE, tmp_path / "ignored.other")
     counts = load_counts_csv(spark, str(tmp_path), postfix=".counts.csv")
     assert counts.count() == 737
+
+
+def test_lenient_timestamp_dateutil_layouts(spark, tmp_path):
+    """The parse ladder covers the common dateutil-parseable layouts
+    the reference accepts via dateutil.parser.parse (analysis.py:59):
+    month-name, '/'-separated (month-first), offset-suffixed ISO,
+    RFC-2822 and asctime forms — all resolving to the same instant."""
+    from gnip_trend_detection_spark.sources.csv import load_counts_csv
+
+    p = tmp_path / "formats.csv"
+    p.write_text(
+        "2014-08-24 13:45:10,60,1,iso\n"
+        "20140824134510,60,1,compact\n"
+        "Aug 24 2014 13:45:10,60,1,monthname\n"
+        "24 Aug 2014 13:45:10,60,1,dayfirstname\n"
+        "08/24/2014 13:45:10,60,1,slash\n"
+        "2014/08/24 13:45:10,60,1,slashiso\n"
+        "2014-08-24T13:45:10Z,60,1,zulu\n"
+        "2014-08-24T15:45:10+02:00,60,1,offset\n"
+        '"Sun, 24 Aug 2014 13:45:10",60,1,rfc\n'
+        "Sun Aug 24 13:45:10 2014,60,1,ctime\n"
+    )
+    rows = load_counts_csv(spark, str(p)).collect()
+    assert len(rows) == 10, sorted(r["counter"] for r in rows)
+    instants = {r["interval_start"] for r in rows}
+    assert len(instants) == 1, instants
+
+
+def test_lenient_timestamp_date_only_and_minutes(spark, tmp_path):
+    from gnip_trend_detection_spark.sources.csv import load_counts_csv
+
+    p = tmp_path / "f2.csv"
+    p.write_text(
+        "Aug 4 2014 00:00,3600,2,short_day\n"
+        "08/04/2014,86400,2,dateslash\n"
+        "2014-08-04,86400,2,dateiso\n"
+    )
+    rows = {r["counter"]: r["interval_start"] for r in load_counts_csv(spark, str(p)).collect()}
+    assert set(rows) == {"short_day", "dateslash", "dateiso"}
+    assert rows["dateslash"] == rows["dateiso"]

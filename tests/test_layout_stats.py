@@ -38,4 +38,9 @@ def test_compaction_candidates_counts_small_files(spark, tmp_path):
         spark, out, target_bytes=2 * 2  # absurdly small target
     ).first()
     assert rep2["n_small_files"] == 0
-    assert rep2["projected_files"] == 1
+    # projection sizes the FULL rewrite (compact_parquet rewrites the
+    # whole table): ceil(total_bytes / target), not small-bytes based
+    import math
+
+    total = sum(r["file_bytes"] for r in parquet_layout(spark, out).collect())
+    assert rep2["projected_files"] == max(1, math.ceil(total / 4))

@@ -19,11 +19,67 @@ def media(spark):
     return multimodal.media_from_documents(load_table(spark, SF, "documents")).cache()
 
 
-def test_real_codec_gate(media):
-    from gnip_trend_detection_spark.extras import multimodal
+def test_real_codec_bmp_roundtrip():
+    from gnip_trend_detection_spark.extras import multimodal as mm
 
-    with pytest.raises(NotImplementedError, match="codecs"):
-        multimodal.decode_media(media, use_real_codec=True)
+    px = bytes(range(4 * 3 * 3))  # 4x3, 24bpp
+    payload = mm.encode_bmp(4, 3, px)
+    parsed = mm.parse_bmp(payload)
+    assert parsed is not None
+    w, h, ch, mean = parsed
+    assert (w, h, ch) == (4, 3, 3)
+    assert abs(mean - (sum(px) / len(px) / 255.0)) == 0.0
+
+
+def test_real_codec_wav_roundtrip():
+    from gnip_trend_detection_spark.extras import multimodal as mm
+
+    samples = [0, 100, -100, 32767, -32768, 5, -5, 1000] * 4
+    payload = mm.encode_wav(8000, 2, samples)
+    parsed = mm.parse_wav(payload)
+    assert parsed is not None
+    rate, frames, ch, mean = parsed
+    assert (rate, frames, ch) == (8000, len(samples) // 2, 2)
+    expect = sum(abs(s) for s in samples) / len(samples) / 32768.0
+    assert mean == expect
+
+
+def test_real_codec_rejects_garbage_and_unsupported():
+    from gnip_trend_detection_spark.extras import multimodal as mm
+
+    assert mm.parse_bmp(b"not a bmp at all, nope, still not") is None
+    assert mm.parse_wav(b"RIFFxxxxNOPE") is None
+    assert mm.parse_bmp(b"BM" + b"\x00" * 20) is None  # truncated header
+    # compressed BMP (BI_RLE8 = 1) refused
+    good = mm.encode_bmp(2, 2, bytes(12))
+    bad = bytearray(good)
+    bad[30] = 1
+    assert mm.parse_bmp(bytes(bad)) is None
+
+
+def test_real_codec_decode_on_synthesized(spark):
+    """End-to-end: synthesize real containers from doc ids, decode
+    with use_real_codec=True, check a couple of rows by hand."""
+    from gnip_trend_detection_spark.extras import multimodal as mm
+    from gnip_trend_detection_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").limit(20)
+    out = mm.decode_media(mm.synthesize_media(docs), use_real_codec=True)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows, "no rows decoded"
+    for i, r in rows.items():
+        assert r["width"] is not None, i  # every synth payload parses
+        if i % 2 == 0:
+            assert r["media_type"] == "image"
+            assert r["width"] == 4 + i % 13
+            assert r["height"] == 3 + i % 7
+            assert r["n_channels"] == 3
+        else:
+            assert r["media_type"] == "audio"
+            assert r["width"] == 8000
+            assert r["height"] == 64 + i % 32
+            assert r["n_channels"] == 1 + (i // 2) % 2
+        assert 0.0 <= r["mean_intensity"] <= 1.0
 
 
 def test_decode_deterministic_and_typed(spark, media):

@@ -20,9 +20,36 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _tie_margin(rows) -> tuple[float, int]:
+    """Min distance of any float cell to its nearest round-half
+    boundary at the 1e4 and 1e6 scales (the two round grids the query
+    surface uses), EXCLUDING exact ties — a value computed exactly ON
+    a boundary resolves identically on both engines (both round half
+    away from zero for doubles), while a NEAR-tie flips under
+    cross-engine ulp deltas. Returns (min_margin, n_cells_scanned)."""
+    import math
+
+    worst = float("inf")
+    n = 0
+    for row in rows:
+        for v in row:
+            if not isinstance(v, float) or math.isnan(v) or math.isinf(v):
+                continue
+            n += 1
+            for scale in (1e4, 1e6):
+                s = v * scale
+                if abs(s) > 2**52:
+                    continue
+                d = abs(abs(s - math.floor(s)) - 0.5)
+                if d != 0.0 and d / scale < worst:
+                    worst = d / scale
+    return worst, n
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    tie_audit = os.environ.get("SPARK_GRAFT_TIE_AUDIT") == "1"
 
     from pyspark.sql import SparkSession
 
@@ -53,6 +80,13 @@ def main() -> int:
                 compare(df, con, oracles[name], name=name)
             else:
                 df.collect()  # rows-only check, like the driver's weak path
+            if tie_audit and name in oracles:
+                margin, ncells = _tie_margin(
+                    tuple(r) for r in queries[name](spark, sf_dir).collect()
+                )
+                flag = "  ** NEAR-TIE **" if margin < 1e-9 else ""
+                print(f"TIEAUDIT {name}: min_margin={margin:.3e} "
+                      f"cells={ncells}{flag}")
             n_pass += 1
             print(f"PASS {name}")
         except Exception:
