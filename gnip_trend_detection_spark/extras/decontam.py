@@ -48,6 +48,139 @@ def benchmark_gram_set(
     return out.filter(F.col("idx").isNotNull()).select("gram").distinct()
 
 
+def benchmark_bloom(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+):
+    """Bloom-filter sketch of the benchmark gram set, built as a
+    DISTRIBUTED aggregation: each gram maps to ``k`` bit positions via
+    double hashing h_i = (xxhash64(g) + i*xxhash64(g, 1)) mod n_bits,
+    positions fold to 64-bit words with a bit_or hash aggregate, and
+    only the <= n_bits/64-row word relation reaches the driver (128 KB
+    of bits for the default 2^20). Spark's own BloomFilterAggregate is
+    optimizer-internal (runtime filters), so this is the public-API
+    equivalent. Returns (numpy uint64 word array, n_bits, k).
+    """
+    import numpy as np
+
+    assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
+    grams = benchmark_gram_set(benchmark, text_col, n)
+    # pre-reduce both hashes mod m BEFORE combining: h1 + i*h2 on raw
+    # xxhash64 longs overflows int64 (ANSI error); with m a power of
+    # two, ((h1 mod m) + i*(h2 mod m)) mod m is the same position and
+    # stays < 2^23 — and the numpy probe computes the identical
+    # reduced formula (masking the uint64 view == pmod for 2^k)
+    h1 = F.pmod(F.xxhash64("gram"), F.lit(n_bits))
+    h2 = F.pmod(F.xxhash64("gram", F.lit(1)), F.lit(n_bits))
+    pos = F.explode(
+        F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)) for i in range(k)])
+    ).alias("pos")
+    words = (
+        grams.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("widx"),
+            # pyspark's shiftleft only takes a literal shift — the SQL
+            # form accepts a column
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("word"))
+        .collect()
+    )
+    bits = np.zeros(n_bits // 64, dtype=np.uint64)
+    for r in words:
+        bits[r["widx"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
+    return bits, n_bits, k
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """`decontaminate` with a Bloom prefilter — the 100 TB shape.
+
+    The exact-broadcast probe in `decontaminate` needs the whole
+    benchmark gram set in every executor; fine for MB-scale
+    benchmarks, not for a 100M-gram eval union. Here the corpus grams
+    probe a broadcast ~128 KB bit array first (vectorized numpy over
+    JVM-computed xxhash64 pairs — Arrow-batched, zero shuffle), and
+    only the might-contain sliver (true hits + ~0.1% false positives)
+    feeds the exact broadcast join that removes false positives. Bloom
+    filters have NO false negatives, so the output is bit-identical to
+    `decontaminate` — same oracle — while the join input shrinks by
+    the prefilter's rejection rate (~99% on clean corpora).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bits, m, kk = benchmark_bloom(benchmark, text_col, n, n_bits, k)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(bits)
+
+    # no type hints: this module uses postponed annotations, which
+    # stringify the pd.Series hints pandas_udf's resolver needs — the
+    # explicit (fn, returnType) form sidesteps that
+    def _might_contain(h1, h2):
+        w = bc.value
+        mask = np.uint64(m - 1)
+        a = h1.to_numpy(dtype=np.int64).astype(np.uint64) & mask
+        b = h2.to_numpy(dtype=np.int64).astype(np.uint64) & mask
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(kk):
+            pos = (a + np.uint64(i) * b) & mask
+            word = w[(pos >> np.uint64(6)).astype(np.int64)]
+            ok &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return pd.Series(ok)
+
+    might_contain = pandas_udf(_might_contain, "boolean")
+
+    bench = benchmark_gram_set(benchmark, text_col, n).withColumnRenamed(
+        "gram", "__g"
+    ).withColumn("__hit", F.lit(1))
+    t = corpus.withColumn("toks", tokens(F.col(text_col)))
+    gr = t.select(
+        "doc_id",
+        F.when(
+            F.size("toks") >= n, F.array_distinct(shingles(F.col("toks"), n))
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    ex = gr.select("doc_id", F.posexplode_outer("grams").alias("idx", "gram"))
+    cand = might_contain(F.xxhash64("gram"), F.xxhash64("gram", F.lit(1)))
+    # null-out the join key on bloom-rejected rows: they keep their row
+    # (n_grams still counts every gram) but never reach the hash probe
+    ex = ex.withColumn("__g", F.when(cand, F.col("gram")))
+    probed = ex.join(F.broadcast(bench), "__g", "left")
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count("idx").cast("long").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination_frac"),
+            (F.col("n_hit") > 0).alias("is_contaminated"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

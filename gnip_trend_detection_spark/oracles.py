@@ -1218,6 +1218,10 @@ SELECT c.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) c
 LEFT JOIN hit h USING (doc_id)
 """
+    # the Bloom-prefilter path is output-EXACT (no false negatives,
+    # false positives removed by the confirm join), so its oracle is
+    # the decontaminate SQL verbatim
+    sql["decontaminate_bloom"] = sql["decontaminate"]
 
     # lane-parallel token-budget shard packing (extras/shards.py):
     # lane = md5-prefix of key mod n_lanes, shard = floor(per-lane

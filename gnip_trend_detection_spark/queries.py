@@ -830,6 +830,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.decontaminate(corpus, bench, n=4)
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same split and same EXACT output as q_decontaminate, through
+    the Bloom-prefilter scale path (decontam.decontaminate_bloom):
+    corpus grams probe a broadcast 128 KB bit sketch before the exact
+    join, which only sees the might-contain sliver. Bloom filters have
+    no false negatives, so the oracle is the decontaminate SQL
+    verbatim — a green row proves the sketch path loses nothing."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return decontam.decontaminate_bloom(corpus, bench, n=4)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dataset mixing: per-language keep fractions via
     key-hash draws — same rows survive under ANY partitioning (plain
@@ -1969,6 +1982,7 @@ ALL: dict[str, QueryFn] = {
     "tpch_q5_local_revenue": q_tpch_q5_local_revenue,
     "doc_fingerprint": q_doc_fingerprint,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "stratified_sample": q_stratified_sample,
     "chunk_documents": q_chunk_documents,
     "mix_sources": q_mix_sources,

@@ -161,3 +161,60 @@ def test_sample_per_group_exact_k_and_windowgrouplimit(spark):
     # the rank filter must ride the WindowGroupLimit pushdown
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_decontaminate_bloom_matches_exact(spark):
+    """The Bloom-prefilter path must be output-identical to the exact
+    broadcast path (no false negatives by construction; false
+    positives killed by the confirm join)."""
+    from gnip_trend_detection_spark.extras import decontam
+    from gnip_trend_detection_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    exact = {r["doc_id"]: tuple(r) for r in decontam.decontaminate(corpus, bench, n=4).collect()}
+    bloom = {r["doc_id"]: tuple(r) for r in decontam.decontaminate_bloom(corpus, bench, n=4).collect()}
+    assert exact == bloom
+
+
+def test_benchmark_bloom_no_false_negatives_and_low_fp(spark):
+    import numpy as np
+
+    from gnip_trend_detection_spark.extras import decontam
+
+    bench = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta tok{i} echo foxtrot golf") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bits, m, k = decontam.benchmark_bloom(bench, n=4, n_bits=1 << 16, k=5)
+
+    def probe(gram: str) -> bool:
+        import pyspark.sql.functions as F
+
+        row = (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(gram)), F.lit(m)).alias("h1"),
+                F.pmod(F.xxhash64(F.lit(gram), F.lit(1)), F.lit(m)).alias("h2"),
+            )
+            .collect()[0]
+        )
+        a, b = np.uint64(row["h1"]), np.uint64(row["h2"])
+        mask = np.uint64(m - 1)
+        for i in range(k):
+            pos = (a + np.uint64(i) * b) & mask
+            if not (bits[int(pos) >> 6] >> (pos & np.uint64(63))) & np.uint64(1):
+                return False
+        return True
+
+    # every true benchmark gram must hit
+    from gnip_trend_detection_spark.extras.decontam import benchmark_gram_set
+
+    grams = [r["gram"] for r in benchmark_gram_set(bench, n=4).collect()]
+    assert grams and all(probe(g) for g in grams[:40])
+    # unseen strings should mostly miss
+    fp = sum(probe(f"zulu yankee xray whiskey{i}") for i in range(40))
+    assert fp <= 2, fp
