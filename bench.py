@@ -91,6 +91,9 @@ HEADLINE = [
     "tpch_q3_shipping",
     "tpch_q5_local_revenue",
     "sessionize",
+    "decontaminate_bloom",
+    "multimodal_real_decode",
+    "bm25_search",
 ]
 
 

@@ -221,6 +221,105 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> Data
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval scoring of every document against a fixed
+    term set — the lexical-retrieval half of a dedup/curation/RAG
+    pipeline (e.g. "find the training docs most similar to this eval
+    prompt" before semantic rerank).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with the Lucene idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Plan shape at 100 TB: ONE corpus scan computes per-doc (dl, per-
+    term tf) row-locally with array HOFs (the query is a handful of
+    terms — O(|terms|·dl) per doc, no explode); df per term comes from
+    the same scan's distinct-token explode semi-filtered to the term
+    set (map-side combined, |terms|-row result); N and avgdl are a
+    1-row aggregate. All three tiny relations attach as broadcast
+    cross joins — no corpus-side shuffle at all, and the only
+    exchanges are the |terms|-row and 1-row aggregations.
+
+    Emits (doc_id, n_hit, score) for docs matching >= 1 term.
+    """
+    terms = sorted(set(query_terms))
+    tarr = F.array(*[F.lit(t) for t in terms])
+    t = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    dl = F.size("toks").cast("double")
+    tfs = F.transform(
+        tarr, lambda term: F.size(F.filter(F.col("toks"), lambda x: x == term))
+    )
+    per_doc = t.select("doc_id", dl.alias("dl"), tfs.alias("tfs"))
+
+    stats = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum(F.size("toks")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = (
+        t.select(F.explode(F.array_distinct("toks")).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # |terms|-row relation -> one ordered struct array, broadcast
+    dfs = dfreq.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("term", "df")))
+        ).alias("dfmap")
+    )
+
+    scored = per_doc.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfs))
+    idx = F.sequence(F.lit(0), F.lit(len(terms) - 1))
+    contrib = F.transform(
+        idx,
+        lambda i: (
+            F.when(
+                F.get(F.col("tfs"), i) > 0,
+                F.log(
+                    1.0
+                    + (
+                        F.col("n_docs")
+                        - F.coalesce(
+                            F.element_at(F.col("dfmap"), F.get(tarr, i)), F.lit(0)
+                        ).cast("double")
+                        + 0.5
+                    )
+                    / (
+                        F.coalesce(
+                            F.element_at(F.col("dfmap"), F.get(tarr, i)), F.lit(0)
+                        ).cast("double")
+                        + 0.5
+                    )
+                )
+                * (
+                    F.get(F.col("tfs"), i).cast("double")
+                    * (k1 + 1.0)
+                    / (
+                        F.get(F.col("tfs"), i).cast("double")
+                        + k1
+                        * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+            ).otherwise(F.lit(0.0))
+        ),
+    )
+    n_hit = F.size(F.filter(F.col("tfs"), lambda x: x > 0)).cast("long")
+    score = F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x)
+    return (
+        scored.select(
+            "doc_id",
+            n_hit.alias("n_hit"),
+            F.round(score, 6).alias("score"),
+        )
+        .filter(F.col("n_hit") > 0)
+    )
+
+
 def unigram_logppl(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document log-perplexity under the corpus's own unigram LM —
     the cheap stand-in for the KenLM quality filter in CCNet-style

@@ -1223,6 +1223,45 @@ LEFT JOIN hit h USING (doc_id)
     # the decontaminate SQL verbatim
     sql["decontaminate_bloom"] = sql["decontaminate"]
 
+    # Okapi BM25 (extras/text.py:bm25_scores): per-term contributions
+    # summed in the same sorted-term left-to-right order as the Spark
+    # aggregate fold; tf/dl/df/N are exact integers, so the only
+    # libm-sensitive op is LN, rounded at 6 like tfidf
+    from gnip_trend_detection_spark.queries import BM25_QUERY_TERMS
+
+    _bm_terms = sorted(set(BM25_QUERY_TERMS))
+    _tf = lambda t: f"len(list_filter(toks, x -> x = '{t}'))"  # noqa: E731
+    _df_cols = ", ".join(
+        f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(_bm_terms)
+    )
+    _contrib = " + ".join(
+        f"(CASE WHEN {_tf(t)} > 0 THEN "
+        f"LN(1.0 + (n_docs - CAST(df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST({_tf(t)} AS DOUBLE) * (1.2 + 1.0) / (CAST({_tf(t)} AS DOUBLE)"
+        f" + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(toks) AS DOUBLE) / avgdl)))"
+        f" ELSE 0.0 END)"
+        for i, t in enumerate(_bm_terms)
+    )
+    _nhit = " + ".join(
+        f"(CASE WHEN {_tf(t)} > 0 THEN 1 ELSE 0 END)" for t in _bm_terms
+    )
+    sql["bm25_search"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM t
+),
+dfr AS (SELECT {_df_cols} FROM t)
+SELECT doc_id, CAST(n_hit AS BIGINT) AS n_hit, ROUND(score, 6) AS score
+FROM (
+  SELECT t.doc_id, {_nhit} AS n_hit, {_contrib} AS score
+  FROM t CROSS JOIN st CROSS JOIN dfr
+)
+WHERE n_hit > 0
+"""
+
     # lane-parallel token-budget shard packing (extras/shards.py):
     # lane = md5-prefix of key mod n_lanes, shard = floor(per-lane
     # running sum BEFORE the row / budget), rows ordered by doc_id

@@ -830,6 +830,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.decontaminate(corpus, bench, n=4)
 
 
+BM25_QUERY_TERMS = ["hash", "join", "stream", "vector", "zzzunseen"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scoring of the corpus against a fixed query-term set
+    (text.bm25_scores) — lexical retrieval before semantic rerank. One
+    corpus scan, row-local tf via array HOFs, broadcast 1-row /
+    |terms|-row stats, zero corpus-side shuffle. The term list
+    includes one token absent from the corpus (df = 0 path)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return text.bm25_scores(docs, BM25_QUERY_TERMS)
+
+
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same split and same EXACT output as q_decontaminate, through
     the Bloom-prefilter scale path (decontam.decontaminate_bloom):
@@ -1981,6 +1994,7 @@ ALL: dict[str, QueryFn] = {
     "tpch_q3_shipping": q_tpch_q3_shipping,
     "tpch_q5_local_revenue": q_tpch_q5_local_revenue,
     "doc_fingerprint": q_doc_fingerprint,
+    "bm25_search": q_bm25_search,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "stratified_sample": q_stratified_sample,

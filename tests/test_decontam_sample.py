@@ -218,3 +218,20 @@ def test_benchmark_bloom_no_false_negatives_and_low_fp(spark):
     # unseen strings should mostly miss
     fp = sum(probe(f"zulu yankee xray whiskey{i}") for i in range(40))
     assert fp <= 2, fp
+
+
+def test_bm25_scores_sanity(spark):
+    from gnip_trend_detection_spark.extras.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join hash"),      # heavy on both terms
+            (2, "hash scan scan scan scan"),      # one term, once
+            (3, "scan sort filter group window"), # no query terms
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bm25_scores(docs, ["hash", "join", "ghost"]).collect()}
+    assert set(rows) == {1, 2}  # doc 3 filtered (n_hit = 0)
+    assert rows[1]["n_hit"] == 2 and rows[2]["n_hit"] == 1
+    assert rows[1]["score"] > rows[2]["score"] > 0

@@ -26,6 +26,7 @@ SF = "/root/testdata/sf0.001"
 
 # queries whose BNLJ is a bounded broadcast by construction
 BNLJ_OK = {
+    "bm25_search",         # broadcast 1-row (N, avgdl) + |terms|-row df map
     "ann_ivf_topk",        # broadcast centroid set (n/centroid_mod rows)
     "ann_topk",            # broadcast query set (declared exact baseline)
     "cosine_neardup_pairs",   # declared exact O(n^2) baseline
