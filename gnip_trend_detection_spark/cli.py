@@ -113,6 +113,39 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--by", default="doc_id", help="key column (group key = leakage-safe)"
     )
+
+    dd = sub.add_parser(
+        "dedup", help="near-duplicate sweep: cluster assignment per document"
+    )
+    dd.add_argument("-i", "--input", required=True, help="corpus file/dir")
+    dd.add_argument("-o", "--output", required=True, help="output parquet dir")
+    dd.add_argument(
+        "--format", choices=("jsonl", "parquet"), default="jsonl", dest="fmt"
+    )
+    dd.add_argument(
+        "--method", choices=("lsh", "exact"), default="lsh",
+        help="lsh: MinHash-banded near-dup; exact: identical-content only",
+    )
+    dd.add_argument("--threshold", type=float, default=0.7,
+                    help="verified-Jaccard cut for lsh candidate pairs")
+    dd.add_argument("--drop", action="store_true",
+                    help="write only canonical docs instead of the full report")
+
+    dc = sub.add_parser(
+        "decontam", help="benchmark-contamination report over a corpus"
+    )
+    dc.add_argument("-i", "--input", required=True, help="corpus file/dir")
+    dc.add_argument("-b", "--benchmark", required=True, help="benchmark file/dir")
+    dc.add_argument("-o", "--output", required=True, help="output parquet dir")
+    dc.add_argument(
+        "--format", choices=("jsonl", "parquet"), default="jsonl", dest="fmt"
+    )
+    dc.add_argument("--ngram", type=int, default=4)
+    dc.add_argument(
+        "--bloom", action="store_true",
+        help="Bloom-prefilter the gram probe (identical output, the "
+        "scale path for benchmark unions too large to broadcast exactly)",
+    )
     return p
 
 
@@ -208,7 +241,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"ingest: batch {batch}, {len(files)} file(s)")
         return 0
 
-    if args.cmd in ("curate", "chunk", "split"):
+    if args.cmd in ("curate", "chunk", "split", "dedup", "decontam"):
         from gnip_trend_detection_spark.sources.jsonl import load_documents_jsonl
 
         def read_docs(path):
@@ -236,6 +269,62 @@ def main(argv: list[str] | None = None) -> int:
         out = split_dataset(read_docs(args.input), weights, key_col=args.by)
         # Hive layout: one directory per split, prunable downstream
         out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+        return 0
+
+    if args.cmd == "dedup":
+        from pyspark.sql import functions as F
+
+        from gnip_trend_detection_spark.extras import dedup as dd
+
+        docs = read_docs(args.input)
+        if args.method == "exact":
+            report = docs.join(
+                dd.exact_duplicates(docs)
+                .select(
+                    F.col("content_hash"),
+                    F.col("doc_id").alias("cluster_id"),
+                    F.col("n_copies").alias("cluster_size"),
+                ),
+                F.md5(F.col("text").cast("binary")) == F.col("content_hash"),
+            ).select(
+                "doc_id",
+                "cluster_id",
+                "cluster_size",
+                (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+            )
+        else:
+            sigs = dd.minhash_signatures(docs)
+            pairs = dd.lsh_candidate_pairs(sigs).filter(
+                F.col("jaccard") >= args.threshold
+            )
+            clustered = dd.duplicate_clusters(pairs)
+            # singletons (no near-dup pair) are their own canonical
+            report = (
+                docs.select("doc_id")
+                .join(clustered, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+                    F.coalesce("cluster_size", F.lit(1).cast("long")).alias(
+                        "cluster_size"
+                    ),
+                    F.coalesce("is_canonical", F.lit(True)).alias("is_canonical"),
+                )
+            )
+        if args.drop:
+            kept = report.filter("is_canonical").select("doc_id").join(docs, "doc_id")
+            kept.write.mode("overwrite").parquet(args.output)
+            print(f"dedup: kept {kept.count()} canonical doc(s)")
+        else:
+            report.write.mode("overwrite").parquet(args.output)
+        return 0
+
+    if args.cmd == "decontam":
+        from gnip_trend_detection_spark.extras import decontam as dcm
+
+        fn = dcm.decontaminate_bloom if args.bloom else dcm.decontaminate
+        out = fn(read_docs(args.input), read_docs(args.benchmark), n=args.ngram)
+        out.write.mode("overwrite").parquet(args.output)
         return 0
 
     if args.cmd == "curate":

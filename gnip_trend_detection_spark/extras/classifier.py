@@ -105,6 +105,74 @@ def logreg_train(
     return w, b
 
 
+def logreg_train_newton(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "y",
+    n_iter: int = 8,
+    ridge: float = 1e-6,
+) -> tuple[np.ndarray, float]:
+    """Fit logistic regression by Newton / IRLS — the production
+    solver: quadratic convergence gets to machine-precision optimum in
+    ~6-8 passes where GD takes 30+, and each pass is still ONE map
+    over the corpus. Per partition the partial is the augmented
+    Hessian-and-gradient block [Xa^T R Xa | Xa^T (p - y)] with
+    Xa = [X, 1] and R = diag(p(1-p)) — (d+1)(d+2) doubles emitted as
+    ONE array-typed row per partition and summed on the driver
+    (bounded by #partitions x ~34 KB for d=64; flattening to (j, g)
+    rows for a hash agg was measured 3x slower from per-row
+    Arrow+shuffle overhead on the 4290-element block — at 10k+
+    partitions swap the driver sum for an intermediate
+    repartition+combine level, treeAggregate-style). The driver solve
+    is O(d^3) on a (d+1) system — dimension-bounded, like the PCA
+    eigh. A small ridge keeps the Hessian invertible under separable
+    data (where the MLE diverges).
+    """
+    feats = embs.select(
+        F.col(vec_col).alias("_x"), F.col(label_col).cast("double").alias("_y")
+    ).persist()
+    first = feats.first()
+    if first is None:
+        feats.unpersist()
+        return np.zeros(0), 0.0
+    d = len(first["_x"])
+    da = d + 1
+    n_flat = da * da + da
+
+    w = np.zeros(da, dtype=np.float64)  # [weights..., bias]
+    for _ in range(n_iter):
+        w_c = w.copy()
+
+        def partials(batches, w_c=w_c):
+            acc = np.zeros(n_flat, dtype=np.float64)
+            seen = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_x"]]
+                )
+                Xa = np.hstack([X, np.ones((len(X), 1))])
+                yv = pdf["_y"].to_numpy(dtype=np.float64)
+                p = _sigmoid(Xa @ w_c)
+                r = p * (1.0 - p)
+                acc[: da * da] += ((Xa.T * r) @ Xa).ravel()
+                acc[da * da :] += Xa.T @ (p - yv)
+            if seen:
+                yield pd.DataFrame({"g": [acc.tolist()]})
+
+        rows = feats.mapInPandas(partials, "g array<double>").collect()
+        flat = np.zeros(n_flat, dtype=np.float64)
+        for row in rows:
+            flat += np.asarray(row["g"], dtype=np.float64)
+        H = flat[: da * da].reshape(da, da) + ridge * np.eye(da)
+        g = flat[da * da :]
+        w = w - np.linalg.solve(H, g)
+    feats.unpersist()
+    return w[:d], float(w[d])
+
+
 def logreg_score(
     embs: DataFrame,
     weights: np.ndarray,

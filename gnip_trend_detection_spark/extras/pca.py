@@ -29,33 +29,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def covariance(embs: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """(i, j, cov): the d x d covariance of the vector column, exact
-    population covariance (divide by n). i/j are 0-based."""
+def _gramian_parts(embs: DataFrame, vec_col: str) -> DataFrame:
+    """(i, j, psum, pn, pvec): per-PARTITION Gramian partials — one
+    BLAS matmul per Arrow batch, accumulated across the partition's
+    batches before emitting, so the shuffle carries partitions x d^2
+    rows instead of batches x d^2."""
     d_schema = "i int, j int, psum double, pn long, pvec double"
 
     def partial(batches):
+        g = None
+        s = None
+        n = 0
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             X = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            g = X.T @ X  # d x d
-            s = X.sum(axis=0)  # d
-            d = X.shape[1]
-            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
-            yield pd.DataFrame(
-                {
-                    "i": ii.ravel().astype("int32"),
-                    "j": jj.ravel().astype("int32"),
-                    "psum": g.ravel(),
-                    "pn": int(X.shape[0]),
-                    # carry the mean terms on the diagonal rows' lane:
-                    # pvec holds sum(x_i) when j == 0 duplicated per i
-                    "pvec": s[ii.ravel()] * (jj.ravel() == 0),
-                }
-            )
+            if g is None:
+                d = X.shape[1]
+                g = np.zeros((d, d))
+                s = np.zeros(d)
+            g += X.T @ X
+            s += X.sum(axis=0)
+            n += X.shape[0]
+        if g is None:
+            return
+        d = g.shape[0]
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel().astype("int32"),
+                "j": jj.ravel().astype("int32"),
+                "psum": g.ravel(),
+                "pn": int(n),
+                # carry the mean terms on the diagonal rows' lane:
+                # pvec holds sum(x_i) when j == 0 duplicated per i
+                "pvec": s[ii.ravel()] * (jj.ravel() == 0),
+            }
+        )
 
-    parts = embs.select(vec_col).mapInPandas(partial, d_schema)
+    return embs.select(vec_col).mapInPandas(partial, d_schema)
+
+
+def covariance(embs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(i, j, cov): the d x d covariance of the vector column, exact
+    population covariance (divide by n). i/j are 0-based."""
+    parts = _gramian_parts(embs, vec_col)
     # pn repeats once per (i, j) cell within a partial; dividing by d^2
     # of them later would be wrong, so aggregate n from the (0, 0) lane.
     # The aggregate feeds four branches (cells, n, means twice) — persist
@@ -96,15 +116,30 @@ def covariance(embs: DataFrame, vec_col: str = "embedding") -> DataFrame:
 def pca_components(
     embs: DataFrame, k: int = 4, vec_col: str = "embedding"
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(mean d, components d x k, explained_variance k) from the
-    covariance relation — ONE bounded d^2-row collect, then numpy eigh
-    on the driver. Components are columns, descending eigenvalue."""
-    cov_rows = covariance(embs, vec_col).collect()
-    d = max(r["i"] for r in cov_rows) + 1
-    C = np.zeros((d, d))
-    for r in cov_rows:
-        C[r["i"], r["j"]] = r["cov"]
-    # exact symmetry for eigh (rounding could skew by 1e-6)
+    """(mean d, components d x k, explained_variance k) — ONE corpus
+    pass: the per-partition Gramian partials carry sums, counts, AND
+    the mean lanes, so mean and covariance come from a single bounded
+    (partitions x d^2)-row collect (the old version paid a second full
+    scan + posexplode just for the mean). Covariance is built UNrounded
+    here (the 6-digit round is the relational query's output contract,
+    not a numerics aid). Components are columns, descending
+    eigenvalue, sign-normalized."""
+    rows = _gramian_parts(embs, vec_col).collect()
+    if not rows:
+        return np.zeros(0), np.zeros((0, 0)), np.zeros(0)
+    d = max(r["i"] for r in rows) + 1
+    S = np.zeros((d, d))
+    svec = np.zeros(d)
+    n = 0
+    for r in rows:
+        S[r["i"], r["j"]] += r["psum"]
+        if r["j"] == 0:
+            svec[r["i"]] += r["pvec"]
+        if r["i"] == 0 and r["j"] == 0:
+            n += r["pn"]
+    mean = svec / n
+    C = S / n - np.outer(mean, mean)
+    # exact symmetry for eigh
     C = (C + C.T) / 2.0
     vals, vecs = np.linalg.eigh(C)
     order = np.argsort(vals)[::-1][:k]
@@ -114,12 +149,6 @@ def pca_components(
         jmax = int(np.argmax(np.abs(comps[:, c])))
         if comps[jmax, c] < 0:
             comps[:, c] = -comps[:, c]
-    mean_rows = embs.select(
-        F.posexplode(vec_col).alias("i", "x")
-    ).groupBy("i").agg(F.avg("x").alias("m")).collect()
-    mean = np.zeros(d)
-    for r in mean_rows:
-        mean[r["i"]] = r["m"]
     return mean, comps, vals[order]
 
 

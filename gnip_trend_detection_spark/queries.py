@@ -1254,17 +1254,18 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed quality-classifier training + corpus scoring
     (extras/classifier.py): logistic head over the embedding column
-    against the label==0 signal, full-batch GD (one map pass + one
-    d+1-row aggregate per iteration), then a zero-shuffle broadcast
-    scoring pass. Rows-only oracle by design (iterative, not
-    SQL-expressible; cross-partition float sums wobble in the last
-    ulp)."""
+    against the label==0 signal, Newton/IRLS solver (one map pass + a
+    (d+1)(d+2)-row aggregate per iteration; quadratic convergence, so
+    8 passes reach a sharper optimum than GD's 20-40), then a
+    zero-shuffle broadcast scoring pass. Rows-only oracle by design
+    (iterative, not SQL-expressible; cross-partition float sums wobble
+    in the last ulp)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         similarity.as_double(F.col("embedding")).alias("embedding"),
         (F.col("label") == 0).cast("double").alias("y"),
     )
-    w, b = classifier.logreg_train(e, label_col="y", lr=5.0, n_iter=20)
+    w, b = classifier.logreg_train_newton(e, label_col="y", n_iter=8)
     return classifier.logreg_score(e, w, b)
 
 

@@ -202,3 +202,63 @@ def test_cli_maintain_compacts_small_files(tmp_path, spark):
     assert sum(r["n_rows"] for r in layout) == 2000
     got = sorted(r["id"] for r in spark.read.parquet(data).collect())
     assert got == list(range(2000))
+
+
+def test_cli_dedup_lsh_and_exact(tmp_path, spark):
+    from gnip_trend_detection_spark.cli import main
+
+    corpus = tmp_path / "corpus_dd"
+    corpus.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    lines = []
+    for i in range(12):
+        text = base if i < 3 else f"{base} variant {i} " + " ".join(
+            f"w{i}x{j}" for j in range(10)
+        )
+        lines.append(f'{{"doc_id": {i}, "text": "{text}", "lang": "en", "source": "t"}}')
+    (corpus / "d.jsonl").write_text("\n".join(lines))
+
+    out = tmp_path / "rep"
+    rc = main(["dedup", "-i", str(corpus), "-o", str(out), "--method", "exact"])
+    assert rc == 0
+    rep = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    # docs 0,1,2 share identical text -> one cluster, canonical = min id
+    assert rep[0]["cluster_size"] == 3 and rep[0]["is_canonical"]
+    assert rep[1]["cluster_id"] == 0 and not rep[1]["is_canonical"]
+
+    out2 = tmp_path / "rep_lsh"
+    rc = main(["dedup", "-i", str(corpus), "-o", str(out2), "--threshold", "0.9"])
+    assert rc == 0
+    rep2 = {r["doc_id"]: r for r in spark.read.parquet(str(out2)).collect()}
+    assert len(rep2) == 12  # every doc gets a row (singletons included)
+    assert rep2[1]["cluster_id"] == 0 and rep2[2]["cluster_id"] == 0
+
+    out3 = tmp_path / "kept_dd"
+    rc = main(["dedup", "-i", str(corpus), "-o", str(out3), "--threshold", "0.9", "--drop"])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(str(out3)).collect()}
+    assert 0 in kept and 1 not in kept and 2 not in kept
+
+
+def test_cli_decontam_bloom_matches_exact(tmp_path, spark):
+    from gnip_trend_detection_spark.cli import main
+
+    corpus = tmp_path / "corpus_dc"
+    corpus.mkdir()
+    lines = [
+        f'{{"doc_id": {i}, "text": "alpha beta gamma delta doc{i} one two three four five", "lang": "en", "source": "t"}}'
+        for i in range(10)
+    ]
+    (corpus / "d.jsonl").write_text("\n".join(lines))
+    bench = tmp_path / "bench_dc"
+    bench.mkdir()
+    (bench / "b.jsonl").write_text(
+        '{"doc_id": 900, "text": "alpha beta gamma delta shared with every doc", "lang": "en", "source": "b"}'
+    )
+    oa, ob = tmp_path / "exact_dc", tmp_path / "bloom_dc"
+    assert main(["decontam", "-i", str(corpus), "-b", str(bench), "-o", str(oa)]) == 0
+    assert main(["decontam", "-i", str(corpus), "-b", str(bench), "-o", str(ob), "--bloom"]) == 0
+    a = {r["doc_id"]: tuple(r) for r in spark.read.parquet(str(oa)).collect()}
+    b = {r["doc_id"]: tuple(r) for r in spark.read.parquet(str(ob)).collect()}
+    assert a == b
+    assert all(r[4] for r in a.values())  # every doc shares the 4-gram
