@@ -94,6 +94,9 @@ HEADLINE = [
     "decontaminate_bloom",
     "multimodal_real_decode",
     "bm25_search",
+    "lsh_recall_eval",
+    "tpch_q18_large_orders",
+    "tpch_q10_returned",
 ]
 
 

@@ -198,6 +198,78 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_eval(
+    sigs: DataFrame,
+    rows_per_band: int = 2,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """Quality evaluation of the banded-LSH sweep against exact ground
+    truth: band recall and candidate precision at true Jaccard >=
+    t_num/t_den — the measurement a pipeline owner runs before
+    trusting LSH parameters (n_hashes, rows_per_band) on a new corpus.
+
+    Ground truth needs NO all-pairs scan: any pair with Jaccard > 0
+    shares at least one shingle, so exact pairs come from the exploded
+    distinct-shingle equi-join (one keyed shuffle; hot-shingle skew is
+    the same failure mode as ngram fingerprint buckets — evaluate on a
+    sample, or cap shingle doc-frequency, at corpus scale). The
+    threshold compare is integer cross-multiplication
+    (t_den·i >= t_num·(sa+sb−i)) — no float at the decision boundary.
+
+    Returns ONE row: (n_true, n_cand, n_hit, recall, precision) where
+    n_cand counts banding candidates (pre-verify) and n_hit their
+    overlap with ground truth.
+    """
+    sigs = sigs.persist()
+    sh = sigs.select(
+        "doc_id", F.array_distinct("shingles").alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    shd = sh.select("doc_id", "sz", F.explode("sh").alias("s"))
+    a = shd.alias("a")
+    b = shd.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.sz").alias("sa"),
+            F.col("b.sz").alias("sb"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truep = inter.filter(
+        F.lit(t_den) * F.col("i") >= F.lit(t_num) * (F.col("sa") + F.col("sb") - F.col("i"))
+    ).select("da", "db")
+    cand = lsh_candidate_pairs(sigs, rows_per_band).select("doc_a", "doc_b")
+    hit = cand.join(
+        truep, (F.col("doc_a") == F.col("da")) & (F.col("doc_b") == F.col("db"))
+    )
+    n_true = truep.count()
+    n_cand = cand.count()
+    n_hit = hit.count()
+    spark = sigs.sparkSession
+    row = spark.createDataFrame(
+        [(n_true, n_cand, n_hit)], "n_true long, n_cand long, n_hit long"
+    )
+    # ratios rounded ENGINE-side (HALF_UP like every query output), not
+    # with Python's half-even round() — the r02 lesson about mixing
+    # rounding conventions at hash boundaries
+    return row.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.when(
+            F.col("n_true") > 0,
+            F.round(F.col("n_hit") / F.col("n_true"), 6),
+        ).alias("recall"),
+        F.when(
+            F.col("n_cand") > 0,
+            F.round(F.col("n_hit") / F.col("n_cand"), 6),
+        ).alias("precision"),
+    )
+
+
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-duplicate pairs → one canonical
     doc per cluster: (doc_id, cluster_id, cluster_size, is_canonical),

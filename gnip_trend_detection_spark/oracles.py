@@ -767,6 +767,46 @@ LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 """
+    # LSH quality eval (dedup.lsh_eval): exact ground truth from the
+    # shared-shingle equi-join (jaccard > 0 implies >= 1 shared
+    # shingle), candidates from the lsh SQL as a subquery; integer
+    # cross-multiplied threshold, ratios ROUND(int/int, 6)
+    sql["lsh_recall_eval"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT d.doc_id + 1000000 AS doc_id,
+         array_to_string(list_slice({toks}, 1, 40), ' ') AS text
+  FROM documents d WHERE d.doc_id % 5 = 0
+),
+{minhash_ctes.format(toks=toks, src="corpus")},
+shd AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+inter AS (
+  SELECT s1.doc_id AS da, s2.doc_id AS db, COUNT(*) AS i
+  FROM shd s1 JOIN shd s2 ON s2.shingle = s1.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+truep AS (
+  SELECT e.da, e.db
+  FROM inter e
+  JOIN sizes sa ON sa.doc_id = e.da
+  JOIN sizes sb ON sb.doc_id = e.db
+  WHERE 2 * e.i >= (sa.n + sb.n - e.i)
+),
+cand AS (SELECT doc_a, doc_b FROM ({{lsh}})),
+hit AS (SELECT 1 FROM cand JOIN truep ON da = doc_a AND db = doc_b),
+c AS (
+  SELECT (SELECT COUNT(*) FROM truep) AS n_true,
+         (SELECT COUNT(*) FROM cand) AS n_cand,
+         (SELECT COUNT(*) FROM hit) AS n_hit
+)
+SELECT n_true, n_cand, n_hit,
+       CASE WHEN n_true > 0 THEN ROUND(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall,
+       CASE WHEN n_cand > 0 THEN ROUND(CAST(n_hit AS DOUBLE) / n_cand, 6) END AS precision
+FROM c
+""".replace("{lsh}", sql["lsh_candidate_pairs"])
+
     # connected components over LSH pairs (jaccard >= 0.5): transitive
     # closure via recursive CTE, label = min reachable doc id — the
     # SQL twin of dedup.duplicate_clusters' min-label propagation
@@ -1724,6 +1764,41 @@ FROM (
   SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS rk
   FROM agg
 ) WHERE rk <= 10
+"""
+
+    # Q18: HAVING-subquery semi join; quantity sums integer-exact
+    sql["tpch_q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate_str, o_totalprice,
+       SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+FROM lineitem
+JOIN big USING (l_orderkey)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o_totalprice DESC, o_orderdate_str, o_orderkey
+LIMIT 100
+"""
+
+    # Q10: returned-item losses, one quarter, integer-cent revenue
+    sql["tpch_q10_returned"] = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-04-01'
+  AND o_orderdate <  TIMESTAMP '1995-07-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
 """
 
     sql["tpch_q5_local_revenue"] = """

@@ -530,6 +530,17 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
 
 
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter evaluation (dedup.lsh_eval): band recall and
+    candidate precision of the MinHash-banded sweep against exact
+    ground truth at Jaccard >= 1/2, over the same synthetic near-dup
+    corpus the lsh_candidate_pairs query uses. Ground truth comes from
+    the shared-shingle equi-join (no all-pairs), thresholds compare as
+    integer cross-products (no float at the boundary)."""
+    sigs = dedup.minhash_signatures(_lsh_corpus(spark, sf_dir))
+    return dedup.lsh_eval(sigs, rows_per_band=2, t_num=1, t_den=2)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup: LSH pairs at Jaccard >= 0.5 → connected
     components → canonical representative per cluster (the row a
@@ -1073,6 +1084,69 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CUTOFF = "1998-06-01"
+
+
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the HAVING subquery
+    compiles to a self-contained lineitem aggregate whose qualifying
+    keys LEFT-SEMI join back into the fact — Catalyst reuses the
+    same scan shape and AQE broadcasts the (rare) qualifying-key set.
+    Quantity sums are integer-exact, so no float at any boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    li_big = li.join(F.broadcast(big), "l_orderkey", "left_semi")
+    agg = (
+        li_big.join(orders, li_big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate_str"),
+            "o_totalprice",
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+    )
+    top = agg.orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderdate_str"), F.asc("o_orderkey")
+    ).limit(100)
+    return top
+
+
+def q_tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item losses): one quarter of orders,
+    the 'R' lineitems, customer + nation broadcast dims, integer-cent
+    revenue, deterministic top-20. Both date predicates and the
+    returnflag filter push to the scans."""
+    lo = F.to_timestamp_ntz(F.lit("1995-04-01"))
+    hi = F.to_timestamp_ntz(F.lit("1995-07-01"))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    rev_cents = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long")
+    )
+    agg = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((rev_cents.cast("double") / 10000.0).alias("revenue"))
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
 
 
 def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1971,6 +2045,7 @@ ALL: dict[str, QueryFn] = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "lsh_recall_eval": q_lsh_recall_eval,
     "dedup_clusters": q_dedup_clusters,
     "simhash64": q_simhash64,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1993,6 +2068,8 @@ ALL: dict[str, QueryFn] = {
     "corpus_report": q_corpus_report,
     "range_burst_count": q_range_burst_count,
     "tpch_q3_shipping": q_tpch_q3_shipping,
+    "tpch_q10_returned": q_tpch_q10_returned,
+    "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "tpch_q5_local_revenue": q_tpch_q5_local_revenue,
     "doc_fingerprint": q_doc_fingerprint,
     "bm25_search": q_bm25_search,
