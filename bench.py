@@ -97,6 +97,7 @@ HEADLINE = [
     "lsh_recall_eval",
     "tpch_q18_large_orders",
     "tpch_q10_returned",
+    "scd2_dimension",
 ]
 
 

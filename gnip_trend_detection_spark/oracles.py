@@ -1980,6 +1980,25 @@ SELECT counter, n_bins, mean_count, std_count, min_count, max_count,
                   END, 6) + 0.0 AS trend_slope
 FROM g
 """
+    # SCD2 dimension build (q_scd2_dimension): consecutive-repeat
+    # collapse + change intervals, windows mirrored exactly
+    sql["scd2_dimension"] = """
+WITH ev AS (
+  SELECT user_id, epoch(ts) AS e, event_id, event_type AS status FROM events
+),
+c AS (
+  SELECT user_id, e, event_id, status,
+         (LAG(status) OVER w IS NULL OR status <> LAG(status) OVER w) AS chg
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)
+),
+ch AS (SELECT * FROM c WHERE chg)
+SELECT user_id, status,
+       e AS effective_from,
+       LEAD(e) OVER w2 AS effective_to,
+       CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+       LEAD(e) OVER w2 IS NULL AS is_current
+FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY e, event_id)
+"""
     sql["sessionize"] = """
 WITH ev AS (SELECT user_id, epoch(ts) AS e FROM events),
 x AS (

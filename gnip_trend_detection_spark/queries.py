@@ -1815,6 +1815,38 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a changelog — the lakehouse
+    dimension-maintenance MERGE expressed as pure windows: per user,
+    collapse consecutive repeats of the tracked attribute (event_type
+    as 'status'), then interval each change row with
+    effective_from/effective_to = lead(from) and a version counter.
+    ONE exchange on the user key; every window shares that
+    partitioning, so Catalyst plans a single shuffle + sort. Ties on
+    ts break by event_id so versioning is deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("double").alias("e"),
+        "event_id",
+        F.col("event_type").alias("status"),
+    )
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    changed = (
+        F.lag("status").over(w).isNull()
+        | (F.col("status") != F.lag("status").over(w))
+    )
+    changes = ev.withColumn("__chg", changed).filter("__chg")
+    w2 = Window.partitionBy("user_id").orderBy("e", "event_id")
+    return changes.select(
+        "user_id",
+        "status",
+        F.col("e").alias("effective_from"),
+        F.lead("e").over(w2).alias("effective_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead("e").over(w2).isNull().alias("is_current"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("double").alias("e")
@@ -2106,6 +2138,7 @@ ALL: dict[str, QueryFn] = {
     "tpch_q13_custdist": q_tpch_q13_custdist,
     "quality_blend": q_quality_blend,
     "bpe_encode_stats": q_bpe_encode_stats,
+    "scd2_dimension": q_scd2_dimension,
     "sessionize": q_sessionize,
     "top_users_per_event": q_top_users_per_event,
     "props_field_stats": q_props_field_stats,
