@@ -98,6 +98,12 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "tpch_q10_returned",
     "scd2_dimension",
+    "sales_rollup",
+    "event_type_pivot",
+    "tpch_q17_small_qty",
+    "tpch_q15_top_supplier",
+    "tpch_q22_idle_customers",
+    "cheapest_supplier_per_part",
 ]
 
 

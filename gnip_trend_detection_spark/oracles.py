@@ -1999,6 +1999,101 @@ SELECT user_id, status,
        LEAD(e) OVER w2 IS NULL AS is_current
 FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY e, event_id)
 """
+    # OLAP ROLLUP twin (q_sales_rollup). DuckDB's GROUPING() over the
+    # rollup columns yields the same bitmask as Spark's grouping_id().
+    sql["sales_rollup"] = """
+WITH j AS (
+  SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+SELECT n_name, o_year,
+       CAST(GROUPING(n_name, o_year) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(c) AS DOUBLE) / 100.0 AS revenue
+FROM j GROUP BY ROLLUP (n_name, o_year)
+"""
+    # PIVOT twin (q_event_type_pivot): explicit conditional counts —
+    # the relational core PIVOT sugar compiles to in both engines.
+    sql["event_type_pivot"] = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       COUNT(*) FILTER (event_type = 'click')    AS click,
+       COUNT(*) FILTER (event_type = 'error')    AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY 1
+"""
+    # TPC-H Q17 twin: avg comparison cross-multiplied to exact ints.
+    sql["tpch_q17_small_qty"] = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem
+  WHERE l_partkey IN (
+    SELECT p_partkey FROM part
+    WHERE p_brand IN ('Brand#12', 'Brand#23', 'Brand#34'))
+),
+pp AS (SELECT l_partkey, SUM(qc) AS sum_c, COUNT(*) AS n FROM li GROUP BY 1)
+SELECT COUNT(*) AS n_small,
+       ROUND(CAST(SUM(pc) AS DOUBLE) / 100.0 / 7.0, 4) + 0.0 AS avg_yearly
+FROM li JOIN pp USING (l_partkey)
+WHERE 5 * qc * n < sum_c
+"""
+    # TPC-H Q15 twin: integer-cent revenue, scalar-subquery max.
+    sql["tpch_q15_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS rc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-04-01'
+    AND l_shipdate <  TIMESTAMP '1995-07-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(rc AS DOUBLE) / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rc = (SELECT MAX(rc) FROM rev)
+"""
+    # TPC-H Q22 twin: NOT EXISTS anti-join + cross-multiplied global avg.
+    sql["tpch_q22_idle_customers"] = """
+WITH st AS (
+  SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_c, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS totacctbal
+FROM customer CROSS JOIN st
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+"""
+    # Q2-shape argmin twin: join-back formulation of Spark's
+    # lexicographic struct-min (same (min price, min suppkey) result).
+    sql["cheapest_supplier_per_part"] = """
+WITH pr AS (
+  SELECT l_partkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc, l_suppkey
+  FROM lineitem
+),
+m AS (SELECT l_partkey, MIN(pc) AS mpc FROM pr GROUP BY 1),
+s AS (
+  SELECT pr.l_partkey, m.mpc, MIN(pr.l_suppkey) AS sk
+  FROM pr JOIN m ON pr.l_partkey = m.l_partkey AND pr.pc = m.mpc
+  GROUP BY 1, 2
+)
+SELECT p_partkey, p_brand,
+       CAST(mpc AS DOUBLE) / 100.0 AS min_price,
+       sk AS cheapest_suppkey, s_name
+FROM s
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON sk = s_suppkey
+"""
     sql["sessionize"] = """
 WITH ev AS (SELECT user_id, epoch(ts) AS e FROM events),
 x AS (

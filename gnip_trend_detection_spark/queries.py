@@ -2041,6 +2041,178 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("doc_id", "frame_idx", F.md5("frame_payload").alias("frame_md5"))
 
 
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP (GROUPING SETS): revenue by (nation, order-year)
+    with subtotal and grand-total rows, the cube-lite shape every BI
+    layer emits. Spark plans ONE Expand + one hash aggregate — the
+    rollup costs a single pass regardless of how many grouping sets it
+    covers, which is exactly the 100 TB-friendly plan (no per-level
+    rescans). grouping_id() disambiguates subtotal rows from genuine
+    NULL keys; revenue is integer-cent exact so every subtotal is the
+    exact sum of its children across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    joined = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .select(
+            "n_name", F.year("o_orderdate").alias("o_year"), cents.alias("__c")
+        )
+    )
+    return joined.rollup("n_name", "o_year").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("__c").cast("double") / 100.0).alias("revenue"),
+    )
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts, one column per event type. The
+    explicit value list keeps the output schema static (no extra
+    distinct-collect job, and the plan is a single hash aggregate with
+    conditional counts — same shape DuckDB's FILTER clause compiles
+    to). Missing (day, type) combos are 0, not NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        ev.select(F.to_date("ts").cast("string").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
+    )
+
+
+def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery `l_quantity < 0.2 * avg(l_quantity) per part`
+    decorrelates into one per-part aggregate joined back to the fact —
+    both sides prune through the broadcast brand semi-join first, so
+    the agg and the join-back touch only the selected parts' rows.
+    The avg comparison is cross-multiplied into exact integers
+    (5·qty_cents·n < sum_cents) so no float boundary exists for
+    engines to disagree on."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty_c).alias("__sum_c"), F.count(F.lit(1)).alias("__n")
+    )
+    small = li.withColumn("__qc", qty_c).join(
+        per_part, "l_partkey"
+    ).filter(F.lit(5) * F.col("__qc") * F.col("__n") < F.col("__sum_c"))
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.round(F.sum(price_c).cast("double") / 100.0 / 7.0, 4).alias("avg_yearly"),
+    )
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarter revenue per supplier,
+    then the scalar-subquery max selects the leader(s). The revenue
+    relation is supplier-cardinality (bounded), so the max is a 1-row
+    broadcast joined back — no second scan of the fact, no window over
+    a single partition. Integer-cent revenue makes the max tie-exact."""
+    lo = F.to_timestamp_ntz(F.lit("1995-04-01"))
+    hi = F.to_timestamp_ntz(F.lit("1995-07-01"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev_c = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long")
+    )
+    per_supp = li.groupBy("l_suppkey").agg(rev_c.alias("__rc"))
+    mx = per_supp.agg(F.max("__rc").alias("__mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        per_supp.join(F.broadcast(mx), F.col("__rc") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("__rc").cast("double") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-avg filter + anti-join): customers with
+    above-average positive balance and NO orders since 1999 (dormant
+    accounts), rolled up per nation. The global average is a 1-row
+    broadcast (sum_cents, n) — the comparison cross-multiplies to
+    exact integers (acctbal_cents·n > sum_cents) so the filter is
+    tie-free — and the NOT EXISTS decorrelates to a LEFT ANTI join on
+    the recent-order keys, with the date predicate pushed to that
+    scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    stats = pos.agg(
+        F.sum(bal_c).alias("__sum_c"), F.count(F.lit(1)).alias("__n")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.to_timestamp_ntz(F.lit("1999-01-01")))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    rich_idle = (
+        cust.withColumn("__bc", bal_c)
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("__bc") * F.col("__n") > F.col("__sum_c"))
+        .join(orders, "c_custkey", "left_anti")
+    )
+    return (
+        rich_idle.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("__bc").cast("double") / 100.0).alias("totacctbal"),
+        )
+    )
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (argmin per group, sans partsupp): the cheapest
+    observed line-item price per part and the supplier that posted it.
+    One hash aggregate — min over a (price_cents, suppkey) struct is
+    lexicographic, so the supplier tiebreak costs nothing and is fully
+    deterministic (no window sort, no join-back). Supplier dim is
+    broadcast; the part join stays a keyed equi-join (part is NOT
+    assumed broadcastable at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    best = (
+        li.select("l_partkey", price_c.alias("__pc"), "l_suppkey")
+        .groupBy("l_partkey")
+        .agg(F.min(F.struct("__pc", "l_suppkey")).alias("__best"))
+        .select(
+            "l_partkey",
+            (F.col("__best.__pc").cast("double") / 100.0).alias("min_price"),
+            F.col("__best.l_suppkey").alias("cheapest_suppkey"),
+        )
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("cheapest_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "min_price", "cheapest_suppkey", "s_name")
+    )
+
+
 # --------------------------------------------------------------- registry
 
 ALL: dict[str, QueryFn] = {
@@ -2139,6 +2311,12 @@ ALL: dict[str, QueryFn] = {
     "quality_blend": q_quality_blend,
     "bpe_encode_stats": q_bpe_encode_stats,
     "scd2_dimension": q_scd2_dimension,
+    "sales_rollup": q_sales_rollup,
+    "event_type_pivot": q_event_type_pivot,
+    "tpch_q17_small_qty": q_tpch_q17_small_qty,
+    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "sessionize": q_sessionize,
     "top_users_per_event": q_top_users_per_event,
     "props_field_stats": q_props_field_stats,
