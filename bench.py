@@ -104,6 +104,8 @@ HEADLINE = [
     "tpch_q15_top_supplier",
     "tpch_q22_idle_customers",
     "cheapest_supplier_per_part",
+    "gopher_quality",
+    "rolling_hour_activity",
 ]
 
 

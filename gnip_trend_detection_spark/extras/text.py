@@ -97,6 +97,59 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100000,
+) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, §A1.1):
+    word-count bounds, mean-word-length band [3, 10], >=80% words
+    containing an alphabetic char, >=2 stopword hits. Every gate
+    compares INTEGERS ONLY (mean word length as 3·n <= chars <= 10·n,
+    the alpha fraction as 5·n_alpha >= 4·n) — no ratio ever
+    materializes, so no float boundary exists for engines to disagree
+    on. One zero-shuffle scan: all counts are per-row array HOFs.
+
+    Reference corpus-curation parity target: the rule FAMILY from the
+    published Gopher paper; the reference engine itself has no
+    curation surface (extension beyond Gnip-Trend-Detection)."""
+    t = docs.withColumn("toks", tokens(F.col(text_col)))
+    n = F.size("toks").cast("long")
+    chars = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    n_alpha = F.size(F.filter(F.col("toks"), lambda x: x.rlike("[a-z]"))).cast(
+        "long"
+    )
+    n_stop = F.size(
+        F.filter(F.col("toks"), lambda x: x.isin(*EN_STOPWORDS))
+    ).cast("long")
+    out = t.select(
+        "doc_id",
+        n.alias("n_words"),
+        chars.alias("word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop_hits"),
+    )
+    wc_ok = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    mwl_ok = (F.lit(3) * F.col("n_words") <= F.col("word_chars")) & (
+        F.col("word_chars") <= F.lit(10) * F.col("n_words")
+    )
+    alpha_ok = F.lit(5) * F.col("n_alpha_words") >= F.lit(4) * F.col("n_words")
+    stop_ok = F.col("n_stop_hits") >= 2
+    return out.select(
+        "*",
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mwl_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (wc_ok & mwl_ok & alpha_ok & stop_ok).alias("keep"),
+    )
+
+
 def lang_id(spark: SparkSession, docs: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram-free heuristic language ID: argmax stopword-hit count
     against per-language wordlists; ties broken lexicographically;

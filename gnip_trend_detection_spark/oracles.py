@@ -2094,6 +2094,50 @@ FROM s
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON sk = s_suppkey
 """
+    # Gopher quality gates (q_gopher_quality): integer-only boundaries
+    sql["gopher_quality"] = f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT)
+           AS word_chars,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+           AS n_alpha_words,
+         CAST(len(list_filter(toks,
+              x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
+           AS BIGINT) AS n_stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, word_chars, n_alpha_words, n_stop_hits,
+       (n_words BETWEEN 5 AND 100000) AS wc_ok,
+       (3 * n_words <= word_chars AND word_chars <= 10 * n_words) AS mwl_ok,
+       (5 * n_alpha_words >= 4 * n_words) AS alpha_ok,
+       (n_stop_hits >= 2) AS stop_ok,
+       ((n_words BETWEEN 5 AND 100000)
+        AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+        AND (5 * n_alpha_words >= 4 * n_words)
+        AND (n_stop_hits >= 2)) AS keep
+FROM s
+"""
+    # RANGE-frame sliding window twin (q_rolling_hour_activity);
+    # FLOOR before the BIGINT cast — CAST alone rounds in DuckDB but
+    # truncates in Spark
+    sql["rolling_hour_activity"] = """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS e,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+)
+SELECT event_id, user_id, e,
+       COUNT(*) OVER w AS n_hour,
+       CAST(SUM(vc) OVER w AS DOUBLE) / 100.0 AS value_hour
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY e
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
     sql["sessionize"] = """
 WITH ev AS (SELECT user_id, epoch(ts) AS e FROM events),
 x AS (

@@ -2213,6 +2213,41 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-paper document quality gates over the corpus
+    (extras/text.py:gopher_rules): zero-shuffle scan, integer-only
+    rule boundaries."""
+    return text.gopher_rules(_docs(spark, sf_dir))
+
+
+def q_rolling_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding window via a RANGE frame: for every event,
+    the count and value-sum of the same user's events in the trailing
+    hour (inclusive). This is the specialized RangeFrame window
+    executor — distinct from ROWS frames and from the grid-bucketed
+    range join: no explode, no second relation, ONE user-keyed
+    exchange + sort serves both aggregates. Value sums are integer
+    cents so the running totals are fold-order-proof."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("double").cast("long").alias("e"),
+        F.round(F.col("value") * 100).cast("long").alias("__vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("e")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "e",
+        F.count(F.lit(1)).over(w).alias("n_hour"),
+        (F.sum("__vc").over(w).cast("double") / 100.0).alias("value_hour"),
+    )
+
+
 # --------------------------------------------------------------- registry
 
 ALL: dict[str, QueryFn] = {
@@ -2317,6 +2352,8 @@ ALL: dict[str, QueryFn] = {
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+    "gopher_quality": q_gopher_quality,
+    "rolling_hour_activity": q_rolling_hour_activity,
     "sessionize": q_sessionize,
     "top_users_per_event": q_top_users_per_event,
     "props_field_stats": q_props_field_stats,
