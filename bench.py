@@ -106,6 +106,7 @@ HEADLINE = [
     "cheapest_supplier_per_part",
     "gopher_quality",
     "rolling_hour_activity",
+    "event_type_unpivot",
 ]
 
 

@@ -2026,6 +2026,24 @@ SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
        COUNT(*) FILTER (event_type = 'view')     AS view
 FROM events GROUP BY 1
 """
+    # UNPIVOT twin (q_event_type_unpivot): melt the pivot back to
+    # long form — expressed as the portable UNION ALL expansion.
+    sql["event_type_unpivot"] = """
+WITH wide AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         COUNT(*) FILTER (event_type = 'click')    AS click,
+         COUNT(*) FILTER (event_type = 'error')    AS error,
+         COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+         COUNT(*) FILTER (event_type = 'signup')   AS signup,
+         COUNT(*) FILTER (event_type = 'view')     AS view
+  FROM events GROUP BY 1
+)
+SELECT day, 'click' AS event_type, click AS n FROM wide
+UNION ALL SELECT day, 'error', error FROM wide
+UNION ALL SELECT day, 'purchase', purchase FROM wide
+UNION ALL SELECT day, 'signup', signup FROM wide
+UNION ALL SELECT day, 'view', view FROM wide
+"""
     # TPC-H Q17 twin: avg comparison cross-multiplied to exact ints.
     sql["tpch_q17_small_qty"] = """
 WITH li AS (

@@ -2087,6 +2087,17 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long, the inverse of q_event_type_pivot): the
+    daily per-type count matrix melts back to (day, event_type, n)
+    rows. Spark's unpivot is a zero-shuffle Expand over the already-
+    aggregated relation — the only exchange is the pivot's own
+    groupBy; melting adds none."""
+    wide = q_event_type_pivot(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return wide.unpivot("day", types, "event_type", "n")
+
+
 def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape (small-quantity-order revenue): the correlated
     scalar subquery `l_quantity < 0.2 * avg(l_quantity) per part`
@@ -2348,6 +2359,7 @@ ALL: dict[str, QueryFn] = {
     "scd2_dimension": q_scd2_dimension,
     "sales_rollup": q_sales_rollup,
     "event_type_pivot": q_event_type_pivot,
+    "event_type_unpivot": q_event_type_unpivot,
     "tpch_q17_small_qty": q_tpch_q17_small_qty,
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
