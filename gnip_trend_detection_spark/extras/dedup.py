@@ -49,12 +49,76 @@ def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def _minhash_signatures_np(
+    docs: DataFrame, text_col: str, n_hashes: int, k: int
+) -> DataFrame:
+    """Arrow-batched numpy twin of the relational minhash: per batch,
+    md5 each DISTINCT shingle once (digest cache carried across
+    batches — shingle distribution is Zipfian, like simhash64's token
+    cache) and collapse all ``n_hashes`` affine families to one
+    (families × shingles) broadcast + row-min. Bit-identical to the
+    SQL path: same md5-first-4-bytes base hash, same int64 affine
+    arithmetic (a < 2^31 keeps a·h + b < 2^63 — no overflow), same
+    mod-P min. Zero shuffle either way; this variant just moves the
+    16-family per-element interpreted HOF work into one vectorized
+    kernel."""
+    import numpy as np
+    import pandas as pd
+
+    params = minhash_params(n_hashes)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    def gen(batches):
+        import hashlib
+
+        h32: dict[str, int] = {}
+        for pdf in batches:
+            out_id, out_sh, out_sig = [], [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
+                toks = [t for t in txt.lower().split() if t]
+                if len(toks) < k:
+                    continue
+                shs = [
+                    " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+                ]
+                vals = []
+                for s in set(shs):
+                    v = h32.get(s)
+                    if v is None:
+                        v = int.from_bytes(
+                            hashlib.md5(s.encode("utf-8")).digest()[:4], "big"
+                        )
+                        h32[s] = v
+                    vals.append(v)
+                hv = np.array(vals, dtype=np.int64)
+                sig = ((A * hv + B) % MINHASH_PRIME).min(axis=1)
+                out_id.append(doc_id)
+                out_sh.append(shs)
+                out_sig.append(sig.tolist())
+            # explicit dtypes: an all-filtered batch would otherwise
+            # produce empty float64 columns Arrow can't cast to
+            # list<string>/list<long>
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "shingles": pd.Series(out_sh, dtype="object"),
+                    "sig": pd.Series(out_sig, dtype="object"),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "doc_id long, shingles array<string>, sig array<long>"
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     n_hashes: int = 16,
     k: int = 3,
     hash_impl: str = "md5",
+    impl: str = "auto",
 ) -> DataFrame:
     """(doc_id, shingles, sig): ONE base hash per shingle, then
     ``n_hashes`` affine families (a_i*h + b_i) mod P — the standard
@@ -69,7 +133,18 @@ def minhash_signatures(
     int and is reproducible in the DuckDB oracle; "xxhash64" folds the
     JVM hash into 32 bits with no string digest — the production
     setting when cross-engine reproducibility isn't needed (signatures
-    differ from md5 mode, Jaccard-estimate quality is identical)."""
+    differ from md5 mode, Jaccard-estimate quality is identical).
+
+    ``impl``: "sql" = pure relational HOFs; "numpy" = Arrow-batched
+    kernel, output bit-identical (md5 mode only); "auto" picks numpy
+    for md5 (measured faster: the 16 interpreted HOF transforms
+    dominate the relational path) and sql for xxhash64."""
+    if impl == "auto":
+        impl = "numpy" if hash_impl == "md5" else "sql"
+    if impl == "numpy":
+        if hash_impl != "md5":
+            raise ValueError("impl='numpy' supports hash_impl='md5' only")
+        return _minhash_signatures_np(docs, text_col, n_hashes, k)
     t = docs.withColumn("toks", tokens(F.col(text_col))).filter(
         F.size("toks") >= k
     )
@@ -224,11 +299,17 @@ def lsh_eval(
     (pair)-keyed agg marks membership, one scalar agg counts — the
     naive three-`.count()` version ran the shingle self-join AND the
     banding sweep twice each (measured 7.8s → this shape at sf0.1).
+
+    EAGER by design: the single counts job runs inside this call so
+    the persisted sigs relation (read by both the ground-truth and
+    banding branches) is unpersisted deterministically before
+    returning. The earlier localCheckpoint variant left truncated-
+    lineage blocks pinned in executor storage until driver GC — in a
+    long-lived session repeated calls accumulated storage and swung
+    this query's wall time 6s → 19s.
     """
-    # eager materialization: ground truth and banding both read sigs;
-    # checkpoint (not persist) so nothing stays pinned in the
-    # long-lived session after the job
-    sigs = sigs.localCheckpoint()
+    spark = sigs.sparkSession
+    sigs = sigs.persist()
     sh = sigs.select(
         "doc_id", F.array_distinct("shingles").alias("sh")
     ).withColumn("sz", F.size("sh"))
@@ -276,10 +357,17 @@ def lsh_eval(
         .cast("long")
         .alias("n_hit"),
     )
+    # the ONE eager job; then release the persisted signature blocks
+    row = counts.collect()[0]
+    sigs.unpersist()
+    out = spark.createDataFrame(
+        [(row["n_true"], row["n_cand"], row["n_hit"])],
+        "n_true long, n_cand long, n_hit long",
+    )
     # ratios rounded ENGINE-side (HALF_UP like every query output), not
     # with Python's half-even round() — the r02 lesson about mixing
     # rounding conventions at hash boundaries
-    return counts.select(
+    return out.select(
         "n_true",
         "n_cand",
         "n_hit",

@@ -117,3 +117,26 @@ def test_source_overlap_matrix(spark):
     assert ab["jaccard"] == 0.5 and ab["containment_a"] == 0.5
     ac = got[("a", "c")]
     assert ac["overlap"] == 0 and ac["jaccard"] == 0.0
+
+
+def test_minhash_numpy_sql_bit_identity(spark):
+    """The Arrow/numpy minhash kernel must stay BIT-identical to the
+    relational path: same md5-derived base hash, same affine families,
+    same shingle lists — any divergence silently breaks oracle parity
+    for every LSH-family query."""
+    from gnip_trend_detection_spark.extras.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "  spaced   out   tokens   survive   splitting  "),
+            (4, "too short"),  # < k tokens: dropped by both paths
+            (5, "dup dup dup dup dup"),  # repeated shingles
+        ],
+        "doc_id long, text string",
+    )
+    a = minhash_signatures(docs, impl="sql").orderBy("doc_id").collect()
+    b = minhash_signatures(docs, impl="numpy").orderBy("doc_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert {r["doc_id"] for r in a} == {1, 2, 3, 5}
