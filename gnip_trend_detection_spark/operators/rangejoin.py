@@ -18,6 +18,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def choose_bucket_width(
+    intervals: DataFrame,
+    start_col: str = "s",
+    end_col: str = "e",
+    rel_error: float = 0.05,
+) -> int:
+    """Pick a bucket width for range_count_join from the data: the
+    median interval length (approx_percentile sketch — one pass, no
+    sort). Width ≈ the median length bounds the explode factor near 2
+    for half the intervals while keeping buckets selective; a width
+    far below the median multiplies interval replicas, far above it
+    degrades the post-filter's pruning. Clamped to >= 1 second.
+
+    This is a plan CONSTANT chooser — results of the join are
+    identical for any width, so callers may keep a fixed width for
+    oracle-reproducible tests and use this for real workloads."""
+    row = intervals.select(
+        F.approx_percentile(
+            (F.col(end_col) - F.col(start_col)).cast("double"),
+            F.lit(0.5),
+            F.lit(int(1.0 / rel_error)),
+        ).alias("m")
+    ).first()
+    med = row["m"] if row and row["m"] is not None else None
+    return max(1, int(med)) if med else 1
+
+
 def range_count_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -33,3 +33,41 @@ def test_range_count_join_counts_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_choose_bucket_width_tracks_median_interval(spark):
+    """Width chooser returns ~the median interval length (one
+    approx_percentile pass), clamped to >= 1; join results are
+    width-invariant so this only tunes the explode factor."""
+    from gnip_trend_detection_spark.operators.rangejoin import (
+        choose_bucket_width,
+        range_count_join,
+    )
+
+    iv = spark.createDataFrame(
+        [(i, 0, 100) for i in range(20)] + [(99, 0, 100000)],
+        "iv_id int, s long, e long",
+    )
+    w = choose_bucket_width(iv)
+    assert 50 <= w <= 200  # median-ish, not dragged by the outlier
+
+    # sub-second intervals clamp to 1, never 0
+    tiny = spark.createDataFrame([(1, 0.0, 0.25)], "iv_id int, s double, e double")
+    assert choose_bucket_width(tiny) == 1
+
+    # width-invariance of the actual join
+    pts = spark.createDataFrame([(5,), (50,), (99,)], "t long").withColumn(
+        "k", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(1)
+    )
+    ivk = iv.withColumn(
+        "k", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(1)
+    )
+    a = {
+        r["iv_id"]: r["n_points"]
+        for r in range_count_join(pts, ivk, on=["k"], bucket_width=w).collect()
+    }
+    b = {
+        r["iv_id"]: r["n_points"]
+        for r in range_count_join(pts, ivk, on=["k"], bucket_width=7).collect()
+    }
+    assert a == b
