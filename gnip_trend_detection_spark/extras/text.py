@@ -291,12 +291,13 @@ def bm25_scores(
 
     Plan shape at 100 TB: ONE corpus scan computes per-doc (dl, per-
     term tf) row-locally with array HOFs (the query is a handful of
-    terms — O(|terms|·dl) per doc, no explode); df per term comes from
-    the same scan's distinct-token explode semi-filtered to the term
-    set (map-side combined, |terms|-row result); N and avgdl are a
-    1-row aggregate. All three tiny relations attach as broadcast
-    cross joins — no corpus-side shuffle at all, and the only
-    exchanges are the |terms|-row and 1-row aggregations.
+    terms — O(|terms|·dl) per doc, no explode). N, avgdl, AND every
+    term's df all come from ONE 1-row aggregate over that relation
+    (df(t) = count of docs with tf_t > 0 — no distinct-token explode
+    branch), attached back as a single broadcast cross join. No
+    corpus-side shuffle at all; the only exchange is the 1-row
+    aggregation, and the corpus is tokenized twice (agg + scoring
+    branch), down from three times in the explode formulation.
 
     Emits (doc_id, n_hit, score) for docs matching >= 1 term.
     """
@@ -309,24 +310,20 @@ def bm25_scores(
     )
     per_doc = t.select("doc_id", dl.alias("dl"), tfs.alias("tfs"))
 
-    stats = t.agg(
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        (F.sum(F.size("toks")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    dfreq = (
-        t.select(F.explode(F.array_distinct("toks")).alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    # |terms|-row relation -> one ordered struct array, broadcast
-    dfs = dfreq.agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("term", "df")))
-        ).alias("dfmap")
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        F.array(
+            *[
+                F.sum(
+                    F.when(F.get(F.col("tfs"), i) > 0, 1).otherwise(0)
+                ).cast("double")
+                for i in range(len(terms))
+            ]
+        ).alias("dfarr"),
     )
 
-    scored = per_doc.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfs))
+    scored = per_doc.crossJoin(F.broadcast(stats))
     idx = F.sequence(F.lit(0), F.lit(len(terms) - 1))
     contrib = F.transform(
         idx,
@@ -335,19 +332,8 @@ def bm25_scores(
                 F.get(F.col("tfs"), i) > 0,
                 F.log(
                     1.0
-                    + (
-                        F.col("n_docs")
-                        - F.coalesce(
-                            F.element_at(F.col("dfmap"), F.get(tarr, i)), F.lit(0)
-                        ).cast("double")
-                        + 0.5
-                    )
-                    / (
-                        F.coalesce(
-                            F.element_at(F.col("dfmap"), F.get(tarr, i)), F.lit(0)
-                        ).cast("double")
-                        + 0.5
-                    )
+                    + (F.col("n_docs") - F.get(F.col("dfarr"), i) + 0.5)
+                    / (F.get(F.col("dfarr"), i) + 0.5)
                 )
                 * (
                     F.get(F.col("tfs"), i).cast("double")
