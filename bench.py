@@ -107,6 +107,7 @@ HEADLINE = [
     "gopher_quality",
     "rolling_hour_activity",
     "event_type_unpivot",
+    "last_touch_attribution",
 ]
 
 

@@ -2112,6 +2112,41 @@ FROM s
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON sk = s_suppkey
 """
+    # Last-touch attribution twin (q_last_touch_attribution): DuckDB's
+    # native ASOF JOIN against the per-(user, second) deduped touch
+    # relation; mean lag as integer micro-seconds
+    sql["last_touch_attribution"] = """
+WITH p AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+         event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+),
+tch AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS rt,
+         event_id AS touch_id, event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+),
+uniq AS (
+  SELECT user_id, rt, MAX(touch_id) AS touch_id FROM tch GROUP BY 1, 2
+),
+uq AS (
+  SELECT u.user_id, u.rt, t.touch_type
+  FROM uniq u JOIN tch t
+    ON t.user_id = u.user_id AND t.rt = u.rt AND t.touch_id = u.touch_id
+),
+j AS (
+  SELECT p.user_id, p.t, uq.rt AS asof_time, uq.touch_type
+  FROM p ASOF LEFT JOIN uq
+    ON p.user_id = uq.user_id AND p.t >= uq.rt
+)
+SELECT COALESCE(touch_type, 'none') AS touch_bucket,
+       COUNT(*) AS n_purchases,
+       SUM(t - asof_time) AS total_lag_sec,
+       CAST(ROUND(CAST(SUM(t - asof_time) AS DOUBLE) * 1000000.0
+                  / COUNT(CASE WHEN asof_time IS NOT NULL THEN 1 END))
+            AS BIGINT) AS mean_lag_micro
+FROM j GROUP BY 1
+"""
     # Gopher quality gates (q_gopher_quality): integer-only boundaries
     sql["gopher_quality"] = f"""
 WITH t AS (

@@ -2224,6 +2224,69 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: every purchase is
+    attributed to the same user's latest click/view at or before it,
+    then rolled up per touch type (n attributed, mean lag). Reuses the
+    as-of join operator (operators/asof.py — union + ONE keyed running
+    window, no range join); the touch relation is first made unique
+    per (user, second) with a struct-max so the as-of match is
+    deterministic under timestamp collisions. Lag sums are exact
+    integer seconds; the single mean division is the only float."""
+    from gnip_trend_detection_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    e = F.floor(F.col("ts").cast("double")).cast("long")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", e.alias("t"), F.col("event_id").alias("purchase_id")
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            e.alias("rt"),
+            F.col("event_id").alias("touch_id"),
+            F.col("event_type").alias("touch_type"),
+        )
+        .groupBy("user_id", "rt")
+        .agg(F.max(F.struct("touch_id", "touch_type")).alias("__m"))
+        .select(
+            "user_id",
+            "rt",
+            F.col("__m.touch_id").alias("touch_id"),
+            F.col("__m.touch_type").alias("touch_type"),
+        )
+    )
+    j = asof_join(
+        purchases,
+        touches,
+        on=["user_id"],
+        left_time="t",
+        right_time="rt",
+        value_cols=["touch_type"],
+    )
+    return (
+        j.withColumn(
+            "touch_bucket", F.coalesce(F.col("touch_type"), F.lit("none"))
+        )
+        .groupBy("touch_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("t") - F.col("asof_time")).alias("total_lag_sec"),
+            # integer MICRO-seconds (quality_micro discipline): one
+            # double divide + one round-to-integer, no decimal-round
+            # tie for engines to disagree on
+            F.round(
+                F.sum(F.col("t") - F.col("asof_time")).cast("double")
+                * 1000000.0
+                / F.count(F.when(F.col("asof_time").isNotNull(), 1))
+            )
+            .cast("long")
+            .alias("mean_lag_micro"),
+        )
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-paper document quality gates over the corpus
     (extras/text.py:gopher_rules): zero-shuffle scan, integer-only
@@ -2366,6 +2429,7 @@ ALL: dict[str, QueryFn] = {
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "gopher_quality": q_gopher_quality,
     "rolling_hour_activity": q_rolling_hour_activity,
+    "last_touch_attribution": q_last_touch_attribution,
     "sessionize": q_sessionize,
     "top_users_per_event": q_top_users_per_event,
     "props_field_stats": q_props_field_stats,
