@@ -108,6 +108,7 @@ HEADLINE = [
     "rolling_hour_activity",
     "event_type_unpivot",
     "last_touch_attribution",
+    "tpch_q21_blame_supplier",
 ]
 
 

@@ -2092,6 +2092,30 @@ WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n > sum_c
                     AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY 1
 """
+    # TPC-H Q21 twin: the double-correlated EXISTS/NOT EXISTS as
+    # window aggregates over the per-(order, supplier) relation.
+    sql["tpch_q21_blame_supplier"] = """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS smax
+  FROM lineitem GROUP BY 1, 2
+),
+w1 AS (
+  SELECT *,
+         MAX(smax) OVER (PARTITION BY l_orderkey) AS omax,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp
+  FROM per
+),
+w2 AS (
+  SELECT *,
+         COUNT(CASE WHEN smax = omax THEN 1 END)
+           OVER (PARTITION BY l_orderkey) AS n_at_max
+  FROM w1
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM w2 JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND smax = omax AND n_at_max = 1
+GROUP BY 1, 2
+"""
     # Q2-shape argmin twin: join-back formulation of Spark's
     # lexicographic struct-min (same (min price, min suppkey) result).
     sql["cheapest_supplier_per_part"] = """

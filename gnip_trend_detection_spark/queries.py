@@ -2195,6 +2195,51 @@ def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q21_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting, adapted to
+    this schema's columns): for multi-supplier orders, blame the ONE
+    supplier whose latest ship date is the order's latest — i.e. the
+    EXISTS (another supplier) + NOT EXISTS (another equally-late
+    supplier) double-correlated subquery, decorrelated into window
+    aggregates over one per-(order, supplier) relation: two exchanges
+    total (the grouped agg, then the order-keyed window), versus the
+    literal translation's two extra self-joins of the fact. All
+    comparisons are integer keys and exact timestamps — no float
+    anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    w = Window.partitionBy("l_orderkey")
+    stage1 = per.select(
+        "l_orderkey",
+        "l_suppkey",
+        "smax",
+        F.max("smax").over(w).alias("omax"),
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+    )
+    # second window chains on the SAME order-key partitioning — no
+    # additional exchange, just another pass over the sorted partition
+    marked = stage1.withColumn(
+        "n_at_max",
+        F.count(F.when(F.col("smax") == F.col("omax"), 1)).over(w),
+    )
+    blamed = marked.filter(
+        (F.col("n_supp") >= 2)
+        & (F.col("smax") == F.col("omax"))
+        & (F.col("n_at_max") == 1)
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
 def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (argmin per group, sans partsupp): the cheapest
     observed line-item price per part and the supplier that posted it.
@@ -2426,6 +2471,7 @@ ALL: dict[str, QueryFn] = {
     "tpch_q17_small_qty": q_tpch_q17_small_qty,
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
+    "tpch_q21_blame_supplier": q_tpch_q21_blame_supplier,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "gopher_quality": q_gopher_quality,
     "rolling_hour_activity": q_rolling_hour_activity,
