@@ -109,6 +109,9 @@ HEADLINE = [
     "event_type_unpivot",
     "last_touch_attribution",
     "tpch_q21_blame_supplier",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q19_disjunctive",
 ]
 
 

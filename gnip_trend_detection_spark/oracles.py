@@ -2092,6 +2092,65 @@ WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n > sum_c
                     AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY 1
 """
+    # TPC-H Q7 twin: ordered nation-pair revenue per ship year.
+    sql["tpch_q7_nation_volume"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+    # TPC-H Q8 twin: market share as integer micro-units of the ratio
+    # of two exact cent sums.
+    sql["tpch_q8_market_share"] = """
+WITH j AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS c,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'STANDARD')
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN c ELSE 0 END) AS DOUBLE)
+         / 10000.0 AS nation_revenue,
+       CAST(SUM(c) AS DOUBLE) / 10000.0 AS total_revenue,
+       CAST(ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN c ELSE 0 END) AS DOUBLE)
+                  * 1000000.0 / CAST(SUM(c) AS DOUBLE)) AS BIGINT) AS share_micro
+FROM j GROUP BY 1
+"""
+    # TPC-H Q19 twin: the disjunction of three conjunctive bands.
+    sql["tpch_q19_disjunctive"] = """
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND CAST(ROUND(l_quantity * 100) AS BIGINT) BETWEEN 100 AND 1100)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND CAST(ROUND(l_quantity * 100) AS BIGINT) BETWEEN 1000 AND 2000)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND CAST(ROUND(l_quantity * 100) AS BIGINT) BETWEEN 2000 AND 3000)
+"""
     # TPC-H Q21 twin: the double-correlated EXISTS/NOT EXISTS as
     # window aggregates over the per-(order, supplier) relation.
     sql["tpch_q21_blame_supplier"] = """

@@ -2195,6 +2195,147 @@ def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue between an ordered
+    pair of nations per ship year — supplier nation on the lineitem
+    side, customer nation on the orders side, both dims broadcast
+    twice (aliased nation scans). The pair predicate
+    (n1, n2) ∈ {(A,B), (B,A)} filters AFTER both joins but pushes into
+    the broadcast build sides as n_name IN (A, B). Integer-cent
+    revenue."""
+    a, b = "NATION_1", "NATION_2"
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1998-01-01")))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(a, b)
+    )
+    n1 = nat.select(
+        F.col("n_nationkey").alias("__n1k"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("__n2k"), F.col("n_name").alias("cust_nation")
+    )
+    rev_c = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__n1k"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__n2k"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg((rev_c.cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): within one region's
+    customers and one part type, the share of yearly revenue supplied
+    by one nation. Share emitted as integer MICRO-units of the ratio
+    of two exact integer-cent sums — one double divide + one
+    round-to-integer, the established tie-proof discipline."""
+    target = "NATION_1"
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp_ntz(F.lit("1995-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1997-01-01")))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    cnat = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("__ck"))
+    snat = nat.select(
+        F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    j = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("__ck"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("__sk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            cents.alias("__c"),
+            F.when(F.col("supp_nation") == target, cents)
+            .otherwise(F.lit(0))
+            .alias("__tc"),
+        )
+    )
+    return j.groupBy("o_year").agg(
+        (F.sum("__tc").cast("double") / 10000.0).alias("nation_revenue"),
+        (F.sum("__c").cast("double") / 10000.0).alias("total_revenue"),
+        F.round(
+            F.sum("__tc").cast("double") * 1000000.0 / F.sum("__c").cast("double")
+        )
+        .cast("long")
+        .alias("share_micro"),
+    )
+
+
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicate pushdown): revenue from
+    an OR of three (brand, size-band, quantity-band) conjuncts. The
+    whole disjunction references only scan columns, so Catalyst pushes
+    it below the join on BOTH sides after predicate simplification —
+    the plan to check is that neither scan reads unfiltered. Integer
+    quantity bands (cents-exact), one broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 15))
+            & (qty.between(100, 1100))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 25))
+            & (qty.between(1000, 2000))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 35))
+            & (qty.between(2000, 3000))
+        )
+    )
+    rev_c = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long")
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (rev_c.cast("double") / 10000.0).alias("revenue"),
+    )
+
+
 def q_tpch_q21_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting, adapted to
     this schema's columns): for multi-supplier orders, blame the ONE
@@ -2472,6 +2613,9 @@ ALL: dict[str, QueryFn] = {
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
     "tpch_q21_blame_supplier": q_tpch_q21_blame_supplier,
+    "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+    "tpch_q8_market_share": q_tpch_q8_market_share,
+    "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "gopher_quality": q_gopher_quality,
     "rolling_hour_activity": q_rolling_hour_activity,
