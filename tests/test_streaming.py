@@ -753,3 +753,106 @@ def test_streaming_curate_matches_batch(spark):
     shutil.rmtree(flat, ignore_errors=True)
     assert want, "batch curate kept nothing — fixture degenerate"
     assert got == want
+
+
+def test_streaming_last_touch_matches_batch_asof(spark):
+    """streaming/asof.py:last_touch_stream must attribute every
+    purchase to exactly the touch the batch asof_join composition
+    picks — including the touch-before-purchase tie at equal seconds,
+    max-id dedup of same-second touches, and the no-touch null case —
+    when the event log is replayed as 3 time-ordered micro-batches."""
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.operators.asof import asof_join
+    from gnip_trend_detection_spark.sources.tables import load_table
+    from gnip_trend_detection_spark.streaming.asof import last_touch_stream
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select(
+            "user_id",
+            F.floor(F.col("ts").cast("double")).cast("long").alias("t"),
+            "event_id",
+            "event_type",
+        )
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .cache()
+    )
+
+    # --- batch expectation: asof_join over deduped touches
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "t", F.col("event_id").alias("purchase_id")
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            F.col("t").alias("rt"),
+            F.col("event_id").alias("touch_id"),
+            F.col("event_type").alias("touch_type"),
+        )
+        .groupBy("user_id", "rt")
+        .agg(F.max(F.struct("touch_id", "touch_type")).alias("m"))
+        .select(
+            "user_id", "rt", F.col("m.touch_type").alias("touch_type")
+        )
+    )
+    expected = {
+        (r["user_id"], r["t"], r["purchase_id"]): (r["asof_time"], r["touch_type"])
+        for r in asof_join(
+            purchases,
+            touches,
+            on=["user_id"],
+            left_time="t",
+            right_time="rt",
+            value_cols=["touch_type"],
+        ).collect()
+    }
+
+    # --- replay as 3 time-ordered slices
+    lo, hi = ev.agg(F.min("t"), F.max("t")).first()
+    edges = [lo + (hi - lo) * i // 3 for i in range(1, 3)]
+    base = tempfile.mkdtemp(prefix="asof_replay_")
+    flat = tempfile.mkdtemp(prefix="asof_replay_flat_")
+    slices = [
+        ev.filter(F.col("t") < edges[0]),
+        ev.filter((F.col("t") >= edges[0]) & (F.col("t") < edges[1])),
+        ev.filter(F.col("t") >= edges[1]),
+    ]
+    import time as _time
+
+    t0 = _time.time() - 600
+    for i, sl in enumerate(slices):
+        d = f"{base}/b{i}"
+        sl.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.copy(f"{d}/{part}", dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    try:
+        sdf = (
+            spark.readStream.schema(
+                "user_id long, t long, event_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        )
+        q = _run_to_completion(
+            last_touch_stream(sdf), "update", "last_touch_stream_t"
+        )
+        got = {
+            (r["user_id"], r["t"], r["purchase_id"]): (
+                r["asof_time"],
+                r["touch_type"],
+            )
+            for r in spark.sql("SELECT * FROM last_touch_stream_t").collect()
+        }
+        assert len(got) == len(expected)
+        assert got == expected
+        # sanity: both matched and unmatched purchases occur
+        assert any(v[0] is None for v in got.values())
+        assert any(v[0] is not None for v in got.values())
+    finally:
+        ev.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(flat, ignore_errors=True)
