@@ -131,6 +131,21 @@ def _build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--drop", action="store_true",
                     help="write only canonical docs instead of the full report")
 
+    fg = sub.add_parser(
+        "forget",
+        help="right-to-be-forgotten delete: anti-join rewrite dropping "
+        "rows by key (copy-on-write, like a lakehouse DELETE)",
+    )
+    fg.add_argument("-i", "--input", required=True, help="parquet dataset dir")
+    fg.add_argument("-o", "--output", required=True, help="rewritten dataset dir")
+    fg.add_argument(
+        "--ids",
+        required=True,
+        help="ids to drop: newline-delimited text file, or .parquet/.csv "
+        "whose first column is the key",
+    )
+    fg.add_argument("--key", default="doc_id", help="key column in the dataset")
+
     dc = sub.add_parser(
         "decontam", help="benchmark-contamination report over a corpus"
     )
@@ -239,6 +254,36 @@ def main(argv: list[str] | None = None) -> int:
         delta.write.mode("append").parquet(args.output)
         batch = commit_files(spark, args.manifest, files)
         print(f"ingest: batch {batch}, {len(files)} file(s)")
+        return 0
+
+    if args.cmd == "forget":
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(args.input)
+        if args.ids.endswith(".parquet"):
+            ids = spark.read.parquet(args.ids)
+        elif args.ids.endswith(".csv"):
+            ids = spark.read.option("header", True).csv(args.ids)
+        else:
+            ids = spark.read.text(args.ids).select(
+                F.col("value").alias(args.key)
+            )
+        key_type = df.schema[args.key].dataType
+        ids = (
+            ids.select(F.col(ids.columns[0]).cast(key_type).alias(args.key))
+            .dropna()
+            .distinct()
+        )
+        # the forget-set is small by nature -> broadcast LEFT ANTI; at
+        # 100 TB the rewrite is the cost, which is inherent to
+        # copy-on-write deletion (a real lakehouse DELETE rewrites the
+        # affected files the same way — here, without file-level
+        # statistics, that's the whole dataset)
+        kept = df.join(F.broadcast(ids), args.key, "left_anti")
+        kept.write.mode("overwrite").parquet(args.output)
+        n_before = df.count()
+        n_after = spark.read.parquet(args.output).count()
+        print(f"forget: {n_before - n_after} row(s) dropped, {n_after} kept")
         return 0
 
     if args.cmd in ("curate", "chunk", "split", "dedup", "decontam"):

@@ -262,3 +262,31 @@ def test_cli_decontam_bloom_matches_exact(tmp_path, spark):
     b = {r["doc_id"]: tuple(r) for r in spark.read.parquet(str(ob)).collect()}
     assert a == b
     assert all(r[4] for r in a.values())  # every doc shares the 4-gram
+
+
+def test_cli_forget_drops_ids(tmp_path, spark):
+    """forget: copy-on-write anti-join delete — dropped keys gone,
+    everything else byte-preserved; text, csv, and parquet id lists."""
+    from gnip_trend_detection_spark.cli import main
+
+    data = str(tmp_path / "ds_fg")
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    ).write.parquet(data)
+
+    ids_txt = tmp_path / "ids.txt"
+    ids_txt.write_text("3\n7\n7\n999\n")  # dup + nonexistent are fine
+    out1 = str(tmp_path / "out1")
+    assert main(["forget", "-i", data, "-o", out1, "--ids", str(ids_txt)]) == 0
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out1).collect())
+    assert got == [i for i in range(50) if i not in (3, 7)]
+    # surviving rows intact
+    row = spark.read.parquet(out1).filter("doc_id = 11").first()
+    assert row["text"] == "doc 11"
+
+    ids_pq = str(tmp_path / "ids.parquet")
+    spark.createDataFrame([(0,), (49,)], "doc_id long").write.parquet(ids_pq)
+    out2 = str(tmp_path / "out2")
+    assert main(["forget", "-i", data, "-o", out2, "--ids", ids_pq]) == 0
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    assert got2 == list(range(1, 49))
