@@ -263,17 +263,37 @@ def main(argv: list[str] | None = None) -> int:
         if args.ids.endswith(".parquet"):
             ids = spark.read.parquet(args.ids)
         elif args.ids.endswith(".csv"):
-            ids = spark.read.option("header", True).csv(args.ids)
+            # headerless on purpose: with header=True a missing header
+            # would silently eat the first id. A header row instead
+            # fails the cast check below, loudly.
+            ids = spark.read.option("header", False).csv(args.ids)
         else:
             ids = spark.read.text(args.ids).select(
                 F.col("value").alias(args.key)
             )
         key_type = df.schema[args.key].dataType
-        ids = (
-            ids.select(F.col(ids.columns[0]).cast(key_type).alias(args.key))
-            .dropna()
-            .distinct()
+        raw = ids.select(
+            F.trim(F.col(ids.columns[0]).cast("string")).alias("__raw")
+        ).filter(F.col("__raw") != "")
+        # try_cast, not cast: ANSI mode makes a plain cast THROW on the
+        # first malformed value with an opaque executor error; try_cast
+        # yields NULL so the check below can report the offending ids
+        ids = raw.select(
+            "__raw", F.col("__raw").try_cast(key_type).alias(args.key)
         )
+        # a DELETE verb must not silently skip ids: any value that
+        # fails the key cast (header rows, stray text, wrong column)
+        # aborts instead of leaving the subject's rows behind
+        bad = ids.filter(F.col(args.key).isNull()).limit(5).collect()
+        if bad:
+            examples = ", ".join(repr(r["__raw"]) for r in bad)
+            print(
+                f"forget: unparseable id(s) for key column "
+                f"{args.key!r} ({key_type.simpleString()}): {examples}",
+                file=sys.stderr,
+            )
+            return 2
+        ids = ids.select(args.key).distinct()
         # the forget-set is small by nature -> broadcast LEFT ANTI; at
         # 100 TB the rewrite is the cost, which is inherent to
         # copy-on-write deletion (a real lakehouse DELETE rewrites the

@@ -71,12 +71,20 @@ def _minhash_signatures_np(
 
     def gen(batches):
         import hashlib
+        import re
 
+        # Java \s is ASCII-only ([ \t\n\x0B\f\r]); Python str.split()
+        # also splits on unicode whitespace (\xa0, 　, ...), which
+        # would silently break bit-identity with the relational path
+        # on non-ASCII corpora — split with the exact same class.
+        ws = re.compile("[ \t\n\x0b\f\r]+")
         h32: dict[str, int] = {}
         for pdf in batches:
             out_id, out_sh, out_sig = [], [], []
             for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
-                toks = [t for t in txt.lower().split() if t]
+                if not isinstance(txt, str):
+                    continue  # NULL text: the SQL path drops it too
+                toks = [t for t in ws.split(txt.lower()) if t]
                 if len(toks) < k:
                     continue
                 shs = [

@@ -110,11 +110,16 @@ def gopher_rules(
     the alpha fraction as 5·n_alpha >= 4·n) — no ratio ever
     materializes, so no float boundary exists for engines to disagree
     on. One zero-shuffle scan: all counts are per-row array HOFs.
+    NULL-text docs are dropped (a quality gate has nothing to grade;
+    keeping them would also diverge from the SQL twin, where NULL
+    propagates through list functions instead of folding to 0).
 
     Reference corpus-curation parity target: the rule FAMILY from the
     published Gopher paper; the reference engine itself has no
     curation surface (extension beyond Gnip-Trend-Detection)."""
-    t = docs.withColumn("toks", tokens(F.col(text_col)))
+    t = docs.filter(F.col(text_col).isNotNull()).withColumn(
+        "toks", tokens(F.col(text_col))
+    )
     n = F.size("toks").cast("long")
     chars = F.aggregate(
         F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),

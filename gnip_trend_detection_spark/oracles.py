@@ -2233,7 +2233,7 @@ FROM j GROUP BY 1
     # Gopher quality gates (q_gopher_quality): integer-only boundaries
     sql["gopher_quality"] = f"""
 WITH t AS (
-  SELECT doc_id, {toks} AS toks FROM documents
+  SELECT doc_id, {toks} AS toks FROM documents WHERE text IS NOT NULL
 ),
 s AS (
   SELECT doc_id,

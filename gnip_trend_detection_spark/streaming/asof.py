@@ -15,8 +15,18 @@ streaming/models.py): micro-batches arrive in time order per key
 fold in (time, tag, id) order with touches before purchases at equal
 times — identical to the batch window's (time, tag) sort — and a
 touch only overwrites state when its (time, id) is lexicographically
-newer, so same-second duplicate touches resolve to the max id in both
-engines even if they straddle micro-batches.
+newer, so same-second duplicate touches resolve to the max id for
+every LATER purchase even when they straddle micro-batches.
+
+One inherent divergence from the batch twin, stated rather than
+hidden: emitted rows are FINAL (update-mode streaming cannot retract),
+so if a purchase and a same-second higher-id touch arrive in
+DIFFERENT micro-batches, the already-emitted purchase keeps its
+attribution while batch — which sees everything at once — would pick
+the later-arriving touch. Exact parity therefore requires micro-batch
+boundaries that don't split equal-second groups of one user; any
+time-partitioned replay (boundaries at second granularity, as in the
+parity test) satisfies this.
 """
 
 from __future__ import annotations

@@ -290,3 +290,27 @@ def test_cli_forget_drops_ids(tmp_path, spark):
     assert main(["forget", "-i", data, "-o", out2, "--ids", ids_pq]) == 0
     got2 = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
     assert got2 == list(range(1, 49))
+
+
+def test_cli_forget_rejects_unparseable_ids(tmp_path, spark, capsys):
+    """A delete verb must fail loudly, not silently skip: header rows,
+    stray text, and CRLF artifacts that fail the key cast abort with
+    rc=2; CRLF digits are trimmed and still delete."""
+    from gnip_trend_detection_spark.cli import main
+
+    data = str(tmp_path / "ds_fg2")
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    ).write.parquet(data)
+
+    bad = tmp_path / "bad_ids.csv"
+    bad.write_text("doc_id\n3\n")  # header row -> unparseable as long
+    out = str(tmp_path / "out_bad")
+    assert main(["forget", "-i", data, "-o", out, "--ids", str(bad)]) == 2
+
+    crlf = tmp_path / "crlf_ids.txt"
+    crlf.write_text("3\r\n7\r\n")  # windows line endings: trim, delete
+    out2 = str(tmp_path / "out_crlf")
+    assert main(["forget", "-i", data, "-o", out2, "--ids", str(crlf)]) == 0
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 8, 9]

@@ -133,10 +133,18 @@ def test_minhash_numpy_sql_bit_identity(spark):
             (3, "  spaced   out   tokens   survive   splitting  "),
             (4, "too short"),  # < k tokens: dropped by both paths
             (5, "dup dup dup dup dup"),  # repeated shingles
+            (6, None),  # NULL text: dropped by both paths, no crash
+            # unicode NBSP/ideographic space are NOT separators in
+            # Java \s+ — the numpy path must agree, not use .split()
+            (7, "alpha beta gamma delta　epsilon zeta eta"),
         ],
         "doc_id long, text string",
     )
     a = minhash_signatures(docs, impl="sql").orderBy("doc_id").collect()
     b = minhash_signatures(docs, impl="numpy").orderBy("doc_id").collect()
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
-    assert {r["doc_id"] for r in a} == {1, 2, 3, 5}
+    assert {r["doc_id"] for r in a} == {1, 2, 3, 5, 7}
+    tok7 = next(r for r in a if r["doc_id"] == 7)["shingles"]
+    # NBSP and ideographic space stayed INSIDE tokens on both paths
+    assert any(" " in s for s in tok7)
+    assert any("　" in s for s in tok7)

@@ -56,12 +56,12 @@ def test_choose_bucket_width_tracks_median_interval(spark):
     assert choose_bucket_width(tiny) == 1
 
     # width-invariance of the actual join
+    from pyspark.sql import functions as F
+
     pts = spark.createDataFrame([(5,), (50,), (99,)], "t long").withColumn(
-        "k", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(1)
+        "k", F.lit(1)
     )
-    ivk = iv.withColumn(
-        "k", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(1)
-    )
+    ivk = iv.withColumn("k", F.lit(1))
     a = {
         r["iv_id"]: r["n_points"]
         for r in range_count_join(pts, ivk, on=["k"], bucket_width=w).collect()

@@ -51,15 +51,21 @@ def main() -> int:
         for name in QUERIES:
             jobs.put(name)
 
+        errors: list[tuple[str, BaseException]] = []
+
         def run() -> None:
             while True:
                 try:
                     name = jobs.get_nowait()
                 except queue.Empty:
                     return
-                q.ALL[name](spark, SF).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                try:
+                    q.ALL[name](spark, SF).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    errors.append((name, e))
+                    return
 
         t0 = time.perf_counter()
         ts = [threading.Thread(target=run) for _ in range(workers)]
@@ -68,6 +74,10 @@ def main() -> int:
         for t in ts:
             t.join()
         dt = time.perf_counter() - t0
+        if errors:  # a partial run must not print a bogus number
+            for name, e in errors:
+                print(f"FAILED {name}: {e}", file=sys.stderr)
+            return 1
         print(f"workers={workers}: {dt:.2f}s for {len(QUERIES)} queries")
     return 0
 
