@@ -112,6 +112,11 @@ HEADLINE = [
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
     "tpch_q19_disjunctive",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_priority",
+    "tpch_q16_supplier_counts",
+    "tpch_q20_excess_stock",
 ]
 
 

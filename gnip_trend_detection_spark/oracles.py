@@ -2195,6 +2195,88 @@ FROM s
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON sk = s_suppkey
 """
+    # Q9 shape: synthetic supplycost = 10% retail price; the profit
+    # expression is written in the EXACT same operation order as the
+    # Spark side so the double result (and its micro-unit rounding) is
+    # bit-identical.
+    sql["tpch_q9_product_profit"] = """
+SELECT n_name AS nation,
+       CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+                            - 0.1 * p_retailprice * l_quantity) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+    # Q11 shape: integer cross-multiplied HAVING (value > total/2000)
+    sql["tpch_q11_important_stock"] = """
+WITH scoped AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+per_part AS (SELECT l_partkey, SUM(c) AS vc FROM scoped GROUP BY 1),
+total AS (SELECT SUM(vc) AS tc FROM per_part)
+SELECT l_partkey, CAST(vc AS DOUBLE) / 100.0 AS stock_value
+FROM per_part, total
+WHERE vc * 2000 > tc
+"""
+    # Q12 shape: exact integer day arithmetic on midnight timestamps
+    sql["tpch_q12_late_priority"] = """
+SELECT CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) > 90
+            THEN 'LATE' ELSE 'ON-TIME' END AS ship_bucket,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+    # Q16 shape: distinct (part, supp) pairs from lineitem stand in
+    # for partsupp; complaint suppliers = deterministic s_acctbal < 0
+    sql["tpch_q16_supplier_counts"] = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 19, 29, 39, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+    # Q20 shape: synthetic integer availqty; 2*avail > qty cross-mult
+    sql["tpch_q20_excess_stock"] = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND p_name LIKE 'small%'
+  GROUP BY 1, 2
+),
+excess AS (
+  SELECT DISTINCT l_suppkey FROM shipped
+  WHERE ((l_partkey * 31 + l_suppkey) % 97 + 5) * 2 > qty
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT l_suppkey FROM excess)
+"""
     # Last-touch attribution twin (q_last_touch_attribution): DuckDB's
     # native ASOF JOIN against the per-(user, second) deduped touch
     # relation; mean lag as integer micro-seconds

@@ -2410,6 +2410,180 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year, sans
+    partsupp): lineitem joins part (substring name filter), supplier →
+    nation, and orders (year key). The fixture has no ps_supplycost, so
+    cost is synthesized deterministically as 10% of the part's retail
+    price per unit — the same double expression on both engines, so
+    the micro-unit rounding is bit-identical. Plan shape: the p_name
+    LIKE filter prunes part BEFORE its join; supplier→nation folds
+    into one broadcast; orders joins on the orderkey shuffle that the
+    lineitem aggregation already needs. Profit summed in exact integer
+    micro-units."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("gear")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    profit_u = F.sum(F.round(amount * 10000).cast("long"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((profit_u.cast("double") / 10000.0).alias("sum_profit"))
+    )
+
+
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: group-HAVING against a scalar
+    subquery fraction of the grand total), adapted sans partsupp: the
+    per-part "stock value" is the discounted line revenue supplied by
+    one nation's suppliers. The grand total is a 1-row broadcast
+    (crossJoin) — the classic scalar-subquery decorrelation — and the
+    threshold compare is INTEGER cross-multiplied (value_cents * 2000
+    > total_cents ⇔ value > total/2000), so no float tie can flip a
+    row across engines. Integer headroom: total_cents * 1 stays far
+    under 2^63 up to ~10^16 cents ≈ $100T of revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    cents = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+    )
+    scoped = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    per_part = scoped.groupBy("l_partkey").agg(cents.alias("__vc"))
+    total = per_part.agg(F.sum("__vc").alias("__tc"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__vc") * 2000 > F.col("__tc"))
+        .select(
+            "l_partkey",
+            (F.col("__vc").cast("double") / 100.0).alias("stock_value"),
+        )
+    )
+
+
+def q_tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (two-way conditional counts per category),
+    adapted to this schema's columns (no l_shipmode/commitdate): lines
+    shipped in 1997 bucket into LATE (>90 days after the order date)
+    vs ON-TIME, counting high-priority (1-URGENT/2-HIGH) and
+    low-priority orders per bucket — the exact CASE-sum aggregation
+    shape of Q12. One fact-fact equi-join on orderkey; day arithmetic
+    on midnight-aligned timestamps is exact integers."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1998-01-01")))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    bucket = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, "LATE"
+    ).otherwise("ON-TIME")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(bucket.alias("ship_bucket")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def q_tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (distinct-supplier counts by part attributes
+    with a NOT-IN exclusion), with the part-supplier relation derived
+    as DISTINCT (l_partkey, l_suppkey) from lineitem (no partsupp in
+    the fixture). "Complaint" suppliers are the deterministic
+    s_acctbal < 0 set, excluded by broadcast anti-join — never a
+    NOT IN against an unbounded list. The distinct-pairs dedup and the
+    final COUNT(DISTINCT) both shuffle on keys already needed; part is
+    joined as a keyed equi-join (NOT assumed broadcastable at scale),
+    its brand/type/size filters pushed below the join."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 19, 29, 39, 49)
+    )
+    complaints = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        pairs.join(
+            F.broadcast(complaints),
+            pairs["l_suppkey"] == complaints["s_suppkey"],
+            "left_anti",
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers holding excess stock of a named part
+    family, i.e. the nested agg → semi-join chain): 1997 shipped
+    quantity per (part, supplier) for 'small *' parts, compared
+    against a synthetic deterministic availqty (no partsupp in the
+    fixture: availqty = (31·partkey + suppkey) mod 97 + 5 — pure
+    integer arithmetic, identical on both engines). availqty >
+    0.5·qty is cross-multiplied to 2·availqty > qty so the compare is
+    all-integer. Qualifying suppliers semi-join into the one-nation
+    supplier slice."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1998-01-01")))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    ).select("p_partkey")
+    shipped = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("__qty"))
+    )
+    avail = (F.col("l_partkey") * 31 + F.col("l_suppkey")) % 97 + 5
+    excess = (
+        shipped.withColumn("__avail", avail)
+        .filter(F.col("__avail") * 2 > F.col("__qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marketing-style last-touch attribution: every purchase is
     attributed to the same user's latest click/view at or before it,
@@ -2617,6 +2791,11 @@ ALL: dict[str, QueryFn] = {
     "tpch_q8_market_share": q_tpch_q8_market_share,
     "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+    "tpch_q9_product_profit": q_tpch_q9_product_profit,
+    "tpch_q11_important_stock": q_tpch_q11_important_stock,
+    "tpch_q12_late_priority": q_tpch_q12_late_priority,
+    "tpch_q16_supplier_counts": q_tpch_q16_supplier_counts,
+    "tpch_q20_excess_stock": q_tpch_q20_excess_stock,
     "gopher_quality": q_gopher_quality,
     "rolling_hour_activity": q_rolling_hour_activity,
     "last_touch_attribution": q_last_touch_attribution,

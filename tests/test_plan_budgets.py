@@ -43,6 +43,7 @@ BNLJ_OK = {
     "semantic_dedup",      # broadcast centroid set
     "source_overlap",      # broadcast source-size cross (#sources rows)
     "tfidf_top_terms",     # broadcast 1-row corpus size
+    "tpch_q11_important_stock",  # broadcast 1-row grand-total scalar
     "tpch_q22_idle_customers",  # broadcast 1-row (sum_cents, n) global avg
     "unigram_logppl",      # broadcast 1-row corpus total
     "value_histogram",     # broadcast 1-row global bounds
