@@ -415,6 +415,103 @@ SELECT counter, bin_ts, count,
 FROM sl
 """
 
+    # --- EWMA control chart (engine extension; controlchart.py) ---
+    # Weights lam*(1-lam)^j, lam = 1/4: exact dyadic literals, so the
+    # fixed-order lag sum is exact on both engines and the raw-double
+    # output is bit-identical with NO rounding step at all.
+    _lam = 0.25
+    _wts = [_lam * (1.0 - _lam) ** j for j in range(8)]
+    _lag_cols = ",\n         ".join(
+        f"LAG(count, {j}) OVER w AS x{j}" for j in range(1, 8)
+    )
+    _num = " + ".join(
+        [f"COALESCE(count * {_wts[0]!r}, 0.0)"]
+        + [f"COALESCE(x{j} * {_wts[j]!r}, 0.0)" for j in range(1, 8)]
+    )
+    _den = " + ".join(
+        [f"CASE WHEN count IS NOT NULL THEN {_wts[0]!r} ELSE 0.0 END"]
+        + [
+            f"CASE WHEN x{j} IS NOT NULL THEN {_wts[j]!r} ELSE 0.0 END"
+            for j in range(1, 8)
+        ]
+    )
+    sql["ewma_burst"] = f"""
+WITH ser AS ({events_series(3600)}),
+l AS (
+  SELECT counter, bin_ts, count,
+         ROW_NUMBER() OVER w AS rn,
+         {_lag_cols}
+  FROM ser WINDOW w AS (PARTITION BY counter ORDER BY bin_ts)
+),
+e AS (
+  SELECT counter, bin_ts, count, rn,
+         (0.0 + {_num}) / (0.0 + {_den}) AS ewma
+  FROM l
+)
+SELECT counter, bin_ts, count, ewma,
+       CAST(CASE WHEN rn > 4 AND count > 2.0 * LAG(ewma, 1) OVER (
+                   PARTITION BY counter ORDER BY bin_ts)
+                 THEN 1 ELSE 0 END AS INTEGER) AS burst
+FROM e
+"""
+
+    # --- CUSUM change-point chart (engine extension) ---
+    # prefix-sum-minus-running-min identity; the per-counter mean is
+    # FLOOR-quantized to 1/64 so every running-sum summand is dyadic
+    # (exact, fold-order-invariant); raw doubles out.
+    sql["cusum_changepoint"] = f"""
+WITH ser AS ({events_series(3600)}),
+m AS (
+  SELECT counter, bin_ts, count,
+         CAST(FLOOR((SUM(count) OVER w2 / COUNT(*) OVER w2) * 64) AS DOUBLE)
+           / 64.0 AS mu_q
+  FROM ser WINDOW w2 AS (PARTITION BY counter)
+),
+p AS (
+  SELECT counter, bin_ts, count, mu_q,
+         SUM(count - mu_q * 1.25) OVER wr AS p
+  FROM m WINDOW wr AS (PARTITION BY counter ORDER BY bin_ts
+                       ROWS UNBOUNDED PRECEDING)
+),
+r AS (
+  SELECT counter, bin_ts, count, mu_q, p,
+         MIN(LEAST(p, 0.0)) OVER wr AS rm
+  FROM p WINDOW wr AS (PARTITION BY counter ORDER BY bin_ts
+                       ROWS UNBOUNDED PRECEDING)
+)
+SELECT counter, bin_ts, count, p - rm AS cusum,
+       CAST(CASE WHEN p - rm > 8.0 * mu_q THEN 1 ELSE 0 END AS INTEGER)
+         AS alarm
+FROM r
+"""
+
+    # --- Seasonal decomposition (engine extension) ---
+    # trend = exact integer window sum / count; detrended values
+    # floor-quantized to 2^-14 before the per-phase mean so the hash
+    # agg is merge-order-invariant on both engines.
+    sql["seasonal_decompose"] = f"""
+WITH ser AS ({events_series(3600)}),
+b AS (
+  SELECT counter, bin_ts, count,
+         SUM(count) OVER wt / COUNT(*) OVER wt AS trend,
+         CAST((bin_ts % 86400) / 3600 AS INTEGER) AS phase
+  FROM ser WINDOW wt AS (PARTITION BY counter ORDER BY bin_ts
+                         ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+d AS (
+  SELECT counter, bin_ts, count, trend, phase,
+         CAST(FLOOR((count - trend) * 16384.0) AS DOUBLE) / 16384.0 AS det
+  FROM b
+),
+s AS (
+  SELECT counter, phase, SUM(det) / COUNT(*) AS seasonal
+  FROM d GROUP BY 1, 2
+)
+SELECT d.counter, d.bin_ts, d.count, d.trend, d.phase, s.seasonal,
+       d.det - s.seasonal AS residual
+FROM d JOIN s ON d.counter = s.counter AND d.phase = s.phase
+"""
+
     # --- Mann-Kendall z (M3), trailing window of 20 on 4-h series ---
     sql["mann_kendall_z"] = f"""
 WITH ser AS ({events_series(14400)}),

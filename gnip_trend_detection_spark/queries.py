@@ -2584,6 +2584,47 @@ def q_tpch_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-horizon EWMA control chart on the hourly series: the
+    classic SPC detector between the reference's single-lag Poisson
+    and its slow regression window. Raw-double output — every value is
+    an exact dyadic-rational sum divided once, bit-identical across
+    engines by construction (controlchart.py module docstring), so no
+    rounding boundary exists to flake on."""
+    from gnip_trend_detection_spark.operators.models.controlchart import (
+        ewma_chart,
+    )
+
+    return ewma_chart(_events_series(spark, sf_dir, 3600))
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point chart on the hourly series, the
+    recursion rewritten as prefix-sum minus running-min (two ordered
+    windows, one exchange — data-parallel, unlike the sequential
+    textbook fold). Mean quantized to a power-of-two grid so all
+    running sums are exact; raw doubles out."""
+    from gnip_trend_detection_spark.operators.models.controlchart import (
+        cusum_chart,
+    )
+
+    return cusum_chart(_events_series(spark, sf_dir, 3600))
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual split of the hourly series
+    (centered +/-12h moving average; hour-of-day seasonal means) — the
+    decomposition form of the reference's cycle model idea
+    (models.py:112-158). Detrended values are floor-quantized to 2^-14
+    before the seasonal hash agg, making the per-phase mean
+    merge-order-invariant in both engines."""
+    from gnip_trend_detection_spark.operators.models.controlchart import (
+        seasonal_decompose,
+    )
+
+    return seasonal_decompose(_events_series(spark, sf_dir, 3600))
+
+
 def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marketing-style last-touch attribution: every purchase is
     attributed to the same user's latest click/view at or before it,
@@ -2796,6 +2837,9 @@ ALL: dict[str, QueryFn] = {
     "tpch_q12_late_priority": q_tpch_q12_late_priority,
     "tpch_q16_supplier_counts": q_tpch_q16_supplier_counts,
     "tpch_q20_excess_stock": q_tpch_q20_excess_stock,
+    "ewma_burst": q_ewma_burst,
+    "cusum_changepoint": q_cusum_changepoint,
+    "seasonal_decompose": q_seasonal_decompose,
     "gopher_quality": q_gopher_quality,
     "rolling_hour_activity": q_rolling_hour_activity,
     "last_touch_attribution": q_last_touch_attribution,
