@@ -117,6 +117,9 @@ HEADLINE = [
     "tpch_q12_late_priority",
     "tpch_q16_supplier_counts",
     "tpch_q20_excess_stock",
+    "ewma_burst",
+    "cusum_changepoint",
+    "seasonal_decompose",
 ]
 
 

@@ -5,6 +5,10 @@ from gnip_trend_detection_spark.streaming.hotkeys import heavy_hitters_stream
 from gnip_trend_detection_spark.streaming.neardup import lsh_neardup_stream
 from gnip_trend_detection_spark.streaming.rebin import streaming_rebin
 from gnip_trend_detection_spark.streaming.sessionize import sessionize_stream
+from gnip_trend_detection_spark.streaming.controlchart import (
+    score_stream_cusum,
+    score_stream_ewma,
+)
 from gnip_trend_detection_spark.streaming.models import (
     score_stream_poisson_lc,
     score_stream_poisson_cycle,
@@ -26,4 +30,6 @@ __all__ = [
     "score_stream_mann_kendall",
     "score_stream_linreg",
     "score_stream_wdt",
+    "score_stream_ewma",
+    "score_stream_cusum",
 ]

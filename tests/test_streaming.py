@@ -156,6 +156,106 @@ def test_stateful_scoring_matches_batch(
     assert not mismatches, mismatches[:5]
 
 
+def test_streaming_ewma_matches_batch_bit_exact(spark, replay_dir):
+    """EWMA stream fold vs the batch lag-sum: every term is an exact
+    dyadic rational, so the parity here is == (bit equality), not
+    approx — the strongest batch/stream contract in the suite."""
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.operators.models.controlchart import ewma_chart
+    from gnip_trend_detection_spark.streaming import score_stream_ewma
+
+    flat, counts = replay_dir
+    stream_in = _read_stream(spark, flat).select(
+        "counter", "interval_start", "count"
+    )
+    _run_to_completion(score_stream_ewma(stream_in), "update", "ewma_stream")
+    got_rows = spark.sql("select * from ewma_stream").collect()
+    got = {
+        (r["counter"], r["interval_start"]): (r["ewma"], r["burst"])
+        for r in got_rows
+    }
+
+    series = counts.select(
+        "counter",
+        F.col("interval_start").cast("double").cast("long").alias("bin_ts"),
+        "count",
+    )
+    want_df = ewma_chart(series).withColumn(
+        "interval_start", F.timestamp_seconds("bin_ts")
+    )
+    want = {
+        (r["counter"], r["interval_start"]): (r["ewma"], r["burst"])
+        for r in want_df.collect()
+    }
+    assert set(got) == set(want)
+    mismatches = [(k, got[k], v) for k, v in want.items() if got[k] != v]
+    assert not mismatches, mismatches[:5]
+
+
+def test_streaming_cusum_matches_batch_with_calibration(spark, replay_dir):
+    """CUSUM stream fold, calibrated with the batch run's quantized
+    means, must equal the batch prefix-sum identity exactly — this is
+    also an end-to-end proof of the identity itself."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.operators.models.controlchart import cusum_chart
+    from gnip_trend_detection_spark.streaming import score_stream_cusum
+
+    flat, counts = replay_dir
+    series = counts.select(
+        "counter",
+        F.col("interval_start").cast("double").cast("long").alias("bin_ts"),
+        "count",
+    )
+    want_df = cusum_chart(series).withColumn(
+        "interval_start", F.timestamp_seconds("bin_ts")
+    )
+    want = {
+        (r["counter"], r["interval_start"]): (r["cusum"], r["alarm"])
+        for r in want_df.collect()
+    }
+    # offline calibration = the batch mean, floor-quantized to 1/64
+    mu_rows = (
+        counts.groupBy("counter")
+        .agg((F.sum("count") / F.count(F.lit(1))).alias("mu"))
+        .collect()
+    )
+    mu_q = {r["counter"]: _math.floor(r["mu"] * 64) / 64.0 for r in mu_rows}
+
+    stream_in = _read_stream(spark, flat).select(
+        "counter", "interval_start", "count"
+    )
+    _run_to_completion(
+        score_stream_cusum(stream_in, mu_q), "update", "cusum_stream"
+    )
+    got = {
+        (r["counter"], r["interval_start"]): (r["cusum"], r["alarm"])
+        for r in spark.sql("select * from cusum_stream").collect()
+    }
+    assert set(got) == set(want)
+    mismatches = [(k, got[k], v) for k, v in want.items() if got[k] != v]
+    assert not mismatches, mismatches[:5]
+
+
+def test_streaming_cusum_unknown_counter_scores_zero(spark, replay_dir):
+    from gnip_trend_detection_spark.streaming import score_stream_cusum
+
+    flat, _ = replay_dir
+    stream_in = _read_stream(spark, flat).select(
+        "counter", "interval_start", "count"
+    )
+    _run_to_completion(
+        score_stream_cusum(stream_in, {}), "update", "cusum_stream_nocal"
+    )
+    rows = spark.sql(
+        "select distinct cusum, alarm from cusum_stream_nocal"
+    ).collect()
+    assert [(r["cusum"], r["alarm"]) for r in rows] == [(0.0, 0)]
+
+
 def test_streaming_wdt_matches_batch(spark, replay_dir):
     from pyspark.sql import functions as F
 
