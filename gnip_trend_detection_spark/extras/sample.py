@@ -185,3 +185,48 @@ def sample_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row
+    gets a pseudo-random (shard, pos) that depends ONLY on its key and
+    the seed — the training-order primitive a dataset build needs
+    (epoch order must be reproducible across cluster layouts, retries,
+    and re-runs; `orderBy(rand())` is none of those).
+
+    shard = hash(key) mod n_shards; pos = rank of hash within the
+    shard (key ASC breaks 32-bit-prefix collisions). The plan is one
+    hash-partitioned exchange on shard + a per-shard sort — exactly
+    the shape of the production write (`repartition(shard).
+    sortWithinPartitions(h)` under `partitionBy("shard")`), so at
+    100 TB you size n_shards so a shard fits an executor's sort
+    spill budget (1e5 shards of ~1 GB, windows stay small and
+    parallel; there is never a single-partition window here).
+
+    Returns df's columns + (shard int, pos long).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(key_col).cast("string"), F.lit(f":shuf{seed}")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window
+
+    out = df.withColumn("__h", h).withColumn(
+        "shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(key_col))
+    return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("__h")

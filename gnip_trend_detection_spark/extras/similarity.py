@@ -630,3 +630,105 @@ def quantize_int8(
     if keep_vec:
         cols.append(v.alias("v"))
     return embeddings.select(*cols)
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor
+    vector, the ``k`` corpus vectors with a DIFFERENT label that sit
+    closest in cosine space — the negatives a contrastive loss learns
+    the most from (reference has no embedding ops; this extends the
+    detection engine to the LLM-training-data surface).
+
+    Scale shape — one map pass over the corpus, no all-pairs shuffle:
+    the anchor set is collected once (bounded by construction: anchors
+    are the curated/labeled slice, the same O(small) contract that
+    lets `knn_classify` broadcast its train set) and rides into a
+    mapInPandas closure. Each Arrow batch of corpus vectors scores
+    against ALL anchors in one BLAS matmul, masks same-label and
+    self pairs, and keeps its per-anchor local top-k — so a batch of
+    B rows emits at most n_anchors*k rows, independent of B. The only
+    shuffle is the final per-anchor global top-k over those
+    candidate slivers (n_anchors * k * n_batches rows total).
+
+    Local-then-global top-k is exact: any global top-k member is by
+    definition in its own batch's top-k. Ordering is deterministic on
+    both engines: cosine rounded HALF-UP to ``round_digits`` DESC,
+    then corpus id ASC (the rounding happens BEFORE the per-batch
+    selection so batch boundaries can never flip a tie).
+
+    Returns (anchor_id, negative_id, negative_label, cosine, rk).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    arows = (
+        _normed(anchors)
+        .join(anchors.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "v", "nrm", "label")
+        .collect()
+    )
+    a_ids = np.array([r["vec_id"] for r in arows], dtype=np.int64)
+    a_lab = np.array([r["label"] for r in arows], dtype=np.int64)
+    A = (
+        np.stack([np.asarray(r["v"], dtype=np.float64) for r in arows])
+        if arows
+        else np.zeros((0, 1))
+    )
+    a_nrm = np.array([r["nrm"] for r in arows], dtype=np.float64)
+    p = 10.0**round_digits
+
+    n = _normed(corpus).join(corpus.select("vec_id", "label"), "vec_id")
+    out_schema = StructType(
+        [
+            StructField("anchor_id", LongType()),
+            StructField("negative_id", LongType()),
+            StructField("negative_label", IntegerType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(a_ids):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labs = pdf["label"].to_numpy(dtype=np.int64)
+            # (n_anchors, batch) similarity, rounded HALF-UP pre-rank
+            S = (A @ X.T) / (a_nrm[:, None] * pdf["nrm"].to_numpy()[None, :])
+            S = np.sign(S) * np.floor(np.abs(S) * p + 0.5) / p
+            # a negative must carry a different label and not be the anchor
+            S[a_lab[:, None] == labs[None, :]] = -np.inf
+            S[a_ids[:, None] == ids[None, :]] = -np.inf
+            kk = min(k, S.shape[1])
+            sel = np.lexsort((np.broadcast_to(ids, S.shape), -S), axis=1)[:, :kk]
+            cos = np.take_along_axis(S, sel, axis=1)
+            keep = np.isfinite(cos)
+            n_a = len(a_ids)
+            yield pd.DataFrame(
+                {
+                    "anchor_id": np.repeat(a_ids, kk)[keep.ravel()],
+                    "negative_id": ids[sel].ravel()[keep.ravel()],
+                    "negative_label": labs[sel].ravel()[keep.ravel()].astype(np.int32),
+                    # + 0.0 canonicalizes -0.0 (cross-engine hash parity)
+                    "cosine": cos.ravel()[keep.ravel()] + 0.0,
+                }
+            )
+
+    cands = n.mapInPandas(score, out_schema)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return cands.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

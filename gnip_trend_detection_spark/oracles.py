@@ -2817,6 +2817,44 @@ FROM (SELECT doc_id, text, unnest(generate_series(0, GREATEST(n_frames - 1, 0), 
 WHERE length(substr(text, i * 32 + 1, 32)) > 0
 """
 
+    # deterministic global shuffle (extras/sample.py:global_shuffle):
+    # shard = md5-prefix hash mod 8, pos = rank of (hash, doc_id)
+    # within the shard — pure integer arithmetic, tie-proof
+    sql["training_order"] = """
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf7'), 1, 8))::BIGINT AS hv
+  FROM documents
+)
+SELECT doc_id, source, CAST(hv % 8 AS INTEGER) AS shard,
+       ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
+FROM h
+"""
+
+    # hard-negative mining (extras/similarity.py:mine_hard_negatives):
+    # anchors = vec_id % 25 == 0; top-10 different-label neighbors by
+    # (rounded cosine DESC, id ASC); + 0.0 canonicalizes -0.0
+    sql["hard_negatives"] = f"""
+WITH e AS (SELECT vec_id, label, {vec} AS v FROM embeddings),
+n AS (
+  SELECT vec_id, label, v,
+         SQRT(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm
+  FROM e
+),
+a AS (SELECT * FROM n WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT a.vec_id AS anchor_id, n.vec_id AS negative_id,
+         n.label AS negative_label,
+         ROUND(list_reduce([a.v[i] * n.v[i] for i in generate_series(1, len(a.v))],
+                           (x, y) -> x + y) / (a.nrm * n.nrm), 6) + 0.0 AS cosine
+  FROM a JOIN n ON a.label <> n.label
+)
+SELECT anchor_id, negative_id, negative_label, cosine, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS rk
+  FROM scored
+) WHERE rk <= 10
+"""
+
     # --- serialize array outputs for the driver comparator -------------
     # The driver canonicalizes results through pandas sort_values, which
     # cannot hash list cells; every array-valued oracle is therefore

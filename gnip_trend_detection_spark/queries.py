@@ -2723,6 +2723,34 @@ def q_rolling_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the document corpus into 8
+    training shards: (shard, pos) depend only on (doc_id, seed), so
+    the epoch order reproduces on any cluster layout / retry — the
+    training-order primitive `orderBy(rand())` cannot provide. One
+    shard-keyed exchange + per-shard sort; never a single-partition
+    window (see extras/sample.py:global_shuffle scale note)."""
+    from gnip_trend_detection_spark.extras.sample import global_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return global_shuffle(docs, key_col="doc_id", seed=7, n_shards=8).select(
+        "doc_id", "source", "shard", "pos"
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: every 25th
+    vector is an anchor; return its 10 nearest DIFFERENT-label corpus
+    vectors by cosine. One BLAS map pass over the corpus vs the
+    broadcast anchor matrix; per-batch local top-k bounds the shuffle
+    to anchors*k*batches rows (extras/similarity.py:
+    mine_hard_negatives)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mine_hard_negatives(
+        emb, emb.filter(F.col("vec_id") % 25 == 0), k=10
+    )
+
+
 # --------------------------------------------------------------- registry
 
 ALL: dict[str, QueryFn] = {
@@ -2863,4 +2891,6 @@ ALL: dict[str, QueryFn] = {
     "session_motifs": q_session_motifs,
     "tpch_q14_promo_share": q_tpch_q14_promo_share,
     "mix_temperature": q_mix_temperature,
+    "training_order": q_training_order,
+    "hard_negatives": q_hard_negatives,
 }

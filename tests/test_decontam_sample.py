@@ -235,3 +235,41 @@ def test_bm25_scores_sanity(spark):
     assert set(rows) == {1, 2}  # doc 3 filtered (n_hit = 0)
     assert rows[1]["n_hit"] == 2 and rows[2]["n_hit"] == 1
     assert rows[1]["score"] > rows[2]["score"] > 0
+
+
+def test_global_shuffle_is_a_deterministic_permutation(spark):
+    """global_shuffle: (shard, pos) is a permutation — every shard's
+    positions are exactly 1..n_shard — and is invariant to input
+    partitioning (the property df.sample/rand cannot give)."""
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.extras.sample import global_shuffle
+    from gnip_trend_detection_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    out = global_shuffle(docs, key_col="doc_id", seed=7, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+
+    # layout-invariant: same assignment from any partitioning
+    again = {
+        (r["doc_id"]): (r["shard"], r["pos"])
+        for r in global_shuffle(
+            docs.repartition(13), key_col="doc_id", seed=7, n_shards=4
+        ).collect()
+    }
+    assert again == {r["doc_id"]: (r["shard"], r["pos"]) for r in rows}
+
+    # a different seed produces a genuinely different order
+    reseeded = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in global_shuffle(docs, key_col="doc_id", seed=8, n_shards=4).collect()
+    }
+    assert reseeded != {r["doc_id"]: (r["shard"], r["pos"]) for r in rows}

@@ -191,3 +191,68 @@ def test_int8_quantization_preserves_topk_recall(spark):
         hits += len(te & tq)
     recall = hits / (len(ids) * k)
     assert recall >= 0.9, recall
+
+
+def test_hard_negatives_exact_vs_brute_force(spark, embeddings):
+    """mine_hard_negatives == the brute-force window formulation, and
+    the per-batch local top-k is exact regardless of batch boundaries
+    (forced tiny batches)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.extras import similarity
+
+    anchors = embeddings.filter(F.col("vec_id") % 25 == 0)
+    mined = similarity.mine_hard_negatives(embeddings, anchors, k=5)
+    got = {
+        (r["anchor_id"], r["rk"]): (r["negative_id"], r["cosine"])
+        for r in mined.collect()
+    }
+
+    # brute force: rounded-cosine window over the label-differ join
+    n = similarity._normed(embeddings).join(
+        embeddings.select("vec_id", "label"), "vec_id"
+    )
+    a = n.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+        F.col("label").alias("alab"),
+    )
+    cos = F.round(
+        similarity.dot(F.col("av"), F.col("v")) / (F.col("anrm") * F.col("nrm")), 6
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    want = {
+        (r["anchor_id"], r["rk"]): (r["negative_id"], r["cosine"])
+        for r in (
+            a.join(n, F.col("alab") != F.col("label"))
+            .select(
+                "anchor_id",
+                F.col("vec_id").alias("negative_id"),
+                (cos + F.lit(0.0)).alias("cosine"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .collect()
+        )
+    }
+    assert got == want
+
+    # anchor never appears as its own negative; labels always differ
+    labels = {r["vec_id"]: r["label"] for r in embeddings.select("vec_id", "label").collect()}
+    for (aid, _), (nid, _) in got.items():
+        assert nid != aid
+        assert labels[nid] != labels[aid]
+
+    # batch-boundary invariance: 20 partitions of ~2 rows each
+    reparted = similarity.mine_hard_negatives(
+        embeddings.repartition(20), anchors, k=5
+    )
+    got2 = {
+        (r["anchor_id"], r["rk"]): (r["negative_id"], r["cosine"])
+        for r in reparted.collect()
+    }
+    assert got2 == got
