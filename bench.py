@@ -120,6 +120,8 @@ HEADLINE = [
     "ewma_burst",
     "cusum_changepoint",
     "seasonal_decompose",
+    "training_order",
+    "hard_negatives",
 ]
 
 
