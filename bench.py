@@ -122,6 +122,7 @@ HEADLINE = [
     "seasonal_decompose",
     "training_order",
     "hard_negatives",
+    "theil_sen_slope",
 ]
 
 

@@ -552,6 +552,29 @@ z AS (
 SELECT counter, bin_ts, count, {_sig2('z')} AS eta FROM z
 """
 
+    # --- Theil–Sen robust slope: median pairwise slope over the same
+    # trailing-20 window; list-window + nested comprehension; + 0.0
+    # canonicalizes -0.0 (tie-proof: rational slopes, see
+    # operators/models/theil_sen.py) ---
+    sql["theil_sen_slope"] = f"""
+WITH ser AS ({events_series(14400)}),
+w AS (
+  SELECT counter, bin_ts, count,
+         list(count) OVER (PARTITION BY counter ORDER BY bin_ts
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+  FROM ser
+)
+SELECT counter, bin_ts, count,
+       CASE WHEN len(xs) < 2 THEN 0.0 ELSE
+         ROUND(list_aggregate(
+           flatten([[ (xs[j] - xs[i]) / (j - i)
+                      for j in generate_series(i + 1, len(xs))]
+                    for i in generate_series(1, len(xs) - 1)]),
+           'median'), 6) + 0.0
+       END AS slope
+FROM w
+"""
+
     # --- WeightedDataTemplates (M5/M6): hourly series vs the
     # embeddings-derived library; L1 distance, lambda=0.5; test chain
     # add_one → unit_norm(12,3) → log10 → smooth(3) → last 6 pts ---

@@ -63,6 +63,13 @@ def _build_mann_kendall(cfg: dict[str, Any]):
     return lambda df, **kw: mann_kendall(df, window_size=ws, **kw)
 
 
+def _build_theil_sen(cfg: dict[str, Any]):
+    from gnip_trend_detection_spark.operators.models.theil_sen import theil_sen
+
+    ws = int(cfg.get("window_size", 20))
+    return lambda df, **kw: theil_sen(df, window_size=ws, **kw)
+
+
 def _build_linreg(cfg: dict[str, Any]):
     return lambda df, **kw: linear_regression_model(
         df,
@@ -107,6 +114,8 @@ MODEL_REGISTRY: dict[str, Callable[[dict[str, Any]], Callable[..., DataFrame]]] 
     "MannKendall": _build_mann_kendall,
     "LinearRegressionModel": _build_linreg,
     "WeightedDataTemplates": _build_wdt,
+    # engine extension: robust companion to MannKendall/LinearRegression
+    "TheilSen": _build_theil_sen,
 }
 
 

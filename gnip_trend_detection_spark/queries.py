@@ -218,6 +218,23 @@ def q_mann_kendall_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _poisson_output(out)
 
 
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope over the same trailing-20 4-h series as
+    Mann-Kendall — the effect-size partner to MK's significance z
+    (operators/models/theil_sen.py; tie-proof by the rational-slope
+    argument in its docstring)."""
+    from gnip_trend_detection_spark.operators.models.theil_sen import theil_sen
+
+    ser = _series_ts(spark, sf_dir, 14400)
+    out = theil_sen(ser, window_size=20)
+    return out.select(
+        "counter",
+        _epoch_long(F.col("interval_start")).alias("bin_ts"),
+        "count",
+        "slope",
+    )
+
+
 def _wdt_library(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic small library from the embeddings fixture:
     series_id = vec_id < 64, is_trend = even id, points = first 24
@@ -2893,4 +2910,5 @@ ALL: dict[str, QueryFn] = {
     "mix_temperature": q_mix_temperature,
     "training_order": q_training_order,
     "hard_negatives": q_hard_negatives,
+    "theil_sen_slope": q_theil_sen_slope,
 }

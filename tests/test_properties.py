@@ -345,3 +345,57 @@ def test_fuzzy_vocab_pairs_deletion_neighborhood(spark):
     assert got[("card", "cart")] == 1
     assert all(w not in ("zebra",) for pair in got for w in pair)
     assert all(1 <= d <= 2 for d in got.values())
+
+
+def test_theil_sen_hand_computed_and_robust(spark):
+    """Theil–Sen kernel: hand-computed window medians; robustness —
+    one spike barely moves the slope where OLS would swing; Spark
+    operator agrees with the kernel through applyInPandas."""
+    import numpy as np
+
+    from gnip_trend_detection_spark.operators.models.theil_sen import (
+        _slope_series,
+        theil_sen,
+    )
+
+    # x = [1, 3, 2, 5]: full-window pairwise slopes
+    # (3-1)/1=2, (2-1)/2=0.5, (5-1)/3=4/3, (2-3)/1=-1, (5-3)/2=1, (5-2)/1=3
+    # sorted: -1, 0.5, 1, 4/3, 2, 3 -> median (1 + 4/3)/2 = 7/6
+    out = _slope_series(np.array([1.0, 3.0, 2.0, 5.0]), window_size=4)
+    assert out[0] == 0.0  # degenerate 1-point window
+    assert out[1] == 2.0
+    assert out[3] == pytest.approx(7.0 / 6.0)
+
+    # robustness: linear series with one huge spike — TS slope stays
+    # at the clean slope (1.0), OLS would not
+    x = np.arange(21, dtype=float)
+    x[10] += 1000.0
+    assert _slope_series(x, window_size=21)[-1] == pytest.approx(1.0)
+
+    # Spark operator == kernel on a two-counter frame
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (c, t0 + datetime.timedelta(hours=i), float(v))
+        for c, vals in (("a", [1, 3, 2, 5]), ("b", [5, 4, 2, 2]))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "counter string, bin_start timestamp, count double"
+    )
+    got = {
+        (r["counter"], r["interval_start"].hour): r["slope"]
+        for r in theil_sen(df, window_size=4).collect()
+    }
+    assert got[("a", 3)] == pytest.approx(round(7.0 / 6.0, 6))
+    kern_b = _slope_series(np.array([5.0, 4.0, 2.0, 2.0]), 4)
+    assert got[("b", 3)] == pytest.approx(round(float(kern_b[3]), 6))
+
+
+def test_theil_sen_registered_as_pipeline_model():
+    from gnip_trend_detection_spark.pipeline import MODEL_REGISTRY
+
+    build = MODEL_REGISTRY["TheilSen"]
+    fn = build({"window_size": "7"})
+    assert callable(fn)
