@@ -123,6 +123,7 @@ HEADLINE = [
     "training_order",
     "hard_negatives",
     "theil_sen_slope",
+    "detector_ensemble",
 ]
 
 

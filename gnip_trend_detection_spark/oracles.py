@@ -575,6 +575,40 @@ SELECT counter, bin_ts, count,
 FROM w
 """
 
+    # --- detector rank-ensemble: MK z + Theil–Sen slope + burst
+    # ratio, blended as integer global rank sums (output is integers
+    # only — structurally tie-proof); reuses the two model oracles as
+    # nested subqueries so the blend can never drift from them ---
+    sql["detector_ensemble"] = f"""
+WITH mk AS ({sql["mann_kendall_z"]}),
+tsq AS ({sql["theil_sen_slope"]}),
+ser AS ({events_series(14400)}),
+ratio AS (
+  SELECT counter, bin_ts,
+         count / (SUM(count) OVER w / COUNT(*) OVER w) AS burst
+  FROM ser
+  WINDOW w AS (PARTITION BY counter ORDER BY bin_ts
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+j AS (
+  SELECT mk.counter, mk.bin_ts, mk.eta, tsq.slope, ratio.burst
+  FROM mk
+  JOIN tsq ON mk.counter = tsq.counter AND mk.bin_ts = tsq.bin_ts
+  JOIN ratio ON mk.counter = ratio.counter AND mk.bin_ts = ratio.bin_ts
+),
+r AS (
+  SELECT counter, bin_ts,
+         CAST(RANK() OVER (ORDER BY eta DESC)
+            + RANK() OVER (ORDER BY slope DESC)
+            + RANK() OVER (ORDER BY burst DESC) AS BIGINT) AS rank_sum
+  FROM j
+)
+SELECT counter, bin_ts, rank_sum, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rank_sum, counter, bin_ts) AS BIGINT) AS rk
+  FROM r
+) WHERE rk <= 50
+"""
+
     # --- WeightedDataTemplates (M5/M6): hourly series vs the
     # embeddings-derived library; L1 distance, lambda=0.5; test chain
     # add_one → unit_norm(12,3) → log10 → smooth(3) → last 6 pts ---

@@ -218,6 +218,23 @@ def q_mann_kendall_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _poisson_output(out)
 
 
+def q_detector_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consensus trending points: MK z + Theil–Sen slope + burst ratio
+    fused into ONE per-counter kernel pass, blended as integer global
+    rank sums (operators/models/ensemble.py — tie-proofing and the
+    100 TB rank note live there)."""
+    from gnip_trend_detection_spark.operators.models.ensemble import trend_ensemble
+
+    ser = _series_ts(spark, sf_dir, 14400)
+    out = trend_ensemble(ser, window_size=20, top_n=50)
+    return out.select(
+        "counter",
+        _epoch_long(F.col("interval_start")).alias("bin_ts"),
+        "rank_sum",
+        "rk",
+    )
+
+
 def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust slope over the same trailing-20 4-h series as
     Mann-Kendall — the effect-size partner to MK's significance z
@@ -2911,4 +2928,5 @@ ALL: dict[str, QueryFn] = {
     "training_order": q_training_order,
     "hard_negatives": q_hard_negatives,
     "theil_sen_slope": q_theil_sen_slope,
+    "detector_ensemble": q_detector_ensemble,
 }

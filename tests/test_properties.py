@@ -399,3 +399,72 @@ def test_theil_sen_registered_as_pipeline_model():
     build = MODEL_REGISTRY["TheilSen"]
     fn = build({"window_size": "7"})
     assert callable(fn)
+
+
+def test_trend_ensemble_matches_standalone_detectors(spark):
+    """The fused ensemble kernel must equal the standalone MK +
+    Theil–Sen + window-burst composition — drift between the fused
+    and home-module kernels would silently change alerting."""
+    import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.operators.models.ensemble import trend_ensemble
+    from gnip_trend_detection_spark.operators.models.mann_kendall import mann_kendall
+    from gnip_trend_detection_spark.operators.models.theil_sen import theil_sen
+
+    t0 = datetime.datetime(2024, 1, 1)
+    series = {
+        "a": [1, 2, 3, 4, 5, 6, 7, 8],   # clean rise
+        "b": [8, 7, 6, 5, 4, 3, 2, 1],   # clean fall
+        "c": [3, 3, 3, 9, 3, 3, 3, 3],   # one spike
+    }
+    rows = [
+        (c, t0 + datetime.timedelta(hours=i), float(v))
+        for c, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "counter string, bin_start timestamp, count double"
+    )
+
+    got = {
+        (r["counter"], r["interval_start"]): (r["rank_sum"], r["rk"])
+        for r in trend_ensemble(df, window_size=5, top_n=100).collect()
+    }
+
+    mk = mann_kendall(df, window_size=5, sig_round=True).select(
+        "counter", "interval_start", "eta"
+    )
+    ts = theil_sen(df, window_size=5).select("counter", "interval_start", "slope")
+    w = (
+        Window.partitionBy("counter")
+        .orderBy("bin_start")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    burst = df.select(
+        "counter",
+        F.col("bin_start").alias("interval_start"),
+        (F.col("count") / (F.sum("count").over(w) / F.count(F.lit(1)).over(w))).alias("burst"),
+    )
+    j = mk.join(ts, ["counter", "interval_start"]).join(
+        burst, ["counter", "interval_start"]
+    )
+    rank_sum = (
+        F.rank().over(Window.orderBy(F.desc("eta")))
+        + F.rank().over(Window.orderBy(F.desc("slope")))
+        + F.rank().over(Window.orderBy(F.desc("burst")))
+    ).cast("long")
+    head = Window.orderBy("rank_sum", "counter", "interval_start")
+    want = {
+        (r["counter"], r["interval_start"]): (r["rank_sum"], r["rk"])
+        for r in j.select("counter", "interval_start", rank_sum.alias("rank_sum"))
+        .withColumn("rk", F.row_number().over(head).cast("long"))
+        .collect()
+    }
+    assert got == want
+    # the clean riser's latest point must out-rank the spike series'
+    a_last = got[("a", t0 + datetime.timedelta(hours=7))]
+    c_last = got[("c", t0 + datetime.timedelta(hours=7))]
+    assert a_last[0] < c_last[0]
