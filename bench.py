@@ -178,6 +178,28 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # decorrelation pass: the two samples above are CONSECUTIVE, so a
+    # host-pressure window lasting a few seconds taints both and the
+    # min records an 8x outlier for whichever query it landed on
+    # (r03: sample_estimate 2.53s vs 0.4s isolated; next sweep:
+    # lsh_candidate_pairs 8.0s vs 0.8s — different query, same class).
+    # One more sample per query, a full sweep (= minutes) away from
+    # the first two, makes a spike have to hit the SAME query twice
+    # minutes apart to survive into the record. Cold cache, warm plans
+    # — min(warm-min, cold-retry) only replaces numbers a spike
+    # inflated past even a cold run.
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        q.ALL[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        if dt < timings[name]:
+            print(
+                f"# {name}: {timings[name]:.3f}s -> {dt:.3f}s (retry pass)",
+                file=sys.stderr,
+            )
+            timings[name] = round(dt, 3)
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_queries_total_sec",

@@ -17,6 +17,7 @@ mp.Pool fan-out is the shuffle partitioning (SURVEY E3).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -259,6 +260,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "forget":
         from pyspark.sql import functions as F
 
+        # reject in-place deletion: `kept` lazily reads args.input
+        # while mode('overwrite') targets args.output — if they are the
+        # same path the write truncates the dataset before (or while)
+        # the anti-join reads it. Copy-on-write DELETE needs a fresh
+        # target; compare resolved paths so `dir/../dir` can't sneak by.
+        if os.path.realpath(args.output) == os.path.realpath(args.input):
+            print(
+                "forget: output must not be the input path (in-place "
+                "overwrite would destroy the dataset before the "
+                "anti-join reads it); write to a new location",
+                file=sys.stderr,
+            )
+            return 2
         df = spark.read.parquet(args.input)
         if args.ids.endswith(".parquet"):
             ids = spark.read.parquet(args.ids)
@@ -343,19 +357,32 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = read_docs(args.input)
         if args.method == "exact":
-            report = docs.join(
-                dd.exact_duplicates(docs)
+            # LEFT join, like the LSH branch: the md5 probe key is NULL
+            # for NULL-text docs and NULL never equi-matches, so an
+            # inner join would silently delete every NULL-text doc
+            # under --drop. NULL-text docs are not comparable content —
+            # each stays its own singleton canonical cluster.
+            clusters = dd.exact_duplicates(docs).select(
+                F.col("content_hash"),
+                F.col("doc_id").alias("cluster_id"),
+                F.col("n_copies").alias("cluster_size"),
+            )
+            report = (
+                docs.select(
+                    "doc_id", F.md5(F.col("text").cast("binary")).alias("__h")
+                )
+                .join(clusters, F.col("__h") == F.col("content_hash"), "left")
                 .select(
-                    F.col("content_hash"),
-                    F.col("doc_id").alias("cluster_id"),
-                    F.col("n_copies").alias("cluster_size"),
-                ),
-                F.md5(F.col("text").cast("binary")) == F.col("content_hash"),
-            ).select(
-                "doc_id",
-                "cluster_id",
-                "cluster_size",
-                (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+                    "doc_id",
+                    F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+                    F.coalesce("cluster_size", F.lit(1).cast("long")).alias(
+                        "cluster_size"
+                    ),
+                    (
+                        F.coalesce("cluster_id", F.col("doc_id"))
+                        == F.col("doc_id")
+                    ).alias("is_canonical"),
+                )
             )
         else:
             sigs = dd.minhash_signatures(docs)

@@ -115,10 +115,13 @@ def probe_dedup_index(
     )
 
     idx_bands = spark.read.parquet(f"{path}/bands")
-    cand = (
-        idx_bands.join(F.broadcast(bands_new), ["b", "band_val"])
-        .select(F.col("__new_id").alias("doc_id"), F.col("doc_id").alias("match_id"))
-        .distinct()
+    # raw collisions, NOT distinct-ed here: a pair colliding in k bands
+    # appears k times (k <= n_bands, bounded), and the single
+    # dropDuplicates at the end collapses band multiplicity AND the
+    # byte-identical sig duplicates a replayed append can leave —
+    # one exchange total instead of two
+    cand = idx_bands.join(F.broadcast(bands_new), ["b", "band_val"]).select(
+        F.col("__new_id").alias("doc_id"), F.col("doc_id").alias("match_id")
     )
 
     idx_sigs = spark.read.parquet(f"{path}/sigs").select(
@@ -145,6 +148,11 @@ def probe_dedup_index(
             "n_agree",
             (F.col("n_agree") / F.lit(float(n_hashes))).alias("est_jaccard"),
         )
+        # the probe's ONE keyed exchange: collapses band-collision
+        # multiplicity and the byte-identical duplicate sig rows a
+        # replayed append can leave — on the candidate-bounded matches,
+        # never on the full sigs scan (the index stays shuffle-free)
+        .dropDuplicates(["doc_id", "match_id"])
     )
 
 
@@ -168,7 +176,19 @@ def append_to_index(
         k=meta["k"],
         hash_impl=meta["hash_impl"],
     ).select("doc_id", "sig")
-    sigs.write.mode("append").parquet(f"{path}/sigs")
+    # bands BEFORE sigs: the two appends are not one atomic commit, so
+    # order them so every partial state degrades gracefully AND a
+    # replay of the whole append is idempotent for probes —
+    #   * die after bands: the shard is not yet matchable (sig fetch
+    #     inner-join drops its collisions); replay re-appends bands
+    #     (deduped by the probe's candidate .distinct()) and adds sigs
+    #     exactly once;
+    #   * sigs-first instead would strand docs invisible to band
+    #     probes and make replay DUPLICATE their sig rows.
+    # Duplicate sig rows from a post-sigs replay are identical bytes
+    # (same recipe -> same signature) and are collapsed by the probe's
+    # candidate-bounded dropDuplicates.
     band_rows(sigs, meta["rows_per_band"], n_hashes=meta["n_hashes"]).select(
         "b", "band_val", "doc_id"
     ).write.mode("append").partitionBy("b").parquet(f"{path}/bands")
+    sigs.write.mode("append").parquet(f"{path}/sigs")

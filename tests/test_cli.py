@@ -240,6 +240,70 @@ def test_cli_dedup_lsh_and_exact(tmp_path, spark):
     assert 0 in kept and 1 not in kept and 2 not in kept
 
 
+def test_cli_dedup_exact_preserves_null_text_docs(tmp_path, spark):
+    """NULL-text docs have a NULL md5 probe key, which an inner join
+    silently drops — under --drop they were deleted wholesale. They
+    must instead survive as their own singleton canonical clusters
+    (the LSH branch already behaved this way; the two methods must
+    agree on row count for the same corpus)."""
+    from gnip_trend_detection_spark.cli import main
+
+    corpus = str(tmp_path / "corpus_null")
+    spark.createDataFrame(
+        [
+            (0, "same text here", "en", "t"),
+            (1, "same text here", "en", "t"),
+            (2, None, "en", "t"),
+            (3, None, "en", "t"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(corpus)
+
+    out = tmp_path / "rep_null"
+    rc = main([
+        "dedup", "-i", corpus, "-o", str(out),
+        "--format", "parquet", "--method", "exact",
+    ])
+    assert rc == 0
+    rep = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert set(rep) == {0, 1, 2, 3}  # one report row per input doc
+    assert rep[1]["cluster_id"] == 0 and not rep[1]["is_canonical"]
+    # NULL-text docs: each its own singleton canonical
+    for d in (2, 3):
+        assert rep[d]["cluster_id"] == d
+        assert rep[d]["cluster_size"] == 1
+        assert rep[d]["is_canonical"]
+
+    kept_dir = tmp_path / "kept_null"
+    rc = main([
+        "dedup", "-i", corpus, "-o", str(kept_dir),
+        "--format", "parquet", "--method", "exact", "--drop",
+    ])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(str(kept_dir)).collect()}
+    assert kept == {0, 2, 3}
+
+
+def test_cli_forget_rejects_in_place_overwrite(tmp_path, spark, capsys):
+    """output == input must abort before any write: the overwrite
+    would truncate the dataset the lazy anti-join still has to read."""
+    from gnip_trend_detection_spark.cli import main
+
+    data = str(tmp_path / "ds_inplace")
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(5)], "doc_id long, text string"
+    ).write.parquet(data)
+    ids = tmp_path / "ids_ip.txt"
+    ids.write_text("1\n")
+
+    assert main(["forget", "-i", data, "-o", data, "--ids", str(ids)]) == 2
+    # dotted-path alias of the same location must also be caught
+    alias = str(tmp_path / "." / "ds_inplace")
+    assert main(["forget", "-i", data, "-o", alias, "--ids", str(ids)]) == 2
+    # dataset untouched
+    assert spark.read.parquet(data).count() == 5
+
+
 def test_cli_decontam_bloom_matches_exact(tmp_path, spark):
     from gnip_trend_detection_spark.cli import main
 

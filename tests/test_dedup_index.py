@@ -94,6 +94,33 @@ def test_probe_finds_neardup_shard_and_append_extends(spark, corpus, tmp_path):
     assert all(r["n_agree"] == 16 for r in self_rows)
 
 
+def test_append_replay_is_probe_idempotent(spark, corpus, tmp_path):
+    """The two appends (bands, then sigs) are not one atomic commit;
+    a job that dies after them may be re-run. A full replay of
+    append_to_index must leave probe results IDENTICAL to a single
+    append — duplicate band rows and byte-identical duplicate sig rows
+    all collapse in the candidate-bounded dedup."""
+    from gnip_trend_detection_spark.extras.dedup_index import (
+        append_to_index,
+        build_dedup_index,
+        probe_dedup_index,
+    )
+
+    idx = str(tmp_path / "lsh_replay")
+    build_dedup_index(corpus, idx, rows_per_band=2)
+    shard = _twins(corpus, 5, 1_000_000)
+
+    append_to_index(shard, idx)
+    once = sorted(
+        tuple(r) for r in probe_dedup_index(spark, idx, shard).collect()
+    )
+    append_to_index(shard, idx)  # replay
+    twice = sorted(
+        tuple(r) for r in probe_dedup_index(spark, idx, shard).collect()
+    )
+    assert once == twice
+
+
 def test_probe_plan_never_shuffles_the_index(spark, corpus, tmp_path):
     """The 100 TB contract: shard bands and the candidate set broadcast;
     the index's bands/sigs scans feed BroadcastHashJoins directly —

@@ -468,3 +468,34 @@ def test_trend_ensemble_matches_standalone_detectors(spark):
     a_last = got[("a", t0 + datetime.timedelta(hours=7))]
     c_last = got[("c", t0 + datetime.timedelta(hours=7))]
     assert a_last[0] < c_last[0]
+
+
+def test_competition_rank_matches_window_rank_without_global_sort(spark):
+    """The two-phase distributed rank must equal SQL RANK() (ties
+    collapse to the first position; next rank skips) for any
+    partitioning, and its plan must not contain the single-partition
+    exchange a global Window.orderBy sort plants."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.operators.models.ensemble import (
+        competition_rank,
+    )
+
+    rnd = random.Random(7)
+    # heavy ties: values drawn from a small pool, scattered over rows
+    rows = [(i, float(rnd.choice([1.0, 2.5, 2.5, 3.0, -4.0, 0.0]))) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(8)
+
+    got = competition_rank(df, "v", "r", n_parts=5)
+    want = df.withColumn(
+        "r_want", F.rank().over(Window.orderBy(F.desc("v"))).cast("long")
+    )
+    merged = got.join(want.select("id", "r_want"), "id").collect()
+    assert len(merged) == 500
+    assert all(r["r"] == r["r_want"] for r in merged)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan

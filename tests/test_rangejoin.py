@@ -35,6 +35,50 @@ def test_range_count_join_counts_and_plan(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_range_count_join_fractional_second_trailing_window(spark):
+    """Regression: the upper bucket bound must be floor(end/w), not
+    floor((end-1)/w). With fractionally-aligned intervals (s=0.7,
+    e=3600.7, w=3600) a point in the trailing sub-second (t=3600.2,
+    inside [s, e)) lands in bucket 1, which the old integer-only bound
+    floor(3599.7/3600)=0 never exploded to — the point was silently
+    dropped. This is exactly the conversion-within-hour shape with
+    fractional-second event timestamps."""
+    from gnip_trend_detection_spark.operators.rangejoin import range_count_join
+
+    iv = spark.createDataFrame(
+        [
+            ("u", 1, 0.7, 3600.7),      # fractional hour window
+            ("u", 2, 7200.0, 10800.0),  # aligned window, boundary checks
+        ],
+        "k string, iv_id int, s double, e double",
+    )
+    pts = spark.createDataFrame(
+        [
+            ("u", 0.7),       # == s, included (half-open lower bound)
+            ("u", 3600.2),    # trailing sub-second: the old-bound victim
+            ("u", 3600.7),    # == e, excluded
+            ("u", 10799.9),   # trailing sub-second of the aligned window
+            ("u", 10800.0),   # == e, excluded
+        ],
+        "k string, t double",
+    )
+    out = range_count_join(
+        pts, iv, on=["k"], point_time="t", start_col="s", end_col="e",
+        bucket_width=3600,
+    )
+    got = {r["iv_id"]: r["n_points"] for r in out.collect()}
+    assert got == {1: 2, 2: 1}
+
+    # brute-force cross-check across widths (width must never change
+    # results, fractional or not)
+    for w in (7, 1800, 3600, 5000):
+        alt = range_count_join(
+            pts, iv, on=["k"], point_time="t", start_col="s", end_col="e",
+            bucket_width=w,
+        )
+        assert {r["iv_id"]: r["n_points"] for r in alt.collect()} == got
+
+
 def test_choose_bucket_width_tracks_median_interval(spark):
     """Width chooser returns ~the median interval length (one
     approx_percentile pass), clamped to >= 1; join results are
