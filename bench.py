@@ -124,6 +124,7 @@ HEADLINE = [
     "hard_negatives",
     "theil_sen_slope",
     "detector_ensemble",
+    "multimodal_resize_real",
 ]
 
 

@@ -315,28 +315,164 @@ def sample_frames(
     )
 
 
+def _bmp_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
+    """24-bpp uncompressed BMP → (width, height, top-down row-major
+    pixel bytes). The pixel-extraction twin of `parse_bmp` (which only
+    aggregates); shares its validation rules, restricted to the 24-bpp
+    layout `encode_bmp` writes."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (pixel_offset,) = struct.unpack_from("<I", payload, 10)
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp != 24 or width <= 0 or height_raw == 0:
+        return None
+    height = abs(height_raw)
+    row_raw = width * 3
+    row_size = (row_raw + 3) // 4 * 4
+    rows = []
+    # stored bottom-up when height_raw > 0: image row r lives at
+    # stored row (height - 1 - r)
+    order = range(height - 1, -1, -1) if height_raw > 0 else range(height)
+    for r in order:
+        row = payload[pixel_offset + r * row_size :][:row_raw]
+        if len(row) < row_raw:
+            return None
+        rows.append(row)
+    return width, height, b"".join(rows)
+
+
+def _resize_real(raw: bytes, scale: int):
+    """Real nearest-neighbor resize dispatch: BMP pixel decimation or
+    WAV frame decimation, re-encoded through the same encoders the
+    fixtures use, then re-PARSED for the thumb intensity stat — a
+    green oracle row pins decode → resample → encode → decode.
+
+    Returns (media_type, width, height, thumb_width, thumb_height,
+    thumb_payload, thumb_mean) or None when the container is not one
+    the dependency-free codecs handle (non-24bpp BMP, non-16-bit PCM
+    WAV, anything else). Audio reuses decode_media's documented field
+    overloading: width = sample_rate, height = n_frames.
+    """
+    import struct
+
+    bmp = _bmp_pixels(raw)
+    if bmp is not None:
+        w, h, px = bmp
+        kept_cols = range(0, w, scale)
+        w2, h2 = len(range(0, w, scale)), len(range(0, h, scale))
+        out = bytearray()
+        for r in range(0, h, scale):
+            base = r * w * 3
+            for c in kept_cols:
+                out += px[base + c * 3 : base + c * 3 + 3]
+        thumb = encode_bmp(w2, h2, bytes(out))
+        parsed = parse_bmp(thumb)
+        if parsed is None:  # encoder/parser disagree — never expected
+            return None
+        return ("image", w, h, w2, h2, thumb, parsed[3])
+
+    if len(raw) >= 12 and raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(raw):
+            cid, size = struct.unpack_from("<4sI", raw, pos)
+            body = raw[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        audio_fmt, n_channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
+        (bits,) = struct.unpack_from("<H", fmt, 14)
+        if audio_fmt != 1 or bits != 16 or n_channels < 1:
+            return None
+        n_samp = len(data) // 2
+        vals = struct.unpack(f"<{n_samp}h", data[: n_samp * 2])
+        n_frames = n_samp // n_channels
+        kept = [
+            vals[f * n_channels + ch]
+            for f in range(0, n_frames, scale)
+            for ch in range(n_channels)
+        ]
+        thumb = encode_wav(sample_rate, n_channels, kept)
+        parsed = parse_wav(thumb)
+        if parsed is None:
+            return None
+        return (
+            "audio",
+            sample_rate,
+            n_frames,
+            sample_rate,
+            len(range(0, n_frames, scale)),
+            thumb,
+            parsed[3],
+        )
+    return None
+
+
 def resize_media(
     media: DataFrame, scale: int = 2, use_real_codec: bool = False
 ) -> DataFrame:
     """image payload → downsampled thumbnail payload + scaled header
     dims (the resize/thumbnail stage of an image pipeline).
 
-    The pixel resample is the same DETERMINISTIC FAKE contract as
-    `decode_media`: a real codec would decode → bilinear-resample →
-    re-encode; here the "pixels" are the raw payload bytes and the
+    Default path: the same DETERMINISTIC FAKE contract as
+    `decode_media` — the "pixels" are the raw payload bytes and the
     1/scale thumbnail keeps every scale-th byte (payload[::scale]),
     with header dims ceil-divided — reproducible by any engine, so the
-    SQL oracle can pin it. The Spark plumbing is the real thing:
-    binary in/binary out through Arrow batches, output stays a typed
-    binary column partitioned like its input, never driver-side.
+    SQL oracle can pin it.
+
+    ``use_real_codec=True``: REAL pixel-level nearest-neighbor
+    decimation for 24-bpp BMP (keep every scale-th row and column,
+    re-encode via `encode_bmp`) and frame decimation for 16-bit PCM
+    WAV (keep every scale-th frame across channels, re-encode via
+    `encode_wav`); the thumb's intensity stat comes from RE-PARSING
+    the re-encoded container, so oracle equality pins the full
+    decode → resample → encode → decode loop. Processes image AND
+    audio rows (same field overloading as decode_media); unparseable
+    payloads yield null fields. Adds ``media_type`` and
+    ``thumb_mean_intensity`` columns.
+
+    Either way the Spark plumbing is identical and scale-true: binary
+    in/binary out through Arrow batches, output stays typed and
+    partitioned like its input, never driver-side.
     """
-    if use_real_codec:
-        raise NotImplementedError(
-            "real codecs (PIL/libvips) are not available in this "
-            "container; the deterministic fake resample is the "
-            "supported path"
-        )
     assert scale >= 1
+    if use_real_codec:
+        schema = (
+            "doc_id long, media_type string, width int, height int, "
+            "thumb_width int, thumb_height int, thumb_bytes long, "
+            "thumb_md5 string, thumb_mean_intensity double"
+        )
+
+        def resize_rc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                rows = [_resize_real(bytes(p), scale) for p in pdf["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "media_type": [r[0] if r else None for r in rows],
+                        "width": [r[1] if r else None for r in rows],
+                        "height": [r[2] if r else None for r in rows],
+                        "thumb_width": [r[3] if r else None for r in rows],
+                        "thumb_height": [r[4] if r else None for r in rows],
+                        "thumb_bytes": [r and len(r[5]) for r in rows],
+                        "thumb_md5": [
+                            hashlib.md5(r[5]).hexdigest() if r else None
+                            for r in rows
+                        ],
+                        "thumb_mean_intensity": [r[6] if r else None for r in rows],
+                    }
+                )
+
+        return media.select("doc_id", "payload").mapInPandas(resize_rc, schema)
     schema = (
         "doc_id long, width int, height int, thumb_width int, "
         "thumb_height int, thumb_bytes long, thumb_md5 string"

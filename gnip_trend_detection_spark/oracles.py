@@ -2863,6 +2863,47 @@ SELECT doc_id, width, height,
        md5(thumb) AS thumb_md5
 FROM t
 """
+    # arithmetic twin of the REAL resize loop (scale 2): dims and
+    # container byte sizes from the BMP/WAV layout formulas
+    # (encode_bmp: 54-byte header + 4-byte-aligned rows; encode_wav:
+    # 44-byte RIFF/fmt/data framing + 2 bytes per sample), means over
+    # exactly the kept pixels ((row, col) both even) / kept frames
+    # (frame index even), every term a pure function of doc_id
+    sql["multimodal_resize_real"] = """
+WITH img AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+img2 AS (
+  SELECT doc_id, w, h, (w + 1) // 2 AS w2, (h + 1) // 2 AS h2 FROM img
+),
+aud AS (
+  SELECT doc_id, 1 + (doc_id // 2) % 2 AS ch, 64 + doc_id % 32 AS frames
+  FROM documents WHERE doc_id % 2 = 1
+),
+aud2 AS (
+  SELECT doc_id, ch, frames, (frames + 1) // 2 AS f2 FROM aud
+)
+SELECT doc_id, 'image' AS media_type,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w2 AS INT) AS thumb_width, CAST(h2 AS INT) AS thumb_height,
+       CAST(54 + ((3 * w2 + 3) // 4 * 4) * h2 AS BIGINT) AS thumb_bytes,
+       ROUND(list_sum([(doc_id * 31 + j * 7) % 256
+                       for j in generate_series(0, w * h * 3 - 1)
+                       if ((j // 3) % w) % 2 = 0 AND ((j // 3) // w) % 2 = 0])
+             / (w2 * h2 * 3) / 255.0, 6) AS thumb_mean_intensity
+FROM img2
+UNION ALL
+SELECT doc_id, 'audio' AS media_type,
+       CAST(8000 AS INT) AS width, CAST(frames AS INT) AS height,
+       CAST(8000 AS INT) AS thumb_width, CAST(f2 AS INT) AS thumb_height,
+       CAST(44 + f2 * ch * 2 AS BIGINT) AS thumb_bytes,
+       ROUND(list_sum([ABS((doc_id * 17 + j * 13) % 65536 - 32768)
+                       for j in generate_series(0, frames * ch - 1)
+                       if (j // ch) % 2 = 0])
+             / (f2 * ch) / 32768.0, 6) AS thumb_mean_intensity
+FROM aud2
+"""
     sql["multimodal_frames"] = """
 WITH v AS (
   SELECT doc_id, text, CAST(CEIL(length(text) / 32.0) AS INT) AS n_frames

@@ -2069,6 +2069,29 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_media(media, scale=2)
 
 
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec resize: synthesize actual BMP/WAV containers from
+    doc_id, nearest-neighbor-decimate pixels / PCM frames, re-encode,
+    and re-parse the thumb for its intensity stat
+    (multimodal.resize_media(use_real_codec=True)). The oracle
+    recomputes dims, container byte sizes, and the kept-pixel /
+    kept-frame means arithmetically from doc_id — a green row pins the
+    full decode → resample → encode → decode loop at the pixel level,
+    closing the r3 'resize real path raises' gap."""
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    out = multimodal.resize_media(media, scale=2, use_real_codec=True)
+    return out.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "thumb_width",
+        "thumb_height",
+        "thumb_bytes",
+        F.round("thumb_mean_intensity", 6).alias("thumb_mean_intensity"),
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     frames = multimodal.sample_frames(media, frame_bytes=32, every_n=2)
@@ -2914,6 +2937,7 @@ ALL: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_resize_real": q_multimodal_resize_real,
     "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
     "sample_estimate": q_sample_estimate,
     "embedding_quantize": q_embedding_quantize,
