@@ -1473,26 +1473,46 @@ def q_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     blend): percentile-rank-normalize three independent quality
     signals — heuristic quality (higher better), unigram
     log-perplexity and within-doc n-gram repetition (lower better) —
-    and average the ranks. Exact global percent_rank needs a total
-    order per signal (three single-partition sorts here, fine at
-    oracle scale); the 100 TB path maps each signal through
-    approx_percentile bucket edges instead (mergeable sketch, no
-    global sort) — the same exact-vs-approx trade documented for
-    `value_quantiles`."""
+    and average the ranks. EXACT global percent_rank WITHOUT a global
+    sort: PERCENT_RANK = (RANK - 1)/(n - 1), and RANK comes from the
+    two-phase distributed ``competition_rank`` (operators/rank.py) —
+    identical values to the Window form (same tie semantics, same
+    division), no ``Exchange SinglePartition`` anywhere in the plan.
+    The joined per-doc signal relation is localCheckpointed: it is
+    exactly output-sized, and freezing it lets the three rank
+    histograms and the final join share one computation."""
+    from gnip_trend_detection_spark.operators.rank import competition_rank
+
     docs = _docs(spark, sf_dir)
     q = text.quality_score(docs)
     p = text.unigram_logppl(docs).select("doc_id", "log_ppl")
     r = text.repetition_stats(docs).select("doc_id", "dup_ngram_frac")
-    j = q.join(p, "doc_id").join(r, "doc_id")
-    rq = F.percent_rank().over(Window.orderBy("quality_micro"))
-    rp = F.percent_rank().over(Window.orderBy(F.desc("log_ppl")))
-    rr = F.percent_rank().over(Window.orderBy(F.desc("dup_ngram_frac")))
-    return j.select(
+    j = (
+        q.select("doc_id", "quality_micro")
+        .join(p, "doc_id")
+        .join(r, "doc_id")
+        .localCheckpoint()
+    )
+    n = j.count()  # bounded: one scalar off the checkpointed relation
+    denom = float(max(n - 1, 1))
+    ranked = competition_rank(
+        competition_rank(
+            competition_rank(j, "quality_micro", "__rk_q", ascending=True),
+            "log_ppl",
+            "__rk_p",
+        ),
+        "dup_ngram_frac",
+        "__rk_r",
+    )
+    pr = lambda c: (F.col(c) - 1).cast("double") / denom  # noqa: E731
+    return ranked.select(
         "doc_id",
         "quality_micro",
         "log_ppl",
         "dup_ngram_frac",
-        F.round((rq + rp + rr) / 3.0, 6).alias("blend"),
+        F.round((pr("__rk_q") + pr("__rk_p") + pr("__rk_r")) / 3.0, 6).alias(
+            "blend"
+        ),
     )
 
 

@@ -11,7 +11,16 @@ the physical plan of every registered query at the smoke scale:
 3. per-query Exchange ceilings (measured + slack): a refactor that
    silently doubles a query's shuffles fails here before it ships.
    Static counts include branches AQE/ReuseExchange dedupes at
-   runtime, so ceilings are upper bounds, not runtime shuffle counts.
+   runtime, so ceilings are upper bounds, not runtime shuffle counts;
+4. no unpartitioned Window over unbounded input — Spark plans
+   ``F.rank().over(Window.orderBy(...))`` as Exchange SinglePartition
+   + one-task sort of the ENTIRE relation, the classic 100 TB cliff.
+   Exact global ranks go through operators/rank.py's two-phase
+   ``competition_rank`` instead. The check walks WindowExec nodes in
+   the physical plan tree (partitionSpec().isEmpty()), not plan text;
+   whitelisted queries run their window over a limit-bounded head
+   (TakeOrderedAndProject survivors), where a one-partition sort is
+   O(top_n) by construction.
 """
 
 import os
@@ -67,8 +76,33 @@ EXCHANGE_CEILING = {
     # static count re-expands the persisted (source, gram) relation
     # under both size branches; cache collapses them at runtime
     "source_overlap": 9,
+    # three two-phase competition_rank joins: each is a keyed
+    # (value-hash) SMJ exchange pair vs the checkpointed score grid —
+    # parallel shuffles, deliberately traded for the three
+    # single-partition Window sorts the r3 verdict flagged
+    "detector_ensemble": 9,
 }
 DEFAULT_CEILING = 6
+
+# queries whose only unpartitioned Window runs over a limit-bounded
+# head (sort+limit = TakeOrderedAndProject; the window sees <= N rows)
+UNPARTITIONED_WINDOW_OK = {
+    "detector_ensemble",   # row_number over the top-50 rank_sum head
+    "tpch_q3_shipping",    # row_number over the top-10 revenue head
+}
+
+
+def _unpartitioned_windows(jplan, out):
+    name = jplan.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        _unpartitioned_windows(jplan.initialPlan(), out)
+        return
+    if name.startswith("Window") and "GroupLimit" not in name:
+        if jplan.partitionSpec().isEmpty():
+            out.append(name)
+    children = jplan.children()
+    for i in range(children.size()):
+        _unpartitioned_windows(children.apply(i), out)
 
 
 @pytest.mark.parametrize("name", sorted(__import__("gnip_trend_detection_spark.queries", fromlist=["ALL"]).ALL))
@@ -80,7 +114,17 @@ def test_plan_budget(spark, name):
     # lint the cold plan
     spark.catalog.clearCache()
     df = q.ALL[name](spark, SF)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    jplan = df._jdf.queryExecution().executedPlan()
+    plan = jplan.toString()
+
+    unpart = []
+    _unpartitioned_windows(jplan, unpart)
+    if unpart and name not in UNPARTITIONED_WINDOW_OK:
+        raise AssertionError(
+            f"{name}: {len(unpart)} unpartitioned Window(s) over unbounded "
+            f"input — single-partition sort cliff; use "
+            f"operators/rank.py:competition_rank or bound the input first"
+        )
 
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     if "BroadcastNestedLoopJoin" in plan:
