@@ -39,7 +39,10 @@ from pyspark.sql import functions as F
 from gnip_trend_detection_spark.functions.core import sig_round2_py
 from gnip_trend_detection_spark.operators.models.mann_kendall import _z_series
 from gnip_trend_detection_spark.operators.models.theil_sen import _slope_series
-from gnip_trend_detection_spark.operators.rank import competition_rank  # noqa: F401 (re-export; home module)
+from gnip_trend_detection_spark.operators.rank import (  # noqa: F401 (re-export; home module)
+    competition_rank,
+    competition_ranks,
+)
 
 
 def trend_ensemble(
@@ -78,14 +81,13 @@ def trend_ensemble(
         schema="counter string, interval_start timestamp, "
         "eta double, slope double, burst double",
     ).localCheckpoint()
-    ranked = competition_rank(
-        competition_rank(
-            competition_rank(scored, "eta", "__r_eta"),
-            "slope",
-            "__r_slope",
-        ),
-        "burst",
-        "__r_burst",
+    ranked = competition_ranks(
+        scored,
+        [
+            ("eta", "__r_eta", False),
+            ("slope", "__r_slope", False),
+            ("burst", "__r_burst", False),
+        ],
     ).select(
         "counter",
         "interval_start",

@@ -1475,13 +1475,14 @@ def q_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-perplexity and within-doc n-gram repetition (lower better) —
     and average the ranks. EXACT global percent_rank WITHOUT a global
     sort: PERCENT_RANK = (RANK - 1)/(n - 1), and RANK comes from the
-    two-phase distributed ``competition_rank`` (operators/rank.py) —
-    identical values to the Window form (same tie semantics, same
-    division), no ``Exchange SinglePartition`` anywhere in the plan.
-    The joined per-doc signal relation is localCheckpointed: it is
-    exactly output-sized, and freezing it lets the three rank
-    histograms and the final join share one computation."""
-    from gnip_trend_detection_spark.operators.rank import competition_rank
+    batched two-phase distributed ``competition_ranks``
+    (operators/rank.py) — identical values to the Window form (same
+    tie semantics, same division), no ``Exchange SinglePartition``
+    anywhere in the plan, and ONE shared histogram pass for all three
+    signals. The joined per-doc signal relation is localCheckpointed:
+    it is exactly output-sized, and freezing it lets the rank
+    histogram and the final join share one computation."""
+    from gnip_trend_detection_spark.operators.rank import competition_ranks
 
     docs = _docs(spark, sf_dir)
     q = text.quality_score(docs)
@@ -1495,14 +1496,13 @@ def q_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = j.count()  # bounded: one scalar off the checkpointed relation
     denom = float(max(n - 1, 1))
-    ranked = competition_rank(
-        competition_rank(
-            competition_rank(j, "quality_micro", "__rk_q", ascending=True),
-            "log_ppl",
-            "__rk_p",
-        ),
-        "dup_ngram_frac",
-        "__rk_r",
+    ranked = competition_ranks(
+        j,
+        [
+            ("quality_micro", "__rk_q", True),
+            ("log_ppl", "__rk_p", False),
+            ("dup_ngram_frac", "__rk_r", False),
+        ],
     )
     pr = lambda c: (F.col(c) - 1).cast("double") / denom  # noqa: E731
     return ranked.select(

@@ -67,8 +67,11 @@ EXCHANGE_CEILING = {
     "curation_pipeline": 11,
     "unigram_logppl": 9,
     # three signal sub-plans (logppl alone carries 4) + two doc_id
-    # joins + the per-signal rank sorts
-    "quality_blend": 10,
+    # joins + the batched competition_ranks machinery: the static
+    # count shows an SMJ exchange pair per rank-column join, but the
+    # rank relations are distinct-value-sized off a checkpointed
+    # histogram, so AQE broadcasts them at runtime (keyed, bounded)
+    "quality_blend": 17,
     "semantic_dedup": 8,
     "tfidf_top_terms": 7,
     "ann_ivf_topk": 7,

@@ -485,17 +485,22 @@ def test_competition_rank_matches_window_rank_without_global_sort(spark):
     )
 
     rnd = random.Random(7)
-    # heavy ties: values drawn from a small pool, scattered over rows
-    rows = [(i, float(rnd.choice([1.0, 2.5, 2.5, 3.0, -4.0, 0.0]))) for i in range(500)]
+    # heavy ties: values drawn from a small pool, scattered over rows;
+    # NULLs and NaN included — Window DESC puts NULLS LAST and NaN
+    # above every number, and the two-phase rank must agree
+    pool = [1.0, 2.5, 2.5, 3.0, -4.0, 0.0, None, float("nan")]
+    rows = [(i, rnd.choice(pool)) for i in range(500)]
     df = spark.createDataFrame(rows, "id long, v double").repartition(8)
 
-    got = competition_rank(df, "v", "r", n_parts=5)
-    want = df.withColumn(
-        "r_want", F.rank().over(Window.orderBy(F.desc("v"))).cast("long")
-    )
-    merged = got.join(want.select("id", "r_want"), "id").collect()
-    assert len(merged) == 500
-    assert all(r["r"] == r["r_want"] for r in merged)
+    for ascending in (False, True):
+        order = F.asc("v") if ascending else F.desc("v")
+        got = competition_rank(df, "v", "r", n_parts=5, ascending=ascending)
+        want = df.withColumn(
+            "r_want", F.rank().over(Window.orderBy(order)).cast("long")
+        )
+        merged = got.join(want.select("id", "r_want"), "id").collect()
+        assert len(merged) == 500  # null-safe join keeps NULL rows
+        assert all(r["r"] == r["r_want"] for r in merged)
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
