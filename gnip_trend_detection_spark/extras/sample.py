@@ -15,7 +15,7 @@ directly expressible in the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_DENOM = float(2**32)
@@ -230,3 +230,64 @@ def global_shuffle(
     )
     w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(key_col))
     return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("__h")
+
+
+def pack_sequences(
+    df: DataFrame,
+    n_tokens_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 8,
+    block_tokens: int = 1024,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM
+    pre-training batch construction: documents are laid end-to-end in
+    the deterministic :func:`global_shuffle` order, the per-shard
+    token stream is cut into fixed ``block_tokens`` blocks, and each
+    doc gets its placement manifest row:
+
+    (input cols) + (shard, pos, tok_start, tok_end, block_start,
+    block_end, n_blocks) — ``tok_start``/``tok_end`` are the doc's
+    [start, end) offsets in its shard's token stream, and
+    ``block_start``..``block_end`` the (inclusive) range of
+    fixed-size blocks it touches (a doc longer than a block spans
+    several; a short doc shares its block with neighbors — exactly
+    the packing a sequence loader needs to slice examples back out).
+
+    Everything derives from ONE per-shard prefix sum over the
+    shuffle order: tok_end = cumsum(n_tokens), tok_start = tok_end -
+    n_tokens, block_start = tok_start div B, block_end =
+    (tok_end - 1) div B. Zero-token docs carry no stream positions
+    and are dropped (their [x, x) span is empty).
+
+    Scale shape: inherits global_shuffle's single hash exchange on
+    shard + per-shard sort — the production write shape. The prefix
+    sum is a shard-partitioned running window (parallel, bounded per
+    shard by the shard-sizing rule documented on global_shuffle);
+    there is never a single-partition window, and the whole manifest
+    is one pass — no joins, no self-reads.
+    """
+    n = F.col(n_tokens_col).cast("long")
+    out = global_shuffle(
+        df.filter(n > 0), key_col=key_col, seed=seed, n_shards=n_shards
+    )
+    run = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = out.withColumn("tok_end", F.sum(n).over(run).cast("long"))
+    out = out.withColumn("tok_start", (F.col("tok_end") - n).cast("long"))
+    b = F.lit(int(block_tokens)).cast("long")
+    return (
+        out.withColumn(
+            "block_start", F.floor(F.col("tok_start") / b).cast("long")
+        )
+        .withColumn(
+            "block_end", F.floor((F.col("tok_end") - 1) / b).cast("long")
+        )
+        .withColumn(
+            "n_blocks",
+            (F.col("block_end") - F.col("block_start") + 1).cast("long"),
+        )
+    )

@@ -243,22 +243,35 @@ def kmeans_centroids(
     n_centroids: int = 50,
     n_iter: int = 5,
     seed: int = 42,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's) over the embedding column, fitted
     with DataFrame ops — the production centroid fit for ivf_topk's
     ``centroids=`` plug-in point.
 
     Init picks n_centroids vectors deterministically (ordered by
-    md5(vec_id:seed) — a seeded shuffle, reproducible anywhere).
-    Each round: assign every vector to its max-cosine centroid
-    (broadcast join — one linear pass), recompute centroids as the
-    per-dimension mean of their members re-normalized to the unit
-    sphere, and collect the new centroid set to the driver for the
-    next round's broadcast. The collected relation is n_centroids
-    rows — bounded by construction, the same argument as the WDT
-    library broadcast; the corpus itself never leaves the executors.
-    Cells that lose all members are dropped (standard Lloyd's
-    degeneracy; callers see <= n_centroids rows).
+    md5(vec_id:seed), vec_id tiebreak — a seeded shuffle,
+    reproducible anywhere). Each round: assign every vector to its
+    max-cosine centroid (broadcast join — one linear pass), recompute
+    centroids as the per-dimension mean of their members
+    re-normalized to the unit sphere, and collect the new centroid
+    set to the driver for the next round's broadcast. The collected
+    relation is n_centroids rows — bounded by construction, the same
+    argument as the WDT library broadcast; the corpus itself never
+    leaves the executors. Cells that lose all members are dropped
+    (standard Lloyd's degeneracy; callers see <= n_centroids rows).
+
+    ``round_digits``: None (default) fits with exact scores and
+    means — the production setting. An int pins the fit for
+    cross-engine reproducibility: assignment scores round HALF-UP to
+    that many digits (ties then break on centroid_id, so argmax
+    comparisons agree across engines despite BLAS-vs-sequential-fold
+    summation order) and each round's per-dimension MEANS round
+    before re-normalization (the only aggregation whose merge order
+    differs across engines; rounding there makes everything
+    downstream — norm, division, next round's dots — derive from
+    identical doubles). Same round-6 policy every cosine operator in
+    this package uses.
 
     Returns (centroid_id long, cv array<double>) unit vectors.
     """
@@ -273,7 +286,7 @@ def kmeans_centroids(
                 "__r"
             ),
         )
-        .orderBy("__r")
+        .orderBy("__r", "vec_id")
         .limit(n_centroids)
     )
     cents = [
@@ -289,12 +302,13 @@ def kmeans_centroids(
         # vectors → nrm*cnrm = 1.0 and x/1.0 is IEEE-exact, so the
         # scores equal the plain dot(u, cv) of the window formulation
         assigned = (
-            centroid_probes(unit, cdf, 1, round_digits=None)
+            centroid_probes(unit, cdf, 1, round_digits=round_digits)
             .select("centroid_id", F.posexplode("v").alias("pos", "val"))
         )
+        mean_col = F.avg("val").alias("m")
         means = (
             assigned.groupBy("centroid_id", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(mean_col)
             .groupBy("centroid_id")
             .agg(
                 F.array_sort(
@@ -305,7 +319,16 @@ def kmeans_centroids(
                 "centroid_id",
                 F.transform(F.col("pm"), lambda s: s["m"]).alias("mv"),
             )
-            .withColumn("mnrm", norm(F.col("mv")))
+        )
+        if round_digits is not None:
+            means = means.select(
+                "centroid_id",
+                F.transform(
+                    F.col("mv"), lambda x: F.round(x, round_digits)
+                ).alias("mv"),
+            )
+        means = (
+            means.withColumn("mnrm", norm(F.col("mv")))
             .filter(F.col("mnrm") > 0)
             .select(
                 "centroid_id",
@@ -314,6 +337,55 @@ def kmeans_centroids(
         )
         cents = [(r["centroid_id"], list(r["cv"])) for r in means.collect()]
     return spark.createDataFrame(cents, "centroid_id long, cv array<double>")
+
+
+def kmeans_fit_predict(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    seed: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fit the parity-pinned spherical k-means and return every
+    vector's final assignment — the curation-clustering view (cluster
+    then sample/dedup/inspect per cell) of :func:`kmeans_centroids`.
+
+    Returns (vec_id, cluster, cos_r): the max-cosine centroid after
+    ``n_iter`` Lloyd rounds and the rounded cosine to it. The fit and
+    the final probe both run with ``round_digits`` pinning, so the
+    whole pipeline — init order, every assignment, every mean — is
+    reproducible bit-for-bit against a sequential-fold reference
+    implementation. Scale shape: per round one broadcast map pass +
+    one (centroid, dim) agg; the only collected relation is the
+    k-row centroid set (bounded by construction).
+    """
+    cents = kmeans_centroids(
+        embeddings,
+        n_centroids=n_centroids,
+        n_iter=n_iter,
+        seed=seed,
+        round_digits=round_digits,
+    ).withColumn("cnrm", F.lit(1.0))
+    n = _normed(embeddings).withColumn(
+        "u", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    )
+    unit = n.select("vec_id", F.col("u").alias("v"), F.lit(1.0).alias("nrm"))
+    import numpy as np  # noqa: F401  (centroid_probes dependency)
+
+    assigned = centroid_probes(unit, cents, 1, round_digits=round_digits)
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        assigned.join(F.broadcast(cents.select("centroid_id", "cv")), "centroid_id")
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("cluster"),
+            F.round(dot, round_digits).alias("cos_r"),
+        )
+    )
 
 
 def ivf_topk(

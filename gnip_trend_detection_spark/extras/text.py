@@ -400,6 +400,72 @@ def unigram_logppl(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_logppl(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document log-perplexity under the corpus's own add-one
+    smoothed BIGRAM LM — one step up the KenLM ladder from
+    ``unigram_logppl``: word order now matters, so shuffled or
+    template-stitched text scores high even when its unigram profile
+    matches the corpus.
+
+    p(w2|w1) = (c12 + 1) / (c1 + V): c12 = corpus bigram count, c1 =
+    corpus count of w1 as a bigram PREFIX (sum over successors — the
+    conditional denominator, so rows sum to 1 exactly), V = distinct
+    unigram vocabulary of the bigram-bearing corpus. Smoothing is
+    required (unlike the unigram case) because held-in docs still
+    contain corpus-unique bigrams whose MLE would be log 0.
+    log_ppl2(d) = -(1/|bigrams_d|) * sum ln p, via per-doc bigram term
+    frequencies. Docs with < 2 tokens have no bigram support and are
+    dropped. Rounded to 6 decimals per the file-wide parity policy.
+
+    Scale shape — same as unigram_logppl one arity up: explode scan →
+    (doc, w1, w2) hash agg → corpus LM roll-up (a further agg of that
+    relation, map-side combined) → prefix roll-up → two term joins
+    (AQE broadcasts the LM sides when they fit) → per-doc
+    re-aggregation. V attaches as a 1-row broadcast. No all-pairs, no
+    windows, nothing single-partition.
+    """
+    t = docs.select("doc_id", tokens(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") > 1
+    )
+    pairs = t.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(toks, 1, size(toks) - 1)"),
+                F.expr("slice(toks, 2, size(toks) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    tf = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    lm = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    pre = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        t.select(F.explode("toks").alias("w"))
+        .agg(F.count_distinct("w").cast("double").alias("vsz"))
+    )
+    return (
+        tf.join(lm, ["w1", "w2"])
+        .join(pre, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            (
+                -F.sum(
+                    F.col("tf").cast("double")
+                    * F.log(
+                        (F.col("c12").cast("double") + F.lit(1.0))
+                        / (F.col("c1").cast("double") + F.col("vsz"))
+                    )
+                )
+                / F.sum("tf").cast("double")
+            ).alias("raw"),
+        )
+        .select("doc_id", "n_bigrams", F.round("raw", 6).alias("log_ppl2"))
+    )
+
+
 PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PII_PHONE_RE = "555-[0-9]{4}"
 

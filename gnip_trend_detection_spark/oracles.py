@@ -1243,6 +1243,32 @@ FROM tf JOIN lm USING (term) CROSS JOIN n
 GROUP BY doc_id
 """
 
+    # corpus add-one bigram-LM log-perplexity
+    # (extras/text.py:bigram_logppl): p(w2|w1) = (c12+1)/(c1+V) with
+    # c1 = prefix count (sum over successors) and V = distinct unigram
+    # vocab of the bigram-bearing (len > 1) corpus
+    sql["bigram_logppl"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+t2 AS (SELECT * FROM t WHERE len(toks) > 1),
+pairs AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t2, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+),
+tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+lm AS (SELECT w1, w2, SUM(tf) AS c12 FROM tf GROUP BY 1, 2),
+pre AS (SELECT w1, SUM(c12) AS c1 FROM lm GROUP BY 1),
+v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS vsz
+      FROM (SELECT unnest(toks) AS w FROM t2))
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND(-SUM(CAST(tf AS DOUBLE)
+                  * LN((CAST(c12 AS DOUBLE) + 1.0)
+                       / (CAST(c1 AS DOUBLE) + vsz)))
+             / CAST(SUM(tf) AS DOUBLE), 6) AS log_ppl2
+FROM tf JOIN lm USING (w1, w2) JOIN pre USING (w1) CROSS JOIN v
+GROUP BY doc_id
+"""
+
     # per-source corpus dashboard (queries.q_corpus_report)
     sql["corpus_report"] = """
 WITH base AS (
@@ -2927,6 +2953,122 @@ WITH h AS (
 SELECT doc_id, source, CAST(hv % 8 AS INTEGER) AS shard,
        ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
 FROM h
+"""
+
+    # concat-and-chunk packing manifest (extras/sample.py:
+    # pack_sequences): global_shuffle order (same md5 key-hash as
+    # training_order, seed 7), per-shard token cumsum, 512-token
+    # blocks; zero-token docs carry no stream span and drop out
+    sql["pack_sequences"] = f"""
+WITH d AS (
+  SELECT doc_id, len({toks}) AS n_tokens FROM documents
+),
+h AS (
+  SELECT doc_id, n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf7'), 1, 8))::BIGINT AS hv
+  FROM d WHERE n_tokens > 0
+),
+o AS (
+  SELECT doc_id, n_tokens, CAST(hv % 8 AS INTEGER) AS shard,
+         ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
+  FROM h
+),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (
+      PARTITION BY shard ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+  FROM o
+)
+SELECT doc_id, n_tokens, shard, pos,
+       CAST(tok_end AS BIGINT) AS tok_end,
+       CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+       CAST((tok_end - n_tokens) // 512 AS BIGINT) AS block_start,
+       CAST((tok_end - 1) // 512 AS BIGINT) AS block_end,
+       CAST((tok_end - 1) // 512 - (tok_end - n_tokens) // 512 + 1 AS BIGINT) AS n_blocks
+FROM c
+"""
+
+    # parity-pinned spherical k-means (extras/similarity.py:
+    # kmeans_fit_predict): k=8, 2 Lloyd rounds, md5(vec_id:7) init
+    # order; assignment scores and per-dim means round to 6 before any
+    # downstream use, so the whole cascade is engine-invariant; argmax
+    # ties break on centroid id; + 0.0 canonicalizes -0.0
+    sql["embedding_kmeans"] = """
+WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         SQRT(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm
+  FROM e
+),
+u AS (SELECT vec_id, [x / nrm for x in v] AS uv FROM n),
+init AS (
+  SELECT ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR) || ':7'), vec_id) - 1 AS cid,
+         uv AS cv
+  FROM u
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':7'), vec_id
+  LIMIT 8
+),
+a1 AS (
+  SELECT vec_id, uv, cid FROM (
+    SELECT u.vec_id, u.uv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY ROUND(list_reduce(
+                 [u.uv[i] * c.cv[i] FOR i IN generate_series(1, len(u.uv))],
+                 (a, b) -> a + b), 6) DESC, c.cid) AS rk
+    FROM u CROSS JOIN init c
+  ) WHERE rk = 1
+),
+x1 AS (
+  SELECT cid, i, uv[i] AS val
+  FROM a1, unnest(generate_series(1, len(uv))) AS t(i)
+),
+m1 AS (SELECT cid, i, ROUND(AVG(val), 6) AS mvd FROM x1 GROUP BY 1, 2),
+m1a AS (SELECT cid, list(mvd ORDER BY i) AS mv FROM m1 GROUP BY cid),
+c1 AS (
+  SELECT cid, [x / mnrm for x in mv] AS cv FROM (
+    SELECT cid, mv,
+           SQRT(list_reduce([x * x for x in mv], (a, b) -> a + b)) AS mnrm
+    FROM m1a
+  ) WHERE mnrm > 0
+),
+a2 AS (
+  SELECT vec_id, uv, cid FROM (
+    SELECT u.vec_id, u.uv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY ROUND(list_reduce(
+                 [u.uv[i] * c.cv[i] FOR i IN generate_series(1, len(u.uv))],
+                 (a, b) -> a + b), 6) DESC, c.cid) AS rk
+    FROM u CROSS JOIN c1 c
+  ) WHERE rk = 1
+),
+x2 AS (
+  SELECT cid, i, uv[i] AS val
+  FROM a2, unnest(generate_series(1, len(uv))) AS t(i)
+),
+m2 AS (SELECT cid, i, ROUND(AVG(val), 6) AS mvd FROM x2 GROUP BY 1, 2),
+m2a AS (SELECT cid, list(mvd ORDER BY i) AS mv FROM m2 GROUP BY cid),
+c2 AS (
+  SELECT cid, [x / mnrm for x in mv] AS cv FROM (
+    SELECT cid, mv,
+           SQRT(list_reduce([x * x for x in mv], (a, b) -> a + b)) AS mnrm
+    FROM m2a
+  ) WHERE mnrm > 0
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dot_r + 0.0 AS cos_r FROM (
+  SELECT u.vec_id, c.cid,
+         ROUND(list_reduce(
+             [u.uv[i] * c.cv[i] FOR i IN generate_series(1, len(u.uv))],
+             (a, b) -> a + b), 6) AS dot_r,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.vec_id
+           ORDER BY ROUND(list_reduce(
+               [u.uv[i] * c.cv[i] FOR i IN generate_series(1, len(u.uv))],
+               (a, b) -> a + b), 6) DESC, c.cid) AS rk
+  FROM u CROSS JOIN c2 c
+) WHERE rk = 1
 """
 
     # hard-negative mining (extras/similarity.py:mine_hard_negatives):

@@ -654,6 +654,12 @@ def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logppl(_docs(spark, sf_dir))
 
 
+def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc log-perplexity under the corpus add-one bigram LM —
+    word order joins the quality signal (extras/text.py:bigram_logppl)."""
+    return text.bigram_logppl(_docs(spark, sf_dir))
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus dashboard: doc/char volume, exact-dup rate
     (distinct content hashes vs docs), dominant language. One scan,
@@ -2815,6 +2821,36 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing manifest: docs laid
+    end-to-end in the deterministic shuffle order, per-shard token
+    streams cut into 512-token blocks; each doc's (shard, pos,
+    tok_start, tok_end, block_start, block_end, n_blocks) placement
+    row (extras/sample.py:pack_sequences). Token counts are
+    whitespace-token counts — the same tokenizer every text operator
+    uses."""
+    from gnip_trend_detection_spark.extras.sample import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(text.tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, n_tokens_col="n_tokens", seed=7, n_shards=8, block_tokens=512
+    )
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity-pinned spherical k-means over the embedding corpus
+    (k=8, 2 Lloyd rounds, seeded md5 init): every vector's final
+    (cluster, rounded cosine) — the curation-clustering primitive
+    behind cluster-balanced sampling and per-cell dedup
+    (extras/similarity.py:kmeans_fit_predict)."""
+    from gnip_trend_detection_spark.extras.similarity import kmeans_fit_predict
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fit_predict(emb, n_centroids=8, n_iter=2, seed=7)
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: every 25th
     vector is an anchor; return its 10 nearest DIFFERENT-label corpus
@@ -2878,6 +2914,7 @@ ALL: dict[str, QueryFn] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "semantic_dedup": q_semantic_dedup,
     "unigram_logppl": q_unigram_logppl,
+    "bigram_logppl": q_bigram_logppl,
     "pii_scrub": q_pii_scrub,
     "events_rollup": q_events_rollup,
     "asof_enrich": q_asof_enrich,
@@ -2970,6 +3007,8 @@ ALL: dict[str, QueryFn] = {
     "tpch_q14_promo_share": q_tpch_q14_promo_share,
     "mix_temperature": q_mix_temperature,
     "training_order": q_training_order,
+    "pack_sequences": q_pack_sequences,
+    "embedding_kmeans": q_embedding_kmeans,
     "hard_negatives": q_hard_negatives,
     "theil_sen_slope": q_theil_sen_slope,
     "detector_ensemble": q_detector_ensemble,

@@ -273,3 +273,50 @@ def test_global_shuffle_is_a_deterministic_permutation(spark):
         for r in global_shuffle(docs, key_col="doc_id", seed=8, n_shards=4).collect()
     }
     assert reseeded != {r["doc_id"]: (r["shard"], r["pos"]) for r in rows}
+
+
+def test_pack_sequences_contiguous_token_stream(spark):
+    """pack_sequences: within every shard the docs tile the token
+    stream exactly — pos-1's tok_start is 0, each tok_start equals the
+    previous tok_end, and block spans match the [start, end) offsets
+    against the block size. Zero-token docs carry no stream span and
+    must be dropped."""
+    from gnip_trend_detection_spark.extras.sample import pack_sequences
+
+    rows = [(i, (i * 37) % 95) for i in range(300)]  # some zeros
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(
+        df, n_tokens_col="n_tokens", seed=7, n_shards=4, block_tokens=64
+    ).collect()
+
+    n_nonzero = sum(1 for _, n in rows if n > 0)
+    assert len(out) == n_nonzero
+
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r["pos"])
+        expect_start = 0
+        for r in members:
+            assert r["tok_start"] == expect_start, (shard, r["pos"])
+            assert r["tok_end"] == r["tok_start"] + r["n_tokens"]
+            assert r["block_start"] == r["tok_start"] // 64
+            assert r["block_end"] == (r["tok_end"] - 1) // 64
+            assert r["n_blocks"] == r["block_end"] - r["block_start"] + 1
+            expect_start = r["tok_end"]
+
+    # layout-invariant, like the shuffle it builds on
+    again = {
+        r["doc_id"]: (r["shard"], r["pos"], r["tok_start"])
+        for r in pack_sequences(
+            df.repartition(11),
+            n_tokens_col="n_tokens",
+            seed=7,
+            n_shards=4,
+            block_tokens=64,
+        ).collect()
+    }
+    assert again == {
+        r["doc_id"]: (r["shard"], r["pos"], r["tok_start"]) for r in out
+    }

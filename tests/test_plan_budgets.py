@@ -55,6 +55,7 @@ BNLJ_OK = {
     "tpch_q11_important_stock",  # broadcast 1-row grand-total scalar
     "tpch_q22_idle_customers",  # broadcast 1-row (sum_cents, n) global avg
     "unigram_logppl",      # broadcast 1-row corpus total
+    "bigram_logppl",       # broadcast 1-row vocab size
     "value_histogram",     # broadcast 1-row global bounds
 }
 
@@ -66,6 +67,9 @@ EXCHANGE_CEILING = {
     "correlation_pairs_dense": 21,
     "curation_pipeline": 11,
     "unigram_logppl": 9,
+    # one arity up from unigram_logppl: (doc, w1, w2) tf agg + the
+    # lm and prefix roll-ups + two term joins, all keyed
+    "bigram_logppl": 11,
     # three signal sub-plans (logppl alone carries 4) + two doc_id
     # joins + the batched competition_ranks machinery: the static
     # count shows an SMJ exchange pair per rank-column join, but the

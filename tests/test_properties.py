@@ -504,3 +504,43 @@ def test_competition_rank_matches_window_rank_without_global_sort(spark):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_bigram_logppl_matches_hand_computed_lm(spark):
+    """bigram_logppl equals the add-one bigram LM computed by hand on
+    a tiny corpus, and a word-order-scrambled doc scores strictly
+    higher than its in-order twin (the signal unigram perplexity
+    cannot see)."""
+    import math
+
+    from gnip_trend_detection_spark.extras.text import bigram_logppl
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "mat the on sat cat the"),  # scrambled twin of doc 1
+        (4, "solo"),                    # < 2 tokens: no bigram support
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logppl(df).collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 dropped
+
+    # hand model over the 3 bigram-bearing docs
+    toks = {i: t.split() for i, t in rows[:3]}
+    from collections import Counter
+    big = Counter(
+        (w1, w2) for ts in toks.values() for w1, w2 in zip(ts, ts[1:])
+    )
+    pre = Counter()
+    for (w1, _), c in big.items():
+        pre[w1] += c
+    vocab = len({w for ts in toks.values() for w in ts})
+    for doc_id, ts in toks.items():
+        bs = list(zip(ts, ts[1:]))
+        want = -sum(
+            math.log((big[b] + 1.0) / (pre[b[0]] + float(vocab))) for b in bs
+        ) / len(bs)
+        assert got[doc_id]["n_bigrams"] == len(bs)
+        assert abs(got[doc_id]["log_ppl2"] - want) < 1e-6, doc_id
+
+    assert got[3]["log_ppl2"] > got[1]["log_ppl2"]

@@ -256,3 +256,47 @@ def test_hard_negatives_exact_vs_brute_force(spark, embeddings):
         for r in reparted.collect()
     }
     assert got2 == got
+
+
+def test_kmeans_fit_predict_separates_planted_clusters(spark):
+    """Parity-pinned k-means: on a corpus with k well-separated
+    planted directions, fit+predict recovers the planting — every
+    vector lands with its direction-mates, each input gets exactly
+    one row, and the assignment is invariant to input partitioning.
+    (Seed 11 seeds all four planted groups; seeds whose md5 draw puts
+    two init centroids in one group merge clusters — standard Lloyd's
+    degeneracy, not a defect.)"""
+    import math
+
+    from gnip_trend_detection_spark.extras.similarity import kmeans_fit_predict
+
+    k, per, d = 4, 30, 8
+    rows = []
+    for c in range(k):
+        for j in range(per):
+            # cluster c points at axis c with a small deterministic wobble
+            v = [0.05 * math.sin(1.0 + 7.0 * c + 3.0 * j + i) for i in range(d)]
+            v[c] += 1.0
+            rows.append((c * per + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = kmeans_fit_predict(df, n_centroids=k, n_iter=2, seed=11).collect()
+    assert len(out) == k * per
+    assert {r["vec_id"] for r in out} == {i for i in range(k * per)}
+
+    planted: dict[int, set] = {}
+    for r in out:
+        planted.setdefault(r["vec_id"] // per, set()).add(r["cluster"])
+        assert 0.0 <= r["cos_r"] <= 1.0 + 1e-9
+    # each planted group maps to ONE fitted cluster, and distinct
+    # groups map to distinct clusters
+    assert all(len(cl) == 1 for cl in planted.values()), planted
+    assert len({next(iter(cl)) for cl in planted.values()}) == k
+
+    again = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_fit_predict(
+            df.repartition(13), n_centroids=k, n_iter=2, seed=11
+        ).collect()
+    }
+    assert again == {r["vec_id"]: r["cluster"] for r in out}
