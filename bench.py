@@ -125,6 +125,9 @@ HEADLINE = [
     "theil_sen_slope",
     "detector_ensemble",
     "multimodal_resize_real",
+    "bigram_logppl",
+    "pack_sequences",
+    "embedding_kmeans",
 ]
 
 
