@@ -251,15 +251,20 @@ def kmeans_centroids(
 
     Init picks n_centroids vectors deterministically (ordered by
     md5(vec_id:seed), vec_id tiebreak — a seeded shuffle,
-    reproducible anywhere). Each round: assign every vector to its
-    max-cosine centroid (broadcast join — one linear pass), recompute
-    centroids as the per-dimension mean of their members
-    re-normalized to the unit sphere, and collect the new centroid
-    set to the driver for the next round's broadcast. The collected
-    relation is n_centroids rows — bounded by construction, the same
-    argument as the WDT library broadcast; the corpus itself never
-    leaves the executors. Cells that lose all members are dropped
-    (standard Lloyd's degeneracy; callers see <= n_centroids rows).
+    reproducible anywhere). Each round is ONE fused Arrow map pass:
+    every batch scores its vectors against the broadcast centroid
+    matrix (BLAS matmul), assigns argmax (ties to the smaller
+    centroid id), and emits per-centroid PARTIAL (count, sum-vector)
+    rows — the map-side combine of the classic distributed k-means,
+    so the per-round shuffle is batches x k partial rows, never
+    corpus x dims (the earlier posexplode formulation shuffled
+    n x d rows per round). Partials merge with an element-wise
+    zip_with fold, means re-normalize to the unit sphere, and the
+    k-row result comes to the driver for the next round's broadcast —
+    bounded by construction, the same argument as the WDT library
+    broadcast; the corpus itself never leaves the executors. Cells
+    that lose all members are dropped (standard Lloyd's degeneracy;
+    callers see <= n_centroids rows).
 
     ``round_digits``: None (default) fits with exact scores and
     means — the production setting. An int pins the fit for
@@ -293,31 +298,56 @@ def kmeans_centroids(
         (i, list(r["u"])) for i, r in enumerate(init.collect())
     ]
     spark = embeddings.sparkSession
-    unit = n.select("vec_id", F.col("u").alias("v"), F.lit(1.0).alias("nrm"))
+    unit = n.select("vec_id", F.col("u").alias("v"))
+    import numpy as np
+
     for _ in range(n_iter):
-        cdf = spark.createDataFrame(
-            cents, "centroid_id long, cv array<double>"
-        ).withColumn("cnrm", F.lit(1.0))
-        # map-side argmax over the broadcast centroid array; unit
-        # vectors → nrm*cnrm = 1.0 and x/1.0 is IEEE-exact, so the
-        # scores equal the plain dot(u, cv) of the window formulation
-        assigned = (
-            centroid_probes(unit, cdf, 1, round_digits=round_digits)
-            .select("centroid_id", F.posexplode("v").alias("pos", "val"))
+        ids = np.array([c for c, _ in cents], dtype=np.int64)
+        C = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
+        d = C.shape[1]
+
+        def partials(batches, ids=ids, C=C):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                # unit vectors both sides → plain dot IS the cosine
+                S = X @ C.T
+                if round_digits is not None:
+                    p = 10.0**round_digits
+                    S = np.sign(S) * np.floor(np.abs(S) * p + 0.5) / p
+                # argmax by (score DESC, centroid_id ASC) — the exact
+                # tie rule centroid_probes uses
+                sel = np.lexsort((np.broadcast_to(ids, S.shape), -S), axis=1)[:, 0]
+                rows = []
+                for j in np.unique(sel):
+                    m = X[sel == j]
+                    rows.append((int(ids[j]), int(m.shape[0]), m.sum(axis=0).tolist()))
+                yield pd.DataFrame(
+                    rows, columns=["centroid_id", "cnt", "sums"]
+                )
+
+        part = unit.mapInPandas(
+            partials, "centroid_id long, cnt long, sums array<double>"
         )
-        mean_col = F.avg("val").alias("m")
+        zero = F.array_repeat(F.lit(0.0), d)
         means = (
-            assigned.groupBy("centroid_id", "pos")
-            .agg(mean_col)
-            .groupBy("centroid_id")
+            part.groupBy("centroid_id")
             .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("pm")
+                F.sum("cnt").alias("n_members"),
+                F.aggregate(
+                    F.collect_list("sums"),
+                    zero,
+                    lambda acc, s: F.zip_with(acc, s, lambda a, b: a + b),
+                ).alias("sv"),
             )
             .select(
                 "centroid_id",
-                F.transform(F.col("pm"), lambda s: s["m"]).alias("mv"),
+                F.transform(
+                    F.col("sv"), lambda x: x / F.col("n_members").cast("double")
+                ).alias("mv"),
             )
         )
         if round_digits is not None:
