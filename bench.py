@@ -128,6 +128,7 @@ HEADLINE = [
     "bigram_logppl",
     "pack_sequences",
     "embedding_kmeans",
+    "cluster_balanced_sample",
 ]
 
 

@@ -3071,6 +3071,23 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dot_r + 0.0 AS cos_r FROM (
 ) WHERE rk = 1
 """
 
+    # cluster-balanced sample: k-means assignment (oracle above) +
+    # per-cluster deterministic 20-quota by the seed-11 hash draw
+    sql["cluster_balanced_sample"] = f"""
+WITH km AS ({sql["embedding_kmeans"]}),
+d AS (
+  SELECT vec_id, cluster,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':11'), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM km
+)
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY u, vec_id) AS rn
+  FROM d
+) WHERE rn <= 20
+"""
+
     # hard-negative mining (extras/similarity.py:mine_hard_negatives):
     # anchors = vec_id % 25 == 0; top-10 different-label neighbors by
     # (rounded cosine DESC, id ASC); + 0.0 canonicalizes -0.0

@@ -2851,6 +2851,25 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit_predict(emb, n_centroids=8, n_iter=2, seed=7)
 
 
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced inspection sample: k-means the embedding
+    space, then draw a deterministic 20-vector quota per cluster —
+    the curation move that keeps a sample representative of the
+    embedding space instead of its volume skew (composition of
+    kmeans_fit_predict + sample_per_group; WindowGroupLimit keeps
+    per-reducer state O(k))."""
+    from gnip_trend_detection_spark.extras.sample import sample_per_group
+    from gnip_trend_detection_spark.extras.similarity import kmeans_fit_predict
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit_predict(emb, n_centroids=8, n_iter=2, seed=7).select(
+        "vec_id", "cluster"
+    )
+    return sample_per_group(
+        assigned, "cluster", k=20, key_col="vec_id", seed=11
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: every 25th
     vector is an anchor; return its 10 nearest DIFFERENT-label corpus
@@ -3009,6 +3028,7 @@ ALL: dict[str, QueryFn] = {
     "training_order": q_training_order,
     "pack_sequences": q_pack_sequences,
     "embedding_kmeans": q_embedding_kmeans,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
     "hard_negatives": q_hard_negatives,
     "theil_sen_slope": q_theil_sen_slope,
     "detector_ensemble": q_detector_ensemble,
