@@ -52,6 +52,9 @@ SHOWCASE = [
     ("tpch_q12_late_priority", "year-pruned fact-fact orderkey join, CASE-sum hash agg"),
     ("tpch_q16_supplier_counts", "broadcast anti-join exclusion before distinct-pair dedup + count-distinct"),
     ("tpch_q20_excess_stock", "nested (part,supp) agg -> distinct semi-join into nation-pruned suppliers"),
+    ("detector_ensemble", "batched two-phase rank: one (signal,value) histogram, pid-partitioned prefix windows, no single-partition sort"),
+    ("pack_sequences", "one shard-keyed exchange + per-shard prefix sum: the partitionBy-write shape"),
+    ("bigram_logppl", "explode -> tf agg -> LM/prefix roll-ups -> AQE-broadcast term joins"),
 ]
 
 
