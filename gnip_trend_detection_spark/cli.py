@@ -147,6 +147,20 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     fg.add_argument("--key", default="doc_id", help="key column in the dataset")
 
+    pk = sub.add_parser(
+        "pack",
+        help="concat-and-chunk sequence-packing manifest: deterministic "
+        "shard/pos order + fixed-token-block placement per doc",
+    )
+    pk.add_argument("-i", "--input", required=True, help="corpus file/dir")
+    pk.add_argument("-o", "--output", required=True, help="manifest parquet dir")
+    pk.add_argument(
+        "--format", choices=("jsonl", "parquet"), default="jsonl", dest="fmt"
+    )
+    pk.add_argument("--block-tokens", type=int, default=1024)
+    pk.add_argument("--shards", type=int, default=8)
+    pk.add_argument("--seed", type=int, default=42)
+
     dc = sub.add_parser(
         "decontam", help="benchmark-contamination report over a corpus"
     )
@@ -320,7 +334,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"forget: {n_before - n_after} row(s) dropped, {n_after} kept")
         return 0
 
-    if args.cmd in ("curate", "chunk", "split", "dedup", "decontam"):
+    if args.cmd in ("curate", "chunk", "split", "dedup", "decontam", "pack"):
         from gnip_trend_detection_spark.sources.jsonl import load_documents_jsonl
 
         def read_docs(path):
@@ -348,6 +362,28 @@ def main(argv: list[str] | None = None) -> int:
         out = split_dataset(read_docs(args.input), weights, key_col=args.by)
         # Hive layout: one directory per split, prunable downstream
         out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+        return 0
+
+    if args.cmd == "pack":
+        from pyspark.sql import functions as F
+
+        from gnip_trend_detection_spark.extras.sample import pack_sequences
+        from gnip_trend_detection_spark.extras.text import tokens
+
+        docs = read_docs(args.input).select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+        )
+        out = pack_sequences(
+            docs,
+            n_tokens_col="n_tokens",
+            seed=args.seed,
+            n_shards=args.shards,
+            block_tokens=args.block_tokens,
+        )
+        # Hive layout by shard: a loader reads exactly its shard's
+        # manifest — the same partitionBy-write shape the packing
+        # order was computed in
+        out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
         return 0
 
     if args.cmd == "dedup":

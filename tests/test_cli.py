@@ -378,3 +378,40 @@ def test_cli_forget_rejects_unparseable_ids(tmp_path, spark, capsys):
     assert main(["forget", "-i", data, "-o", out2, "--ids", str(crlf)]) == 0
     got = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
     assert got == [0, 1, 2, 4, 5, 6, 8, 9]
+
+
+def test_cli_pack_manifest(tmp_path, spark):
+    """`pack` writes a shard-partitioned packing manifest whose
+    per-shard token streams tile contiguously from offset 0."""
+    from gnip_trend_detection_spark.cli import main
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    lines = [
+        f'{{"doc_id": {i}, "text": "{" ".join(f"w{j}" for j in range((i % 7) + 1))}",'
+        f' "lang": "en", "source": "s"}}'
+        for i in range(40)
+    ]
+    (corpus / "docs.jsonl").write_text("\n".join(lines))
+
+    out = tmp_path / "manifest"
+    rc = main(
+        [
+            "pack", "-i", str(corpus), "-o", str(out),
+            "--block-tokens", "16", "--shards", "4", "--seed", "7",
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(str(out)).collect()
+    assert len(got) == 40  # every doc has >= 1 token
+    by_shard: dict[int, list] = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for members in by_shard.values():
+        members.sort(key=lambda r: r["pos"])
+        expect = 0
+        for r in members:
+            assert r["tok_start"] == expect
+            assert r["block_start"] == r["tok_start"] // 16
+            expect = r["tok_end"]
