@@ -129,6 +129,7 @@ HEADLINE = [
     "pack_sequences",
     "embedding_kmeans",
     "cluster_balanced_sample",
+    "char_entropy",
 ]
 
 

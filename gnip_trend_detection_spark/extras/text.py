@@ -466,6 +466,44 @@ def bigram_logppl(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-unigram Shannon entropy (bits/char) —
+    the compressibility stand-in quality signal: keyboard mash,
+    repeated padding, and template boilerplate all sit far from
+    natural text's ~4 bits/char, in opposite directions, so curation
+    stacks gate on both tails.
+
+    H(d) = -sum_c p_c * log2 p_c over the doc's character counts.
+    Docs with empty text have no distribution and are dropped.
+    Rounded to 6 decimals per the file-wide parity policy.
+
+    Scale shape: one character explode (rows = corpus chars — the
+    same order of work as tokenization), one (doc, char) hash agg
+    (map-side combined; fan-in per doc is bounded by the alphabet),
+    a doc-partitioned unordered window for the total (reuses the
+    agg's partitioning, no extra exchange), one per-doc
+    re-aggregation. Zero joins, nothing single-partition.
+    """
+    from pyspark.sql import Window
+
+    ch = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cnt = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").over(Window.partitionBy("doc_id")).cast("double")
+    p = F.col("c").cast("double") / n
+    cnt = cnt.withColumn("term", -p * F.log2(p)).withColumn(
+        "n", n.cast("long")
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(F.max("n").alias("n_chars_t"), F.sum("term").alias("raw"))
+        .select(
+            "doc_id", "n_chars_t", F.round("raw", 6).alias("entropy_bits")
+        )
+    )
+
+
 PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PII_PHONE_RE = "555-[0-9]{4}"
 

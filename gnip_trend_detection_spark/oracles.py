@@ -1269,6 +1269,27 @@ FROM tf JOIN lm USING (w1, w2) JOIN pre USING (w1) CROSS JOIN v
 GROUP BY doc_id
 """
 
+    # per-doc character-unigram Shannon entropy (extras/text.py:
+    # char_entropy): same -sum(p*log2 p) form as Spark, doc-total via
+    # the same partition window
+    sql["char_entropy"] = """
+WITH ch AS (
+  SELECT doc_id, c AS ch FROM documents, unnest(string_split(text, '')) AS t(c)
+  WHERE c <> ''
+),
+cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+w AS (
+  SELECT doc_id, c,
+         CAST(SUM(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS n
+  FROM cnt
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_chars_t,
+       ROUND(-SUM((CAST(c AS DOUBLE) / n) * LOG2(CAST(c AS DOUBLE) / n)), 6)
+         AS entropy_bits
+FROM w GROUP BY doc_id
+"""
+
     # per-source corpus dashboard (queries.q_corpus_report)
     sql["corpus_report"] = """
 WITH base AS (

@@ -660,6 +660,12 @@ def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logppl(_docs(spark, sf_dir))
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-unigram Shannon entropy (bits/char) — the
+    compressibility quality gate (extras/text.py:char_entropy)."""
+    return text.char_entropy(_docs(spark, sf_dir))
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus dashboard: doc/char volume, exact-dup rate
     (distinct content hashes vs docs), dominant language. One scan,
@@ -2934,6 +2940,7 @@ ALL: dict[str, QueryFn] = {
     "semantic_dedup": q_semantic_dedup,
     "unigram_logppl": q_unigram_logppl,
     "bigram_logppl": q_bigram_logppl,
+    "char_entropy": q_char_entropy,
     "pii_scrub": q_pii_scrub,
     "events_rollup": q_events_rollup,
     "asof_enrich": q_asof_enrich,

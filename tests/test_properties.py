@@ -544,3 +544,26 @@ def test_bigram_logppl_matches_hand_computed_lm(spark):
         assert abs(got[doc_id]["log_ppl2"] - want) < 1e-6, doc_id
 
     assert got[3]["log_ppl2"] > got[1]["log_ppl2"]
+
+
+def test_char_entropy_known_distributions(spark):
+    """char_entropy: 0 bits for a one-symbol doc, exactly 2 bits for a
+    uniform 4-symbol doc, log2(n) for an all-distinct doc; empty text
+    is dropped."""
+    from gnip_trend_detection_spark.extras.text import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa"),
+            (2, "abcdabcd"),          # uniform over 4 symbols -> 2.0
+            (3, "abcdefgh"),          # 8 distinct -> 3.0
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["entropy_bits"] == 0.0
+    assert got[2]["entropy_bits"] == 2.0
+    assert got[3]["entropy_bits"] == 3.0
+    assert got[2]["n_chars_t"] == 8
