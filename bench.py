@@ -130,6 +130,7 @@ HEADLINE = [
     "embedding_kmeans",
     "cluster_balanced_sample",
     "char_entropy",
+    "global_quantiles",
 ]
 
 

@@ -1,0 +1,145 @@
+"""Distributed EXACT quantiles with SQL ``quantile_cont`` semantics —
+the scale-safe replacement for both ``approxQuantile`` (wrong answer)
+and ``percentile_cont`` over ``Window.orderBy()`` (single-partition
+sort, the 100 TB cliff; forbidden repo-wide by
+tests/test_plan_budgets.py).
+
+Same two-phase histogram machinery as operators/rank.py
+(``competition_ranks``): collapse the column to its distinct-value
+histogram (one keyed exchange, map-side combined), range-partition the
+histogram, compute partition-local prefix counts in parallel, then
+cumulative offsets over the BOUNDED per-partition totals relation.
+Every requested quantile then needs only the one or two histogram rows
+covering its order-statistic index — found with one broadcast join of
+the (tiny, len(qs)-row) target relation against the histogram.
+
+Curation stacks need this shape constantly: "keep docs above the 30th
+quality percentile" / "trim the top 1% by length" are exact-threshold
+decisions a sampled approximation silently distorts at the tails.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact linear-interpolated quantiles of ``col`` — bit-compatible
+    with ANSI ``percentile_cont(q)`` / DuckDB ``quantile_cont(col, q)``
+    — with NO single-partition sort and ONE histogram pass shared by
+    every requested quantile.
+
+    For each q in ``qs`` (0 <= q <= 1), with n non-null values and
+    0-based position pos = q * (n - 1):
+
+        value(q) = v[floor(pos)] + (pos - floor(pos))
+                                   * (v[ceil(pos)] - v[floor(pos)])
+
+    Plan: distinct-value histogram (groupBy — the only data-sized
+    shuffle) → ``repartitionByRange`` ASC → partition-local running
+    counts (windows PARTITIONED by partition id, parallel) → offsets
+    from the <= n_parts-row totals relation → the covering rows for
+    index k satisfy ``prev < k + 1 <= cum`` (cum = rows <= v, prev =
+    rows < v); since ceil(pos) <= floor(pos) + 1, one predicate
+    ``cum > k_lo AND prev <= k_hi`` selects exactly the 1-2 covering
+    rows per target and nothing between. The targets relation is
+    len(qs) rows — broadcast into a bounded nested-loop join with the
+    histogram streamed (whitelisted shape, tests/test_plan_budgets.py).
+
+    The histogram is ``localCheckpoint``-ed after range partitioning
+    for the same reason as rank.py: RangePartitioner samples its
+    boundaries, and the totals sub-plan and the probe sub-plan must
+    read the SAME partitioning.
+
+    NULLs are excluded (SQL percentile semantics). Returns one row per
+    q: ``(q double, quantile_value double)``, value rounded to 6
+    decimals per the repo-wide cross-engine parity policy.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    vals = df.select(F.col(col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    hist = (
+        vals.groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .repartitionByRange(n_parts, F.asc("__v"))
+        .withColumn("__pid", F.spark_partition_id())
+    ).localCheckpoint()
+    run = (
+        Window.partitionBy("__pid")
+        .orderBy(F.asc("__v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = hist.withColumn("__lcum", F.sum("__cnt").over(run))
+    # per-partition totals: <= n_parts rows, bounded by construction —
+    # the constant-key windows below run over THIS relation only
+    tot = hist.groupBy("__pid").agg(F.sum("__cnt").alias("__tot"))
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.asc("__pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_n = Window.partitionBy(F.lit(0))
+    offsets = tot.select(
+        "__pid",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__tot").over(w_n).alias("__n"),
+    )
+    cum = (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn("__cum", F.col("__off") + F.col("__lcum"))
+        .withColumn("__prev", F.col("__cum") - F.col("__cnt"))
+        .select("__v", "__prev", "__cum", "__n")
+    )
+    # len(qs)-row target relation, built in-plan from the n carried on
+    # every histogram row (no driver collect)
+    n_row = offsets.select(F.col("__n")).limit(1)
+    targets = (
+        n_row.select(
+            "__n",
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in qs])
+            ).alias("q"),
+        )
+        .withColumn("__pos", F.col("q") * (F.col("__n") - 1).cast("double"))
+        .withColumn("__klo", F.floor("__pos").cast("long"))
+        .withColumn("__khi", F.ceil("__pos").cast("long"))
+        .withColumn("__frac", F.col("__pos") - F.col("__klo").cast("double"))
+        .select("q", "__klo", "__khi", "__frac")
+    )
+    covered = cum.join(
+        F.broadcast(targets),
+        (F.col("__cum") > F.col("__klo")) & (F.col("__prev") <= F.col("__khi")),
+    )
+    lo_hits = F.when(
+        (F.col("__prev") <= F.col("__klo")) & (F.col("__cum") > F.col("__klo")),
+        F.col("__v"),
+    )
+    hi_hits = F.when(
+        (F.col("__prev") <= F.col("__khi")) & (F.col("__cum") > F.col("__khi")),
+        F.col("__v"),
+    )
+    return (
+        covered.groupBy("q")
+        .agg(
+            F.max(lo_hits).alias("__vlo"),
+            F.max(hi_hits).alias("__vhi"),
+            F.max("__frac").alias("__f"),
+        )
+        .select(
+            "q",
+            F.round(
+                F.col("__vlo")
+                + F.col("__f") * (F.col("__vhi") - F.col("__vlo")),
+                6,
+            ).alias("quantile_value"),
+        )
+    )

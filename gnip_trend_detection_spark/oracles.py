@@ -1391,6 +1391,20 @@ FROM events
 GROUP BY event_type
 """
 
+    # global exact quantile_cont ladder (operators/quantile.py:
+    # exact_quantiles via queries.q_global_quantiles); parallel
+    # unnests zip positionally in DuckDB, pairing each q with its
+    # quantile_cont value
+    sql["global_quantiles"] = """
+SELECT CAST(q AS DOUBLE) AS q, ROUND(v, 6) AS quantile_value
+FROM (
+  SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS q,
+         unnest(quantile_cont(value,
+                [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])) AS v
+  FROM events
+)
+"""
+
     # as-of enrichment (operators/asof.py) — DuckDB has native ASOF
     # JOIN with exactly the inclusive <= semantics the union-window
     # formulation implements

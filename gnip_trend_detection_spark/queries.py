@@ -772,6 +772,22 @@ def q_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL exact quantile_cont ladder over events.value via the
+    two-phase histogram (operators/quantile.py:exact_quantiles) — the
+    scale-safe exact answer q_value_quantiles' docstring punts on:
+    percentile() over the whole relation collects every value into one
+    aggregation buffer, and percentile_cont over Window.orderBy() is a
+    single-partition sort; this plan's only data-sized shuffle is the
+    distinct-value histogram groupBy."""
+    from gnip_trend_detection_spark.operators.quantile import exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return exact_quantiles(
+        ev, "value", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width 20-bin histogram of event values per type, bin
     edges from the GLOBAL min/max (broadcast 1-row cross join, no
@@ -2947,6 +2963,7 @@ ALL: dict[str, QueryFn] = {
     "value_quantiles": q_value_quantiles,
     "value_histogram": q_value_histogram,
     "value_quantiles_approx": q_value_quantiles_approx,
+    "global_quantiles": q_global_quantiles,
     "corpus_report": q_corpus_report,
     "range_burst_count": q_range_burst_count,
     "tpch_q3_shipping": q_tpch_q3_shipping,

@@ -42,6 +42,7 @@ BNLJ_OK = {
     "cosine_neardup_blocked", # broadcast block-id frame (n_blocks rows)
     "correlation_pairs_dense",  # broadcast block ids
     "embedding_covariance",     # broadcast 1-row vector count n
+    "global_quantiles",    # broadcast len(qs)-row quantile targets
     "heavy_hitter_terms",  # broadcast 1-row total-count scalar
     "mix_sources",         # broadcast 1-row admissible-total scalar
     "mix_temperature",     # broadcast 1-row weight-sum scalar
@@ -91,11 +92,14 @@ EXCHANGE_CEILING = {
 }
 DEFAULT_CEILING = 6
 
-# queries whose only unpartitioned Window runs over a limit-bounded
-# head (sort+limit = TakeOrderedAndProject; the window sees <= N rows)
+# queries whose only unpartitioned Window runs over a bounded
+# relation: a limit-bounded head (sort+limit = TakeOrderedAndProject)
+# or a per-partition-totals relation (<= shuffle-partition-count rows
+# by construction, the two-phase histogram offset shape)
 UNPARTITIONED_WINDOW_OK = {
     "detector_ensemble",   # row_number over the top-50 rank_sum head
     "tpch_q3_shipping",    # row_number over the top-10 revenue head
+    "global_quantiles",    # offsets over <= n_parts per-pid totals
 }
 
 

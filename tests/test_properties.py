@@ -567,3 +567,26 @@ def test_char_entropy_known_distributions(spark):
     assert got[2]["entropy_bits"] == 2.0
     assert got[3]["entropy_bits"] == 3.0
     assert got[2]["n_chars_t"] == 8
+
+
+def test_exact_quantiles_matches_numpy_linear_interpolation(spark):
+    """exact_quantiles == numpy.quantile(..., method='linear') (the
+    quantile_cont definition) on a ties-heavy sample, including the
+    q=0/q=1 endpoints and NULL exclusion; result is invariant to the
+    number of range partitions."""
+    import numpy as np
+
+    from gnip_trend_detection_spark.operators.quantile import exact_quantiles
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0]
+    rows = [(v,) for v in vals] + [(None,)]
+    df = spark.createDataFrame(rows, "value double")
+    qs = [0.0, 0.1, 0.25, 0.5, 0.9, 1.0]
+    want = {q: round(float(np.quantile(vals, q)), 6) for q in qs}
+
+    for n_parts in (1, 4, 32):
+        got = {
+            r["q"]: r["quantile_value"]
+            for r in exact_quantiles(df, "value", qs, n_parts=n_parts).collect()
+        }
+        assert got == want, n_parts
