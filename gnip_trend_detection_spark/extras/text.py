@@ -504,6 +504,67 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dsir_logratio(
+    docs: DataFrame, target: Column, text_col: str = "text"
+) -> DataFrame:
+    """DSIR-style importance score for target-domain data selection
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): per-doc length-normalized log importance
+    ratio between a unigram LM fit on the ``target`` subset and one
+    fit on the whole raw corpus,
+
+        score(d) = (1/|d|) * sum_w tf_dw * (ln p_t(w) - ln p_r(w)),
+
+    with add-one smoothing over the raw vocabulary V (every scored
+    word is in the raw corpus, but may be absent from the target):
+    p_t(w) = (c_t(w)+1)/(N_t+V), p_r(w) = (c_r(w)+1)/(N_r+V).
+    Raw docs scoring high look like the target domain — resampling by
+    score is the curation move ("select web text that looks like
+    Wikipedia") that a per-doc classifier needs a training set for
+    and this needs none.
+
+    Scale shape (one arity up from unigram_logppl): explode scan →
+    (doc, w) tf agg → doc_id equi-join of the one-column target flag
+    → w-keyed LM agg with conditional sums (both LMs in ONE pass) →
+    1-row totals broadcast → tf⋈LM w-keyed join → per-doc re-agg.
+    Every join is keyed; AQE broadcasts the LM side when it fits.
+    Rounded to 6 decimals per the repo parity policy.
+    """
+    flags = docs.select("doc_id", target.cast("boolean").alias("__is_t"))
+    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tft = tf.join(flags, "doc_id")
+    lm = tft.groupBy("term").agg(
+        F.sum("tf").alias("c_r"),
+        F.sum(F.when(F.col("__is_t"), F.col("tf")).otherwise(F.lit(0))).alias(
+            "c_t"
+        ),
+    )
+    totals = lm.agg(
+        F.sum("c_r").cast("double").alias("n_r"),
+        F.sum("c_t").cast("double").alias("n_t"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    term_ratio = F.log(
+        (F.col("c_t").cast("double") + 1.0) / (F.col("n_t") + F.col("v"))
+    ) - F.log(
+        (F.col("c_r").cast("double") + 1.0) / (F.col("n_r") + F.col("v"))
+    )
+    return (
+        tf.join(lm, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum(F.col("tf").cast("double") * term_ratio)
+                / F.sum("tf").cast("double")
+            ).alias("raw"),
+        )
+        .select("doc_id", "n_tokens", F.round("raw", 6).alias("dsir_score"))
+    )
+
+
 PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PII_PHONE_RE = "555-[0-9]{4}"
 

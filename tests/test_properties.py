@@ -590,3 +590,49 @@ def test_exact_quantiles_matches_numpy_linear_interpolation(spark):
             for r in exact_quantiles(df, "value", qs, n_parts=n_parts).collect()
         }
         assert got == want, n_parts
+
+
+def test_dsir_logratio_matches_brute_force_lm(spark):
+    """dsir_logratio == a plain-Python add-one-smoothed target/raw LM
+    log-ratio on a tiny corpus, and target-looking docs outscore
+    off-domain docs."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.extras.text import dsir_logratio
+
+    rows = [
+        (1, "apple banana apple cherry", True),
+        (2, "banana apple banana", True),
+        (3, "car truck car engine", False),
+        (4, "apple banana cherry", False),   # raw doc that looks target-y
+        (5, "truck engine truck", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+
+    raw = Counter()
+    tgt = Counter()
+    for _, text, is_t in rows:
+        for w in text.split():
+            raw[w] += 1
+            if is_t:
+                tgt[w] += 1
+    n_r, n_t, v = sum(raw.values()), sum(tgt.values()), len(raw)
+
+    def score(text):
+        ws = text.split()
+        s = sum(
+            math.log((tgt[w] + 1) / (n_t + v)) - math.log((raw[w] + 1) / (n_r + v))
+            for w in ws
+        )
+        return round(s / len(ws), 6)
+
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_logratio(df, target=F.col("is_t")).collect()
+    }
+    want = {doc_id: score(text) for doc_id, text, _ in rows}
+    assert got == want
+    assert got[4] > got[5]  # target-looking raw doc outscores off-domain
