@@ -792,3 +792,103 @@ def source_overlap(
             ),
         )
     )
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT token-set Jaccard self-join via prefix filtering (the
+    AllPairs/PPJoin family, Bayardo et al. 2007 / Xiao et al. 2008) —
+    every pair with J(A, B) >= threshold, guaranteed complete, WITHOUT
+    the all-pairs product and WITHOUT LSH's false negatives. This is
+    the exactness rung above minhash/LSH dedup: same candidate-then-
+    verify shape, but the candidate set provably contains every true
+    pair.
+
+    Prefix-filter lemma: order all tokens by one GLOBAL total order
+    (document frequency ascending, term as tiebreak — rarest first,
+    which minimizes candidates). If J(A, B) >= t, the first
+    p(x) = |x| - ceil(t * |x|) + 1 tokens of each side (under that
+    order) must intersect: removing p(A) tokens from A leaves
+    |A| - p(A) = ceil(t*|A|) - 1 < t*|A| <= |A∩B| tokens, so A's
+    prefix contains an intersection token; the global order puts the
+    matching token inside B's prefix whenever both prefixes are
+    computed with the same order and t (standard AllPairs argument).
+    Candidates therefore come from an equi-join on prefix tokens only
+    — ~(1-t)·|x| of each doc's tokens hit the index, and rare-first
+    ordering keeps per-token bucket sizes small.
+
+    Plan: explode distinct tokens → term-keyed df agg → df join →
+    per-doc rank window (PARTITIONED by doc_id — parallel) → prefix
+    rows self-join on term (+ AllPairs length filter
+    ceil(t·|A|) <= |B| carried on the index rows) → distinct pairs →
+    exact array_intersect verify on the pruned doc subset. Every join
+    keyed; workload-quadratic ONLY in surviving candidates, which the
+    lemma ties to true near-dup pairs plus prefix collisions.
+
+    Returns (doc_a, doc_b, jaccard) for doc_a < doc_b, J >= threshold,
+    jaccard rounded to 6 per the repo parity policy.
+    """
+    t = float(threshold)
+    toks_arr = F.array_distinct(tokens(F.col(text_col)))
+    base = (
+        docs.select("doc_id", toks_arr.alias("toks"))
+        .withColumn("s", F.size("toks"))
+        .filter(F.col("s") > 0)
+        .persist()  # feeds the index build AND the verify join
+    )
+    ex = base.select("doc_id", "s", F.explode("toks").alias("term"))
+    df_counts = ex.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # prefix length p = s - ceil(t*s) + 1; rows ranked rare-first
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("term"))
+    )
+    prefix = (
+        ex.join(df_counts, "term")
+        .withColumn("rn", rn)
+        # ceil over an epsilon-lowered product: 0.9*30 = 27.0000…04 in
+        # doubles, and a raw ceil would SHORTEN the prefix (false
+        # negatives); ceil(x - 1e-9) only ever lengthens it (safe)
+        .filter(
+            F.col("rn")
+            <= F.col("s") - F.ceil(F.lit(t) * F.col("s") - 1e-9) + 1
+        )
+        .select("term", "doc_id", "s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # AllPairs length filter: J >= t forces t*|B| <= |A| when
+            # |A| <= |B| — sizes ride on the index rows, so the prune
+            # happens inside the join before the distinct
+            & (F.col("a.s") >= F.ceil(F.lit(t) * F.col("b.s") - 1e-9))
+            & (F.col("b.s") >= F.ceil(F.lit(t) * F.col("a.s") - 1e-9)),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = base.join(cand_docs, "doc_id", "left_semi")
+    ga, gb = sets.alias("ga"), sets.alias("gb")
+    inter = F.size(F.array_intersect("ga.toks", "gb.toks"))
+    jac = inter.cast("double") / (
+        F.col("ga.s") + F.col("gb.s") - inter
+    ).cast("double")
+    return (
+        cand.join(ga, F.col("ga.doc_id") == F.col("doc_a"))
+        .join(gb, F.col("gb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("j"))
+        .filter(F.col("j") >= t)
+        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
+    )

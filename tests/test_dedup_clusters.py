@@ -148,3 +148,41 @@ def test_minhash_numpy_sql_bit_identity(spark):
     # NBSP and ideographic space stayed INSIDE tokens on both paths
     assert any(" " in s for s in tok7)
     assert any("　" in s for s in tok7)
+
+
+def test_set_similarity_join_complete_vs_brute_force(spark):
+    """Prefix-filter join returns EXACTLY the brute-force all-pairs
+    token-Jaccard >= t set (completeness is the whole point vs LSH) on
+    a seeded corpus, across thresholds that exercise the float-ceil
+    prefix bound (incl. t*s landing on/near integers)."""
+    import itertools
+    import random
+
+    from gnip_trend_detection_spark.extras.dedup import set_similarity_join
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for doc_id in range(60):
+        n = rng.randint(3, 20)
+        rows.append((doc_id, " ".join(rng.sample(vocab, n))))
+    # planted near-dups: shared long template with small edits
+    tpl = vocab[:10]
+    for doc_id in range(60, 70):
+        words = tpl + [vocab[10 + (doc_id % 5)]]
+        rows.append((doc_id, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sets = {d: frozenset(t.split()) for d, t in rows}
+    for t in (0.3, 0.5, 0.9, 10 / 11):
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a] | sets[b]))
+            if j >= t:
+                want[(a, b)] = round(j, 6)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in set_similarity_join(df, threshold=t).collect()
+        }
+        assert got == want, (t, len(got), len(want))
