@@ -131,6 +131,12 @@ HEADLINE = [
     "cluster_balanced_sample",
     "char_entropy",
     "global_quantiles",
+    "dsir_scores",
+    # set_similarity_join is deliberately NOT benched: an EXACT
+    # Jaccard join's output is workload-quadratic in true pairs, and
+    # the synthetic corpus is template-dense (~43k true pairs >= 0.9
+    # on the 1-in-5 slice at sf0.1) — same eval-class carve-out as
+    # lsh_recall_eval's ground truth
 ]
 
 

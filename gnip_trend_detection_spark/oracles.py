@@ -1290,6 +1290,62 @@ SELECT doc_id,
 FROM w GROUP BY doc_id
 """
 
+    # exact token-Jaccard >= 0.9 pairs on the doc_id%5 slice
+    # (extras/dedup.py:set_similarity_join): the oracle is the
+    # brute-force all-pairs form the prefix filter must reproduce
+    # exactly — shared-token equi-join, never A×B
+    sql["set_similarity_join"] = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({toks}) AS toksd
+  FROM documents WHERE doc_id % 5 = 0
+),
+e AS (
+  SELECT doc_id, unnest(toksd) AS term, len(toksd) AS s
+  FROM t WHERE len(toksd) > 0
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS i, MAX(a.s) AS sa, MAX(b.s) AS sb
+  FROM e a JOIN e b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE), 6) AS jaccard
+FROM p
+WHERE CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) >= 0.9
+"""
+
+    # DSIR importance scores, target = lang 'en' (extras/text.py:
+    # dsir_logratio): add-one-smoothed target vs raw unigram LM
+    # log-ratio, length-normalized; same ln() and groupings as Spark
+    sql["dsir_scores"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+flags AS (SELECT doc_id, lang = 'en' AS is_t FROM documents),
+lm AS (
+  SELECT term,
+         SUM(tf) AS c_r,
+         SUM(CASE WHEN is_t THEN tf ELSE 0 END) AS c_t
+  FROM tf JOIN flags USING (doc_id) GROUP BY term
+),
+tot AS (
+  SELECT CAST(SUM(c_r) AS DOUBLE) AS n_r,
+         CAST(SUM(c_t) AS DOUBLE) AS n_t,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM lm
+)
+SELECT doc_id,
+       SUM(tf) AS n_tokens,
+       ROUND(SUM(CAST(tf AS DOUBLE) *
+                 (LN((CAST(c_t AS DOUBLE) + 1.0) / (n_t + v))
+                  - LN((CAST(c_r AS DOUBLE) + 1.0) / (n_r + v))))
+             / CAST(SUM(tf) AS DOUBLE), 6) AS dsir_score
+FROM tf JOIN lm USING (term) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
     # per-source corpus dashboard (queries.q_corpus_report)
     sql["corpus_report"] = """
 WITH base AS (

@@ -666,6 +666,29 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.char_entropy(_docs(spark, sf_dir))
 
 
+def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-Jaccard >= 0.9 self-join via prefix filtering
+    (extras/dedup.py:set_similarity_join) — the zero-false-negative
+    rung above LSH. Runs on the deterministic doc_id%5==0 slice: the
+    synthetic corpus is template-dense (at sf0.1 ~1M TRUE pairs >=0.9
+    corpus-wide), and an exact join's output is workload-quadratic in
+    true pairs by definition — the slice bounds the demo's output,
+    not the operator."""
+    from gnip_trend_detection_spark.extras.dedup import set_similarity_join
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    return set_similarity_join(docs, threshold=0.9)
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores with the English subset as the target
+    domain: raw docs whose unigram distribution looks English score
+    high (extras/text.py:dsir_logratio) — the resample-toward-target
+    curation primitive."""
+    docs = _docs(spark, sf_dir)
+    return text.dsir_logratio(docs, target=F.col("lang") == "en")
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus dashboard: doc/char volume, exact-dup rate
     (distinct content hashes vs docs), dominant language. One scan,
@@ -2957,6 +2980,8 @@ ALL: dict[str, QueryFn] = {
     "unigram_logppl": q_unigram_logppl,
     "bigram_logppl": q_bigram_logppl,
     "char_entropy": q_char_entropy,
+    "dsir_scores": q_dsir_scores,
+    "set_similarity_join": q_set_similarity_join,
     "pii_scrub": q_pii_scrub,
     "events_rollup": q_events_rollup,
     "asof_enrich": q_asof_enrich,

@@ -42,6 +42,7 @@ BNLJ_OK = {
     "cosine_neardup_blocked", # broadcast block-id frame (n_blocks rows)
     "correlation_pairs_dense",  # broadcast block ids
     "embedding_covariance",     # broadcast 1-row vector count n
+    "dsir_scores",         # broadcast 1-row (N_t, N_r, V) LM totals
     "global_quantiles",    # broadcast len(qs)-row quantile targets
     "heavy_hitter_terms",  # broadcast 1-row total-count scalar
     "mix_sources",         # broadcast 1-row admissible-total scalar
@@ -63,11 +64,20 @@ BNLJ_OK = {
 # measured (2026-08, Spark 4.1) + 2 slack; unlisted queries get DEFAULT
 EXCHANGE_CEILING = {
     "ngram_jaccard": 24,
+    # static count re-expands the persisted token-array base under
+    # the index build and both verify-join branches, and the cand
+    # relation under cand_docs + the final join; the cache collapses
+    # those at runtime (same class as ngram_jaccard)
+    "set_similarity_join": 26,
     # static count includes the persisted C-row ids subtree once per
     # branch; at runtime the cache collapses those to one computation
     "correlation_pairs_dense": 21,
     "curation_pipeline": 11,
     "unigram_logppl": 9,
+    # unigram_logppl's shape + the doc_id flag join feeding the
+    # one-pass dual-LM agg: tf agg, flag join, w-keyed LM agg, tf⋈LM
+    # join, per-doc re-agg — all keyed exchanges
+    "dsir_scores": 9,
     # one arity up from unigram_logppl: (doc, w1, w2) tf agg + the
     # lm and prefix roll-ups + two term joins, all keyed
     "bigram_logppl": 11,
