@@ -143,3 +143,111 @@ def exact_quantiles(
             ).alias("quantile_value"),
         )
     )
+
+
+def exact_quantiles_by(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    by: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Per-group :func:`exact_quantiles` — ``quantile_cont(col, q)
+    GROUP BY by`` — again with no single-partition sort AND no
+    per-group value buffering (Spark's exact ``percentile()``
+    aggregate collects every group value into one ArrayBuffer; a hot
+    group at 100 TB OOMs that executor).
+
+    Same two-phase histogram, keyed one level up: the histogram is
+    (group, value) distinct pairs; prefix counts run per
+    (partition, group); offsets and per-group row counts come from
+    group-partitioned windows over the bounded per-(group, partition)
+    totals relation. The targets relation is (#groups x len(qs)) rows
+    and joins back with a GROUP EQUI-KEY plus the covering-range
+    residual — a broadcast HASH join (not a nested loop: the equi key
+    hashes, the range predicate filters the few same-group rows).
+
+    Returns one row per (group, q):
+    ``(by, q double, quantile_value double)``, rounded to 6.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    vals = df.select(
+        F.col(by).alias("__g"), F.col(col).cast("double").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    hist = (
+        vals.groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .repartitionByRange(n_parts, F.asc("__g"), F.asc("__v"))
+        .withColumn("__pid", F.spark_partition_id())
+    ).localCheckpoint()
+    run = (
+        Window.partitionBy("__pid", "__g")
+        .orderBy(F.asc("__v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = hist.withColumn("__lcum", F.sum("__cnt").over(run))
+    tot = hist.groupBy("__g", "__pid").agg(F.sum("__cnt").alias("__tot"))
+    w_off = (
+        Window.partitionBy("__g")
+        .orderBy(F.asc("__pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_n = Window.partitionBy("__g")
+    offsets = tot.select(
+        "__g",
+        "__pid",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__tot").over(w_n).alias("__n"),
+    )
+    cum = (
+        local.join(F.broadcast(offsets), ["__g", "__pid"])
+        .withColumn("__cum", F.col("__off") + F.col("__lcum"))
+        .withColumn("__prev", F.col("__cum") - F.col("__cnt"))
+        .select("__g", "__v", "__prev", "__cum")
+    )
+    n_by_g = tot.groupBy("__g").agg(F.sum("__tot").alias("__n"))
+    targets = (
+        n_by_g.select(
+            "__g",
+            "__n",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+        .withColumn("__pos", F.col("q") * (F.col("__n") - 1).cast("double"))
+        .withColumn("__klo", F.floor("__pos").cast("long"))
+        .withColumn("__khi", F.ceil("__pos").cast("long"))
+        .withColumn("__frac", F.col("__pos") - F.col("__klo").cast("double"))
+        .select("__g", "q", "__klo", "__khi", "__frac")
+    )
+    covered = cum.join(
+        F.broadcast(targets),
+        (cum["__g"] == targets["__g"])
+        & (F.col("__cum") > F.col("__klo"))
+        & (F.col("__prev") <= F.col("__khi")),
+    ).drop(targets["__g"])
+    lo_hits = F.when(
+        (F.col("__prev") <= F.col("__klo")) & (F.col("__cum") > F.col("__klo")),
+        F.col("__v"),
+    )
+    hi_hits = F.when(
+        (F.col("__prev") <= F.col("__khi")) & (F.col("__cum") > F.col("__khi")),
+        F.col("__v"),
+    )
+    return (
+        covered.groupBy("__g", "q")
+        .agg(
+            F.max(lo_hits).alias("__vlo"),
+            F.max(hi_hits).alias("__vhi"),
+            F.max("__frac").alias("__f"),
+        )
+        .select(
+            F.col("__g").alias(by),
+            "q",
+            F.round(
+                F.col("__vlo")
+                + F.col("__f") * (F.col("__vhi") - F.col("__vlo")),
+                6,
+            ).alias("quantile_value"),
+        )
+    )

@@ -636,3 +636,34 @@ def test_dsir_logratio_matches_brute_force_lm(spark):
     want = {doc_id: score(text) for doc_id, text, _ in rows}
     assert got == want
     assert got[4] > got[5]  # target-looking raw doc outscores off-domain
+
+
+def test_exact_quantiles_by_matches_numpy_per_group(spark):
+    """Grouped two-phase quantiles == per-group numpy linear
+    interpolation, partition-count invariant, and the probe join plans
+    as a broadcast HASH join (group equi-key), never a nested loop."""
+    import numpy as np
+
+    from gnip_trend_detection_spark.operators.quantile import exact_quantiles_by
+
+    data = {
+        "a": [5.0, 1.0, 3.0, 3.0, 2.0],
+        "b": [10.0, 20.0],
+        "c": [7.0],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs] + [("a", None)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    qs = [0.0, 0.5, 0.75, 1.0]
+    want = {
+        (g, q): round(float(np.quantile(vs, q)), 6)
+        for g, vs in data.items()
+        for q in qs
+    }
+    for n_parts in (1, 4, 32):
+        res = exact_quantiles_by(df, "value", qs, by="grp", n_parts=n_parts)
+        got = {
+            (r["grp"], r["q"]): r["quantile_value"] for r in res.collect()
+        }
+        assert got == want, n_parts
+    plan = exact_quantiles_by(df, "value", qs, by="grp")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
