@@ -291,3 +291,85 @@ def pack_sequences(
             (F.col("block_end") - F.col("block_start") + 1).cast("long"),
         )
     )
+
+
+def unimax_budget(
+    docs: DataFrame,
+    budget_tokens: float,
+    max_epochs: float = 4.0,
+    group_col: str = "source",
+    token_col: str = "n_chars",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split a total training-token budget across sources
+    as uniformly as possible, subject to no source repeating more than
+    ``max_epochs`` times — the principled alternative to
+    temperature sampling that over-epochs small sources.
+
+    Water-filling closed form: with per-source capacities
+    c_i = max_epochs * tokens_i sorted ascending, the level s* solves
+    sum_i min(c_i, s*) = B. For each rank i (1-based, prefix
+    P_{i-1} = sum of the i-1 smallest capacities), the candidate level
+    s_i = (B - P_{i-1}) / (n - i + 1) is the answer iff s_i <= c_i
+    (all ranks below are capped, everyone from i up drinks s_i).
+    Every valid candidate sits at rank >= the true boundary i* and is
+    <= s* (capacities above the boundary are >= s*, which drags later
+    candidates down), while every rank below i* is strictly invalid
+    (s_i > c_i there) — so s* = MAX over valid candidates. If none is
+    valid the budget exceeds total capacity and every source caps
+    out. Every allocation is then min(c_i, s*).
+
+    Scale shape: ONE groupBy(source) aggregation over the corpus (the
+    only data-sized shuffle); the water-filling runs entirely in
+    rank/cumsum/min windows over the #sources-row aggregate — bounded
+    by the source vocabulary, never by corpus volume. Deterministic:
+    ties in capacity order break on the group key.
+
+    Returns per source: ``n_tokens``, ``capacity``, ``alloc_tokens``
+    (rounded to 6), ``epochs`` (alloc/tokens, rounded 6), ``weight``
+    (alloc/budget, rounded 6).
+    """
+    b = float(budget_tokens)
+    per = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.sum(F.col(token_col)).cast("double").alias("n_tokens")
+    )
+    per = per.withColumn("capacity", F.col("n_tokens") * F.lit(float(max_epochs)))
+    order = Window.orderBy(F.asc("capacity"), F.asc("source"))
+    ranked = (
+        per.withColumn("__i", F.row_number().over(order))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(F.lit(0))))
+        .withColumn(
+            "__pprev",
+            F.coalesce(
+                F.sum("capacity").over(
+                    order.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ),
+        )
+    )
+    s_cand = (F.lit(b) - F.col("__pprev")) / (
+        F.col("__n") - F.col("__i") + 1
+    ).cast("double")
+    ranked = ranked.withColumn(
+        "__s_valid", F.when(s_cand <= F.col("capacity"), s_cand)
+    )
+    level = F.max("__s_valid").over(Window.partitionBy(F.lit(0)))
+    return (
+        ranked.withColumn("__level", level)
+        .withColumn(
+            "alloc_raw",
+            F.when(
+                F.col("__level").isNull(), F.col("capacity")
+            ).otherwise(F.least(F.col("capacity"), F.col("__level"))),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("capacity").cast("long").alias("capacity"),
+            F.round("alloc_raw", 6).alias("alloc_tokens"),
+            F.round(F.col("alloc_raw") / F.col("n_tokens"), 6).alias("epochs"),
+            F.round(F.col("alloc_raw") / F.lit(b), 6).alias("weight"),
+        )
+    )

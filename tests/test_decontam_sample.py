@@ -320,3 +320,51 @@ def test_pack_sequences_contiguous_token_stream(spark):
     assert again == {
         r["doc_id"]: (r["shard"], r["pos"], r["tok_start"]) for r in out
     }
+
+
+def test_unimax_budget_matches_bisection_water_filling(spark):
+    """unimax_budget's closed-form level == a bisection solve of
+    sum(min(c_i, s)) = B, across budgets that land the level inside a
+    run, exactly on a capacity boundary, and beyond total capacity
+    (everything caps); allocations always sum to min(B, sum(c))."""
+    from gnip_trend_detection_spark.extras.sample import unimax_budget
+
+    rows = [
+        ("a", 100), ("a", 100),   # 200 tokens
+        ("b", 50),                # 50
+        ("c", 500), ("c", 300),   # 800
+        ("d", 50),                # 50
+        ("e", 2000),              # 2000
+    ]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    toks = {"a": 200.0, "b": 50.0, "c": 800.0, "d": 50.0, "e": 2000.0}
+    E = 2.0
+    caps = {s: E * t for s, t in toks.items()}
+
+    def brute(budget):
+        if budget >= sum(caps.values()):
+            return {s: c for s, c in caps.items()}
+        lo, hi = 0.0, max(caps.values())
+        for _ in range(200):
+            mid = (lo + hi) / 2
+            if sum(min(c, mid) for c in caps.values()) < budget:
+                lo = mid
+            else:
+                hi = mid
+        return {s: min(c, hi) for s, c in caps.items()}
+
+    # 400 -> level inside the bottom run; 200.0 -> exactly on b/d's
+    # cap boundary (100 each); 7000 -> beyond total capacity 6200
+    for budget in (400.0, 200.0, 2500.0, 7000.0):
+        got = {
+            r["source"]: r
+            for r in unimax_budget(
+                df, budget, max_epochs=E
+            ).collect()
+        }
+        want = brute(budget)
+        for s in toks:
+            assert abs(got[s]["alloc_tokens"] - want[s]) < 1e-4, (budget, s)
+            assert got[s]["capacity"] == int(caps[s])
+        total = sum(r["alloc_tokens"] for r in got.values())
+        assert abs(total - min(budget, sum(caps.values()))) < 1e-3, budget
