@@ -131,7 +131,10 @@ HEADLINE = [
     "cluster_balanced_sample",
     "char_entropy",
     "global_quantiles",
+    "grouped_quantiles",
     "dsir_scores",
+    "quality_percentile_gate",
+    "unimax_budget",
     # set_similarity_join is deliberately NOT benched: an EXACT
     # Jaccard join's output is workload-quadratic in true pairs, and
     # the synthetic corpus is template-dense (~43k true pairs >= 0.9

@@ -1315,6 +1315,60 @@ FROM p
 WHERE CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) >= 0.9
 """
 
+    # UniMax water-filling budget allocation (extras/sample.py:
+    # unimax_budget): same rank/cumsum/max-valid-candidate windows
+    # over the per-source aggregate, budget 100k, 4 epochs
+    sql["unimax_budget"] = """
+WITH per AS (
+  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS n_tokens
+  FROM documents GROUP BY source
+),
+cap AS (SELECT source, n_tokens, n_tokens * 4.0 AS capacity FROM per),
+r AS (
+  SELECT source, n_tokens, capacity,
+         ROW_NUMBER() OVER (ORDER BY capacity, source) AS i,
+         COUNT(*) OVER () AS n,
+         COALESCE(SUM(capacity) OVER (
+           ORDER BY capacity, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+           AS pprev
+  FROM cap
+),
+v AS (
+  SELECT *,
+         CASE WHEN (100000.0 - pprev) / CAST(n - i + 1 AS DOUBLE)
+                   <= capacity
+              THEN (100000.0 - pprev) / CAST(n - i + 1 AS DOUBLE)
+         END AS s_valid
+  FROM r
+),
+l AS (
+  SELECT *,
+         CASE WHEN MAX(s_valid) OVER () IS NULL THEN capacity
+              ELSE LEAST(capacity, MAX(s_valid) OVER ())
+         END AS alloc_raw
+  FROM v
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(capacity AS BIGINT) AS capacity,
+       ROUND(alloc_raw, 6) AS alloc_tokens,
+       ROUND(alloc_raw / n_tokens, 6) AS epochs,
+       ROUND(alloc_raw / 100000.0, 6) AS weight
+FROM l
+"""
+
+    # exact-percentile curation gate (queries.
+    # q_quality_percentile_gate): p30 threshold from quantile_cont,
+    # docs at/above kept
+    sql["quality_percentile_gate"] = f"""
+WITH q AS ({sql["text_quality"]}),
+thr AS (SELECT ROUND(quantile_cont(quality_micro, 0.3), 6) AS t FROM q)
+SELECT doc_id, quality_micro
+FROM q CROSS JOIN thr
+WHERE CAST(quality_micro AS DOUBLE) >= t
+"""
+
     # DSIR importance scores, target = lang 'en' (extras/text.py:
     # dsir_logratio): add-one-smoothed target vs raw unigram LM
     # log-ratio, length-normalized; same ln() and groupings as Spark
@@ -1459,6 +1513,20 @@ FROM (
                 [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])) AS v
   FROM events
 )
+"""
+
+    # per-group exact quantile ladder (operators/quantile.py:
+    # exact_quantiles_by via queries.q_grouped_quantiles)
+    sql["grouped_quantiles"] = """
+WITH g AS (
+  SELECT event_type,
+         quantile_cont(value, [0.1, 0.5, 0.9, 0.99]) AS vs
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(unnest([0.1, 0.5, 0.9, 0.99]) AS DOUBLE) AS q,
+       ROUND(unnest(vs), 6) AS quantile_value
+FROM g
 """
 
     # as-of enrichment (operators/asof.py) — DuckDB has native ASOF

@@ -680,6 +680,39 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_similarity_join(docs, threshold=0.9)
 
 
+def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped budget allocation across sources (extras/
+    sample.py:unimax_budget): 100k-token budget, max 4 epochs per
+    source — under the fixtures' ~600k+ total capacity at every SF,
+    so the water-filling level genuinely engages (small sources cap,
+    large ones split the remainder uniformly)."""
+    from gnip_trend_detection_spark.extras.sample import unimax_budget
+
+    return unimax_budget(
+        _docs(spark, sf_dir), budget_tokens=100000.0, max_epochs=4.0
+    )
+
+
+def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exact-percentile curation gate: keep docs at or
+    above the corpus p30 of quality_micro, with the threshold computed
+    by the two-phase histogram (exact_quantiles), broadcast as one
+    row, and applied in the same plan — the "trim the bottom 30% by
+    quality" move with no single-partition sort and no approx-sketch
+    tail distortion."""
+    from gnip_trend_detection_spark.operators.quantile import exact_quantiles
+
+    scores = text.quality_score(_docs(spark, sf_dir))
+    thr = exact_quantiles(scores, "quality_micro", [0.3]).select(
+        F.col("quantile_value").alias("__thr")
+    )
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_micro").cast("double") >= F.col("__thr"))
+        .select("doc_id", "quality_micro")
+    )
+
+
 def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance scores with the English subset as the target
     domain: raw docs whose unigram distribution looks English score
@@ -808,6 +841,20 @@ def q_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return exact_quantiles(
         ev, "value", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    )
+
+
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact quantile_cont ladder via the grouped
+    two-phase histogram (operators/quantile.py:exact_quantiles_by) —
+    the hot-group-safe exact answer: value_quantiles' percentile()
+    buffers every group value in one aggregation buffer; this buffers
+    nothing bigger than the distinct-value histogram row."""
+    from gnip_trend_detection_spark.operators.quantile import exact_quantiles_by
+
+    ev = load_table(spark, sf_dir, "events")
+    return exact_quantiles_by(
+        ev, "value", [0.1, 0.5, 0.9, 0.99], by="event_type"
     )
 
 
@@ -2982,6 +3029,8 @@ ALL: dict[str, QueryFn] = {
     "char_entropy": q_char_entropy,
     "dsir_scores": q_dsir_scores,
     "set_similarity_join": q_set_similarity_join,
+    "quality_percentile_gate": q_quality_percentile_gate,
+    "unimax_budget": q_unimax_budget,
     "pii_scrub": q_pii_scrub,
     "events_rollup": q_events_rollup,
     "asof_enrich": q_asof_enrich,
@@ -2989,6 +3038,7 @@ ALL: dict[str, QueryFn] = {
     "value_histogram": q_value_histogram,
     "value_quantiles_approx": q_value_quantiles_approx,
     "global_quantiles": q_global_quantiles,
+    "grouped_quantiles": q_grouped_quantiles,
     "corpus_report": q_corpus_report,
     "range_burst_count": q_range_burst_count,
     "tpch_q3_shipping": q_tpch_q3_shipping,

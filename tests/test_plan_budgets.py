@@ -44,6 +44,7 @@ BNLJ_OK = {
     "embedding_covariance",     # broadcast 1-row vector count n
     "dsir_scores",         # broadcast 1-row (N_t, N_r, V) LM totals
     "global_quantiles",    # broadcast len(qs)-row quantile targets
+    "quality_percentile_gate",  # broadcast 1-row threshold + 1-row target
     "heavy_hitter_terms",  # broadcast 1-row total-count scalar
     "mix_sources",         # broadcast 1-row admissible-total scalar
     "mix_temperature",     # broadcast 1-row weight-sum scalar
@@ -110,6 +111,9 @@ UNPARTITIONED_WINDOW_OK = {
     "detector_ensemble",   # row_number over the top-50 rank_sum head
     "tpch_q3_shipping",    # row_number over the top-10 revenue head
     "global_quantiles",    # offsets over <= n_parts per-pid totals
+    "quality_percentile_gate",  # same exact_quantiles offsets shape
+    "unimax_budget",       # water-filling windows over the #sources-
+                           # row per-source aggregate
 }
 
 
