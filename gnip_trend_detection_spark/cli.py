@@ -161,6 +161,25 @@ def _build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--shards", type=int, default=8)
     pk.add_argument("--seed", type=int, default=42)
 
+    bg = sub.add_parser(
+        "budget",
+        help="UniMax epoch-capped token-budget allocation across "
+        "sources (water-filling mixture planner)",
+    )
+    bg.add_argument("-i", "--input", required=True, help="corpus file/dir")
+    bg.add_argument("-o", "--output", help="optional parquet output dir")
+    bg.add_argument(
+        "--format", choices=("jsonl", "parquet"), default="jsonl", dest="fmt"
+    )
+    bg.add_argument("--budget-tokens", type=float, required=True)
+    bg.add_argument("--max-epochs", type=float, default=4.0)
+    bg.add_argument("--group-by", default="source")
+    bg.add_argument(
+        "--token-col", default="n_chars",
+        help="per-doc token-count column; falls back to length(text) "
+        "when the column is absent",
+    )
+
     dc = sub.add_parser(
         "decontam", help="benchmark-contamination report over a corpus"
     )
@@ -334,7 +353,9 @@ def main(argv: list[str] | None = None) -> int:
         print(f"forget: {n_before - n_after} row(s) dropped, {n_after} kept")
         return 0
 
-    if args.cmd in ("curate", "chunk", "split", "dedup", "decontam", "pack"):
+    if args.cmd in (
+        "curate", "chunk", "split", "dedup", "decontam", "pack", "budget"
+    ):
         from gnip_trend_detection_spark.sources.jsonl import load_documents_jsonl
 
         def read_docs(path):
@@ -384,6 +405,32 @@ def main(argv: list[str] | None = None) -> int:
         # manifest — the same partitionBy-write shape the packing
         # order was computed in
         out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
+        return 0
+
+    if args.cmd == "budget":
+        from pyspark.sql import functions as F
+
+        from gnip_trend_detection_spark.extras.sample import unimax_budget
+
+        docs = read_docs(args.input)
+        if args.token_col not in docs.columns:
+            docs = docs.withColumn(args.token_col, F.length("text"))
+        out = unimax_budget(
+            docs,
+            budget_tokens=args.budget_tokens,
+            max_epochs=args.max_epochs,
+            group_col=args.group_by,
+            token_col=args.token_col,
+        )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        # bounded by the source vocabulary, not corpus volume
+        for r in out.orderBy("source").collect():
+            print(
+                f"{r['source']}: tokens={r['n_tokens']} "
+                f"alloc={r['alloc_tokens']:.0f} epochs={r['epochs']:.3f} "
+                f"weight={r['weight']:.4f}"
+            )
         return 0
 
     if args.cmd == "dedup":

@@ -415,3 +415,41 @@ def test_cli_pack_manifest(tmp_path, spark):
             assert r["tok_start"] == expect
             assert r["block_start"] == r["tok_start"] // 16
             expect = r["tok_end"]
+
+
+def test_cli_budget_allocates_and_writes(tmp_path, spark, capsys):
+    """`budget` prints one allocation line per source, conserves the
+    budget, and (without n_chars in the input) falls back to
+    length(text); the optional parquet output round-trips."""
+    from gnip_trend_detection_spark.cli import main
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    lines = []
+    i = 0
+    for source, n_docs, words in (("big", 30, 40), ("small", 3, 5)):
+        for _ in range(n_docs):
+            text = " ".join(f"w{j}" for j in range(words))
+            lines.append(
+                f'{{"doc_id": {i}, "text": "{text}", "lang": "en", '
+                f'"source": "{source}"}}'
+            )
+            i += 1
+    (corpus / "docs.jsonl").write_text("\n".join(lines))
+
+    out = tmp_path / "alloc"
+    rc = main(
+        [
+            "budget", "-i", str(corpus), "-o", str(out),
+            "--budget-tokens", "2000", "--max-epochs", "2",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert len(printed) == 2 and printed[0].startswith("big:")
+
+    rows = {r["source"]: r for r in spark.read.parquet(str(out)).collect()}
+    # small caps at 2 epochs of its tokens; big takes the remainder
+    assert rows["small"]["alloc_tokens"] == rows["small"]["capacity"]
+    total = sum(r["alloc_tokens"] for r in rows.values())
+    assert abs(total - 2000.0) < 1e-6
