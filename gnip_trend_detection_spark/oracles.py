@@ -1286,7 +1286,7 @@ w AS (
 SELECT doc_id,
        CAST(MAX(n) AS BIGINT) AS n_chars_t,
        ROUND(-SUM((CAST(c AS DOUBLE) / n) * LOG2(CAST(c AS DOUBLE) / n)), 6)
-         AS entropy_bits
+         + 0.0 AS entropy_bits
 FROM w GROUP BY doc_id
 """
 
@@ -1395,7 +1395,7 @@ SELECT doc_id,
        ROUND(SUM(CAST(tf AS DOUBLE) *
                  (LN((CAST(c_t AS DOUBLE) + 1.0) / (n_t + v))
                   - LN((CAST(c_r AS DOUBLE) + 1.0) / (n_r + v))))
-             / CAST(SUM(tf) AS DOUBLE), 6) AS dsir_score
+             / CAST(SUM(tf) AS DOUBLE), 6) + 0.0 AS dsir_score
 FROM tf JOIN lm USING (term) CROSS JOIN tot
 GROUP BY doc_id
 """
@@ -1506,13 +1506,39 @@ GROUP BY event_type
     # unnests zip positionally in DuckDB, pairing each q with its
     # quantile_cont value
     sql["global_quantiles"] = """
-SELECT CAST(q AS DOUBLE) AS q, ROUND(v, 6) AS quantile_value
+SELECT CAST(q AS DOUBLE) AS q, ROUND(v, 6) + 0.0 AS quantile_value
 FROM (
   SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS q,
          unnest(quantile_cont(value,
                 [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])) AS v
   FROM events
 )
+"""
+
+    # median/MAD robust outliers on the 60s grid (operators/detect.py:
+    # detect_mad_outliers): med/MAD rounded 6 like the Spark
+    # exact_quantiles_by outputs, MAD=0 counters excluded
+    sql["mad_outliers"] = f"""
+WITH counts AS ({_events_counts(60)}),
+med AS (
+  SELECT counter, ROUND(quantile_cont(cnt, 0.5), 6) AS med
+  FROM counts GROUP BY counter
+),
+dev AS (
+  SELECT c.counter, c.s_epoch, c.cnt, m.med, ABS(c.cnt - m.med) AS dv
+  FROM counts c JOIN med m USING (counter)
+),
+mad AS (
+  SELECT counter, ROUND(quantile_cont(dv, 0.5), 6) AS mad
+  FROM dev GROUP BY counter
+)
+SELECT d.counter,
+       CAST(d.s_epoch AS BIGINT) AS t_epoch,
+       d.cnt AS count,
+       ROUND((d.cnt - d.med) / (1.4826 * a.mad), 6) AS robust_z
+FROM dev d JOIN mad a USING (counter)
+WHERE a.mad > 0
+  AND ABS(ROUND((d.cnt - d.med) / (1.4826 * a.mad), 6)) >= 3.0
 """
 
     # per-group exact quantile ladder (operators/quantile.py:
@@ -1525,7 +1551,7 @@ WITH g AS (
 )
 SELECT event_type,
        CAST(unnest([0.1, 0.5, 0.9, 0.99]) AS DOUBLE) AS q,
-       ROUND(unnest(vs), 6) AS quantile_value
+       ROUND(unnest(vs), 6) + 0.0 AS quantile_value
 FROM g
 """
 

@@ -812,6 +812,22 @@ def q_range_burst_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers over the 60s count grid
+    (operators/detect.py:detect_mad_outliers) — the distribution-free
+    detector built on the grouped two-phase quantile histograms."""
+    from gnip_trend_detection_spark.operators.detect import detect_mad_outliers
+
+    counts = counts_from_events(spark, sf_dir, 60)
+    out = detect_mad_outliers(counts, z_threshold=3.0)
+    return out.select(
+        "counter",
+        F.col("interval_start").cast("double").cast("long").alias("t_epoch"),
+        "count",
+        "robust_z",
+    )
+
+
 def q_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of value_quantiles: approx_percentile's
     t-digest is mergeable (map-side combine, one narrow shuffle, no
@@ -3039,6 +3055,7 @@ ALL: dict[str, QueryFn] = {
     "value_quantiles_approx": q_value_quantiles_approx,
     "global_quantiles": q_global_quantiles,
     "grouped_quantiles": q_grouped_quantiles,
+    "mad_outliers": q_mad_outliers,
     "corpus_report": q_corpus_report,
     "range_burst_count": q_range_burst_count,
     "tpch_q3_shipping": q_tpch_q3_shipping,

@@ -79,6 +79,11 @@ EXCHANGE_CEILING = {
     # one-pass dual-LM agg: tf agg, flag join, w-keyed LM agg, tf⋈LM
     # join, per-doc re-agg — all keyed exchanges
     "dsir_scores": 9,
+    # two grouped-quantile histogram passes (median, then MAD), each
+    # a keyed exchange + the checkpointed bounded-offsets machinery,
+    # plus the two joins back — static count includes the counts
+    # subtree under both passes; AQE/reuse collapse at runtime
+    "mad_outliers": 17,
     # one arity up from unigram_logppl: (doc, w1, w2) tf agg + the
     # lm and prefix roll-ups + two term joins, all keyed
     "bigram_logppl": 11,

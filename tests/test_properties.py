@@ -667,3 +667,29 @@ def test_exact_quantiles_by_matches_numpy_per_group(spark):
         assert got == want, n_parts
     plan = exact_quantiles_by(df, "value", qs, by="grp")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_detect_mad_outliers_flags_planted_spike(spark):
+    """MAD detector flags exactly the planted spike, scores it with
+    the hand-computed (x - med) / (1.4826 * MAD), and drops
+    constant (MAD=0) counters instead of dividing by zero."""
+    rows = []
+    # counter A: stable around 10 with one spike at 100
+    vals_a = [10.0, 11.0, 9.0, 10.0, 12.0, 10.0, 100.0, 11.0, 9.0]
+    for i, v in enumerate(vals_a):
+        rows.append(("A", i, v))
+    # counter B: constant -> MAD 0 -> excluded entirely
+    for i in range(6):
+        rows.append(("B", i, 5.0))
+    df = spark.createDataFrame(rows, "counter string, t long, count double")
+
+    from gnip_trend_detection_spark.operators.detect import detect_mad_outliers
+
+    got = detect_mad_outliers(df, z_threshold=3.0).collect()
+    assert [(r["counter"], r["t"]) for r in got] == [("A", 6)]
+    import statistics
+
+    med = statistics.median(vals_a)
+    mad = statistics.median(abs(v - med) for v in vals_a)
+    want = round((100.0 - med) / (1.4826 * mad), 6)
+    assert got[0]["robust_z"] == want
