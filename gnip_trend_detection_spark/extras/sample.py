@@ -373,3 +373,41 @@ def unimax_budget(
             F.round(F.col("alloc_raw") / F.lit(b), 6).alias("weight"),
         )
     )
+
+
+def materialize_budget(
+    docs: DataFrame,
+    allocation: DataFrame,
+    group_col: str = "source",
+    seed: int = 42,
+) -> DataFrame:
+    """Turn a :func:`unimax_budget` allocation into an actual
+    replication manifest: per doc, ``n_copies = floor(epochs) +
+    Bernoulli(frac(epochs))`` with the Bernoulli decided by the
+    repo's deterministic key-hash draw — so a source allocated 2.3
+    epochs emits every doc twice plus a reproducible 30% third copy,
+    and a source allocated 0.4 epochs keeps a reproducible 40%
+    subset. Expected tokens per source == alloc_tokens, on any
+    cluster layout, any retry (see the module docstring on why
+    df.sample() cannot give that guarantee).
+
+    Scale shape: the #sources-row allocation broadcasts into a map
+    side hash join over the corpus scan; the draw is a pure column
+    expression — zero extra shuffles, composes with pushdown. Docs
+    landing at 0 copies are dropped (the manifest lists only what the
+    loader should read).
+    """
+    al = allocation.select(
+        F.col("source").alias("__g"), F.col("epochs").alias("__e")
+    )
+    frac = F.col("__e") - F.floor("__e")
+    n_copies = (
+        F.floor("__e")
+        + F.when(uniform_draw(F.col("doc_id"), seed) < frac, 1).otherwise(0)
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(al), docs[group_col] == F.col("__g"))
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") >= 1)
+        .select("doc_id", F.col(group_col).alias("source"), "n_copies")
+    )

@@ -1358,6 +1358,25 @@ SELECT source,
 FROM l
 """
 
+    # unimax plan -> replication manifest (extras/sample.py:
+    # materialize_budget): floor(epochs) + key-hash Bernoulli(frac),
+    # same md5 draw as every sampler oracle
+    sql["budget_materialize"] = f"""
+WITH alloc AS ({sql["unimax_budget"]})
+SELECT d.doc_id, d.source,
+       CAST(FLOOR(a.epochs)
+            + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                              || ':42'), 1, 8)) AS BIGINT)
+                        / 4294967296.0 < a.epochs - FLOOR(a.epochs)
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+FROM documents d JOIN alloc a ON d.source = a.source
+WHERE CAST(FLOOR(a.epochs)
+           + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                             || ':42'), 1, 8)) AS BIGINT)
+                       / 4294967296.0 < a.epochs - FLOOR(a.epochs)
+                  THEN 1 ELSE 0 END AS BIGINT) >= 1
+"""
+
     # exact-percentile curation gate (queries.
     # q_quality_percentile_gate): p30 threshold from quantile_cont,
     # docs at/above kept

@@ -693,6 +693,21 @@ def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_budget_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unimax_budget plan turned into an actual replication manifest
+    (extras/sample.py:materialize_budget): floor(epochs) full copies
+    per doc + a deterministic key-hash Bernoulli for the fraction —
+    plan-to-dataset in one broadcast join over the scan."""
+    from gnip_trend_detection_spark.extras.sample import (
+        materialize_budget,
+        unimax_budget,
+    )
+
+    docs = _docs(spark, sf_dir)
+    alloc = unimax_budget(docs, budget_tokens=100000.0, max_epochs=4.0)
+    return materialize_budget(docs, alloc)
+
+
 def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end exact-percentile curation gate: keep docs at or
     above the corpus p30 of quality_micro, with the threshold computed
@@ -3047,6 +3062,7 @@ ALL: dict[str, QueryFn] = {
     "set_similarity_join": q_set_similarity_join,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
+    "budget_materialize": q_budget_materialize,
     "pii_scrub": q_pii_scrub,
     "events_rollup": q_events_rollup,
     "asof_enrich": q_asof_enrich,

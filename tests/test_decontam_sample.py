@@ -368,3 +368,40 @@ def test_unimax_budget_matches_bisection_water_filling(spark):
             assert got[s]["capacity"] == int(caps[s])
         total = sum(r["alloc_tokens"] for r in got.values())
         assert abs(total - min(budget, sum(caps.values()))) < 1e-3, budget
+
+
+def test_materialize_budget_replicates_and_samples(spark):
+    """materialize_budget: epochs > 1 -> floor copies for every doc
+    plus a deterministic fractional extra; epochs < 1 -> a subset at
+    the right rate; the manifest is identical under repartitioning."""
+    from gnip_trend_detection_spark.extras.sample import (
+        materialize_budget,
+        unimax_budget,
+    )
+
+    rows = []
+    i = 0
+    for source, n_docs, chars in (("tiny", 20, 10), ("huge", 200, 100)):
+        for _ in range(n_docs):
+            rows.append((i, source, chars))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    # capacities: tiny 800, huge 80000; budget 10k -> tiny caps at 4
+    # epochs (800), huge gets 9200 of its 20000 tokens = 0.46 epochs
+    alloc = unimax_budget(df, budget_tokens=10000.0, max_epochs=4.0)
+    out = materialize_budget(df, alloc)
+    got = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+
+    tiny_ids = [d for d, s, _ in rows if s == "tiny"]
+    huge_ids = [d for d, s, _ in rows if s == "huge"]
+    assert all(got[d] == 4 for d in tiny_ids)  # capped: exactly 4 copies
+    kept_huge = [d for d in huge_ids if d in got]
+    assert all(got[d] == 1 for d in kept_huge)
+    # Bernoulli(0.46) over 200 docs: expect ~92, allow wide determinism band
+    assert 60 <= len(kept_huge) <= 125
+
+    re_got = {
+        r["doc_id"]: r["n_copies"]
+        for r in materialize_budget(df.repartition(13), alloc).collect()
+    }
+    assert re_got == got

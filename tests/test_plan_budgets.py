@@ -119,6 +119,8 @@ UNPARTITIONED_WINDOW_OK = {
     "quality_percentile_gate",  # same exact_quantiles offsets shape
     "unimax_budget",       # water-filling windows over the #sources-
                            # row per-source aggregate
+    "budget_materialize",  # inherits unimax_budget's bounded windows
+                           # (static plan expands them twice)
 }
 
 
