@@ -61,6 +61,56 @@ def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def fertility_by_lang(
+    docs: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-language tokenizer fertility table — the budget-planning
+    view multilingual mixtures need (a language whose tokenizer emits
+    2.1 subwords per word consumes 2.1x the context budget per word,
+    so token budgets and char budgets diverge by language):
+
+        fertility = BPE-ish subword tokens / whitespace words
+        bytes_per_token = chars / subword tokens
+
+    Integer sums per language (exact, merge-order-proof); the two
+    ratios rounded to 6. One scan, one #langs-group hash agg with
+    map-side combine — zero joins, zero extra shuffles.
+    """
+    lt = F.lower(F.col(text_col))
+    t = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.length(lt).alias("n_chars_l"),
+        F.size(tokens(lt)).alias("n_words"),
+        F.size(F.regexp_extract_all(lt, F.lit(BPE_ISH), 0)).alias("n_bpe"),
+    ).filter(F.col("n_bpe") > 0)
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+            F.sum("n_chars_l").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.col("n_bpe_tokens").cast("double"),
+                6,
+            ).alias("bytes_per_token"),
+        )
+    )
+
+
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic heuristic quality in [0,1]: length, lexical
     diversity, word length, stopword density — equal weights.

@@ -1388,6 +1388,30 @@ FROM q CROSS JOIN thr
 WHERE CAST(quality_micro AS DOUBLE) >= t
 """
 
+    # per-language tokenizer fertility (extras/text.py:
+    # fertility_by_lang): integer sums per lang, two rounded ratios
+    sql["fertility_by_lang"] = f"""
+WITH t AS (
+  SELECT lang,
+         length(lower(text)) AS n_chars_l,
+         len({toks}) AS n_words,
+         len(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_words) AS n_words,
+       SUM(n_bpe) AS n_bpe_tokens,
+       SUM(n_chars_l) AS n_chars,
+       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE), 6)
+         AS fertility,
+       ROUND(CAST(SUM(n_chars_l) AS DOUBLE) / CAST(SUM(n_bpe) AS DOUBLE), 6)
+         AS bytes_per_token
+FROM t WHERE n_bpe > 0
+GROUP BY lang
+"""
+
     # DSIR importance scores, target = lang 'en' (extras/text.py:
     # dsir_logratio): add-one-smoothed target vs raw unigram LM
     # log-ratio, length-normalized; same ln() and groupings as Spark

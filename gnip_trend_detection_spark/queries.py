@@ -660,6 +660,13 @@ def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logppl(_docs(spark, sf_dir))
 
 
+def q_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (subword tokens per word,
+    bytes per token) — the budget-planning table multilingual mixing
+    needs (extras/text.py:fertility_by_lang)."""
+    return text.fertility_by_lang(_docs(spark, sf_dir))
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character-unigram Shannon entropy (bits/char) — the
     compressibility quality gate (extras/text.py:char_entropy)."""
@@ -3058,6 +3065,7 @@ ALL: dict[str, QueryFn] = {
     "unigram_logppl": q_unigram_logppl,
     "bigram_logppl": q_bigram_logppl,
     "char_entropy": q_char_entropy,
+    "fertility_by_lang": q_fertility_by_lang,
     "dsir_scores": q_dsir_scores,
     "set_similarity_join": q_set_similarity_join,
     "quality_percentile_gate": q_quality_percentile_gate,

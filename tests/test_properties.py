@@ -693,3 +693,26 @@ def test_detect_mad_outliers_flags_planted_spike(spark):
     mad = statistics.median(abs(v - med) for v in vals_a)
     want = round((100.0 - med) / (1.4826 * mad), 6)
     assert got[0]["robust_z"] == want
+
+
+def test_fertility_by_lang_hand_computed(spark):
+    """fertility_by_lang on a two-language corpus with hand-counted
+    subword segmentation: 'don't stop' = [don, ', t, stop] -> 4 BPE
+    tokens over 2 words; empty-BPE docs drop before grouping."""
+    from gnip_trend_detection_spark.extras.text import fertility_by_lang
+
+    rows = [
+        (1, "don't stop", "en"),     # words 2, bpe 4, chars 10
+        (2, "abc 123", "en"),        # words 2, bpe 2, chars 7
+        (3, "uber-gut", "de"),       # words 1, bpe 3, chars 8
+        (4, "", "de"),               # no bpe tokens -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: r for r in fertility_by_lang(df).collect()}
+    assert set(got) == {"en", "de"}
+    en = got["en"]
+    assert (en["n_docs"], en["n_words"], en["n_bpe_tokens"], en["n_chars"]) == (
+        2, 4, 6, 17
+    )
+    assert en["fertility"] == 1.5
+    assert got["de"]["n_docs"] == 1 and got["de"]["n_bpe_tokens"] == 3
