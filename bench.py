@@ -138,6 +138,7 @@ HEADLINE = [
     "mad_outliers",
     "budget_materialize",
     "fertility_by_lang",
+    "winnow_fingerprints",
     # set_similarity_join is deliberately NOT benched: an EXACT
     # Jaccard join's output is workload-quadratic in true pairs, and
     # the synthetic corpus is template-dense (~43k true pairs >= 0.9

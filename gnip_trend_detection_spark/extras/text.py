@@ -297,6 +297,60 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFram
     return t.mapInPandas(fp, "doc_id long, fingerprint long")
 
 
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): over the doc's Karp-Rabin k-gram hash
+    sequence, keep the minimum of every w-hash window, dedupe. The
+    winnowing guarantee: any substring match of length >= w + k - 1
+    between two docs shares at least one selected fingerprint — so
+    equality joins on these fingerprints find long shared spans with
+    DENSITY-BOUNDED signatures (<= 2/(w+1) of positions selected in
+    expectation) instead of `duplicated_spans`' every-gram index.
+    Docs shorter than k + w - 1 chars have no full window and drop.
+
+    Same hash recurrence and vectorized mapInPandas stage as
+    :func:`fingerprint` (its global-min signature is the w = ∞
+    degenerate case); the window-min is one O(n·w) numpy pass per
+    batch. Emits distinct (doc_id, fingerprint) rows — the index
+    relation a shared-span probe equi-joins on. One scan, the Arrow
+    stage, no shuffle (the downstream join/distinct pays the keyed
+    exchange).
+    """
+    import numpy as np
+    import pandas as pd
+
+    lt = F.lower(F.col(text_col))
+    t = docs.select("doc_id", lt.alias("lt")).filter(
+        F.length("lt") >= k + w - 1
+    )
+
+    def wf(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            fps: list[int] = []
+            for doc_id, s in zip(pdf["doc_id"], pdf["lt"]):
+                try:
+                    codes = np.frombuffer(
+                        s.encode("ascii"), dtype=np.uint8
+                    ).astype(np.int64)
+                except UnicodeEncodeError:
+                    codes = np.fromiter(map(ord, s), dtype=np.int64, count=len(s))
+                n_win = codes.size - k + 1
+                h = np.zeros(n_win, dtype=np.int64)
+                for j in range(k):
+                    h = (h * FP_BASE + codes[j : j + n_win]) % FP_MOD
+                sel = np.unique(
+                    np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+                )
+                ids.extend([doc_id] * sel.size)
+                fps.extend(int(x) for x in sel)
+            yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
+
+    return t.mapInPandas(wf, "doc_id long, fingerprint long")
+
+
 def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document (smoothed idf:
     ln((N+1)/(df+1)) + 1, the sklearn TfidfVectorizer form).

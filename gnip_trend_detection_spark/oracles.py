@@ -1189,6 +1189,27 @@ SELECT doc_id,
 FROM t WHERE length(lt) >= 8
 """
 
+    # winnowing fingerprint selection (extras/text.py:
+    # winnow_fingerprints, k=8, w=4): same Horner k-gram hashes as
+    # doc_fingerprint, then distinct window-of-4 minima
+    sql["winnow_fingerprints"] = """
+WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+h AS (
+  SELECT doc_id,
+         [list_reduce([ascii(substr(lt, i + j, 1)) for j in generate_series(0, 7)],
+                      (a, c) -> (CAST(a AS BIGINT) * 257 + c) % 2147483647)
+          for i in generate_series(1, length(lt) - 7)] AS hs
+  FROM t WHERE length(lt) >= 11
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct([list_aggregate(list_slice(hs, i, i + 3), 'min')
+                        for i in generate_series(1, len(hs) - 3)]) AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM sel
+"""
+
     # within-doc n-gram repetition (extras/text.py:repetition_stats)
     sql["text_repetition"] = f"""
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),

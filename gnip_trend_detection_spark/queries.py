@@ -660,6 +660,13 @@ def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logppl(_docs(spark, sf_dir))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection over the corpus
+    (extras/text.py:winnow_fingerprints, k=8, w=4) — the
+    density-bounded span-match index."""
+    return text.winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def q_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility (subword tokens per word,
     bytes per token) — the budget-planning table multilingual mixing
@@ -3066,6 +3073,7 @@ ALL: dict[str, QueryFn] = {
     "bigram_logppl": q_bigram_logppl,
     "char_entropy": q_char_entropy,
     "fertility_by_lang": q_fertility_by_lang,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "dsir_scores": q_dsir_scores,
     "set_similarity_join": q_set_similarity_join,
     "quality_percentile_gate": q_quality_percentile_gate,

@@ -716,3 +716,30 @@ def test_fertility_by_lang_hand_computed(spark):
     )
     assert en["fertility"] == 1.5
     assert got["de"]["n_docs"] == 1 and got["de"]["n_bpe_tokens"] == 3
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """The winnowing guarantee: docs sharing a substring of length
+    >= w + k - 1 (= 11 at k=8, w=4) share at least one selected
+    fingerprint; selections are far sparser than the full gram set;
+    sub-window docs are dropped."""
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, "AAAA " + shared + " BBBB"),
+        (2, "cccccc " + shared + " dddddddd"),
+        (3, "completely unrelated text body here"),
+        (4, "too short"),  # 9 chars < 11 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from gnip_trend_detection_spark.extras.text import winnow_fingerprints
+
+    got = winnow_fingerprints(df).collect()
+    by_doc: dict[int, set] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert set(by_doc) == {1, 2, 3}
+    assert by_doc[1] & by_doc[2], "shared 25-char span must collide"
+    # density: selections <= n_grams, and well below it on real text
+    n_grams_1 = len(rows[0][1]) - 8 + 1
+    assert len(by_doc[1]) < n_grams_1 / 2
