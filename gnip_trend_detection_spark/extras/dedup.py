@@ -892,3 +892,82 @@ def set_similarity_join(
         .filter(F.col("j") >= t)
         .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    max_occurrences: int = 2,
+) -> DataFrame:
+    """Sub-document repeated-span removal with document reassembly —
+    the C4 "discard any line occurring ≥3 times in the corpus" pass
+    (Raffel et al. 2020 §2.2) adapted to whitespace corpora: split
+    each document into consecutive NON-overlapping k-token segments,
+    count each segment's corpus-wide occurrences, drop segments seen
+    more than ``max_occurrences`` times anywhere (boilerplate,
+    navigation chrome, license headers), and stitch the survivors back
+    together in document order. Unlike whole-doc dedup (exact/LSH),
+    this removes duplication INSIDE otherwise-unique documents — the
+    complementary pass real pretraining pipelines run first.
+
+    Plan (linear, three keyed exchanges, zero Python):
+      1. tokenize + segment via JVM HOFs (sequence/transform/slice),
+         posexplode to (doc_id, seg_idx, seg) — narrow;
+      2. ``groupBy(seg).count()`` — map-side combined histogram;
+      3. shuffle hash join segs⋈counts on seg (both sides corpus-sized
+         — deliberately NOT broadcast) + filter;
+      4. ``groupBy(doc_id)`` reassembly: sort the per-doc struct array
+         (bounded by doc length) and array_join — one exchange keyed
+         by doc_id;
+      5. left join back onto per-doc totals so fully-boilerplate docs
+         still emit a row (clean_text = '') instead of silently
+         vanishing — the NULL-preservation rule the exact-dedup CLI
+         review established.
+    At 100 TB: the seg histogram is the only wide relation; hot
+    segments (the exact thing being removed) are absorbed by partial
+    aggregation, and the join key distribution AFTER the filter is
+    near-uniform because the hot keys were just dropped. AQE handles
+    residual skew.
+
+    Returns (doc_id, n_segments, n_kept, clean_text), one row per
+    non-empty input doc.
+    """
+    t = docs.select("doc_id", tokens(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n_seg = F.ceil(F.size("toks") / F.lit(float(k))).cast("int")
+    segs = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i * F.lit(k) + F.lit(1), F.lit(k)), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    counts = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("n_occ"))
+    kept = (
+        segs.join(counts, "seg")
+        .filter(F.col("n_occ") <= int(max_occurrences))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

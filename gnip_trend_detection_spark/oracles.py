@@ -1336,6 +1336,41 @@ FROM p
 WHERE CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) >= 0.9
 """
 
+    # sub-document repeated-segment removal + reassembly (extras/
+    # dedup.py:segment_dedup, k=4, max_occurrences=2): same
+    # non-overlapping 4-token segmentation, corpus-wide occurrence
+    # histogram, and seg_idx-ordered stitching
+    sql["segment_dedup"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+seg0 AS (
+  SELECT doc_id,
+         [struct_pack(seg_idx := i,
+                      seg := array_to_string(list_slice(toks, i*4 + 1, i*4 + 4), ' '))
+          for i in generate_series(0, CAST(CEIL(len(toks) / 4.0) AS BIGINT) - 1)] AS segl
+  FROM t WHERE len(toks) > 0
+),
+segs AS (
+  SELECT doc_id, u.seg_idx AS seg_idx, u.seg AS seg
+  FROM (SELECT doc_id, unnest(segl) AS u FROM seg0)
+),
+cnt AS (SELECT seg, COUNT(*) AS n_occ FROM segs GROUP BY 1),
+kept AS (
+  SELECT s.doc_id, s.seg_idx, s.seg
+  FROM segs s JOIN cnt USING (seg) WHERE n_occ <= 2
+),
+asm AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         array_to_string(list(seg ORDER BY seg_idx), ' ') AS clean_text
+  FROM kept GROUP BY 1
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM segs GROUP BY 1)
+SELECT tot.doc_id,
+       CAST(tot.n_segments AS BIGINT) AS n_segments,
+       CAST(COALESCE(asm.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(asm.clean_text, '') AS clean_text
+FROM tot LEFT JOIN asm USING (doc_id)
+"""
+
     # UniMax water-filling budget allocation (extras/sample.py:
     # unimax_budget): same rank/cumsum/max-valid-candidate windows
     # over the per-source aggregate, budget 100k, 4 epochs

@@ -694,6 +694,18 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_similarity_join(docs, threshold=0.9)
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document repeated-span removal + reassembly (extras/
+    dedup.py:segment_dedup) — the C4 repeated-line discard adapted to
+    whitespace corpora: non-overlapping 4-token segments, drop any
+    segment occurring > 2 times corpus-wide, stitch survivors back in
+    document order. The template-dense synthetic corpus removes ~12%
+    of segments, so the pass is actually exercised."""
+    from gnip_trend_detection_spark.extras.dedup import segment_dedup
+
+    return segment_dedup(_docs(spark, sf_dir), k=4, max_occurrences=2)
+
+
 def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax epoch-capped budget allocation across sources (extras/
     sample.py:unimax_budget): 100k-token budget, max 4 epochs per
@@ -3076,6 +3088,7 @@ ALL: dict[str, QueryFn] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "dsir_scores": q_dsir_scores,
     "set_similarity_join": q_set_similarity_join,
+    "segment_dedup": q_segment_dedup,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
     "budget_materialize": q_budget_materialize,

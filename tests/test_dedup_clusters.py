@@ -186,3 +186,56 @@ def test_set_similarity_join_complete_vs_brute_force(spark):
             for r in set_similarity_join(df, threshold=t).collect()
         }
         assert got == want, (t, len(got), len(want))
+
+
+def test_segment_dedup_removes_repeated_spans(spark):
+    """Hand-built corpus: a boilerplate 4-token span shared by three
+    docs must be removed from all of them; unique spans survive in
+    order; a doc that is 100% boilerplate still emits a row with
+    clean_text = '' (NULL-preservation rule)."""
+    from gnip_trend_detection_spark.extras.dedup import segment_dedup
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (0, boiler + " alpha beta gamma delta"),
+        (1, boiler + " epsilon zeta eta theta"),
+        (2, boiler + " iota kappa lambda mu"),
+        (3, boiler),  # fully boilerplate
+        (4, "nu xi omicron pi rho sigma tau upsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(df, k=4, max_occurrences=2).collect()
+    }
+    assert len(out) == 5
+    # the shared first segment occurs 4x > 2 -> dropped everywhere
+    assert out[0]["clean_text"] == "alpha beta gamma delta"
+    assert out[1]["clean_text"] == "epsilon zeta eta theta"
+    assert out[2]["clean_text"] == "iota kappa lambda mu"
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_segments"] == 1 and out[3]["n_kept"] == 0
+    # unique doc is untouched, two segments stitched back IN ORDER
+    assert out[4]["clean_text"] == "nu xi omicron pi rho sigma tau upsilon"
+    assert out[4]["n_segments"] == 2 and out[4]["n_kept"] == 2
+
+
+def test_segment_dedup_short_tail_segment(spark):
+    """Docs whose length is not a multiple of k keep the short trailing
+    segment; per-occurrence counting (not per-doc) drives removal."""
+    from gnip_trend_detection_spark.extras.dedup import segment_dedup
+
+    # "a b c d | e f" — trailing 2-token segment; repeated WITHIN one
+    # doc 3 times counts as 3 occurrences and is removed
+    rows = [
+        (0, "a b c d e f"),
+        (1, "p q r s p q r s p q r s"),  # same segment 3x in ONE doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(df, k=4, max_occurrences=2).collect()
+    }
+    assert out[0]["n_segments"] == 2 and out[0]["clean_text"] == "a b c d e f"
+    assert out[1]["n_segments"] == 3 and out[1]["n_kept"] == 0
+    assert out[1]["clean_text"] == ""
