@@ -1,0 +1,173 @@
+"""Distribution-drift detection between two time periods.
+
+The monitoring layer a production trend pipeline runs NEXT TO the
+detectors (reference `README.md` frames the system as continuous
+counter monitoring): before trusting a model fit, check whether the
+data feeding it still looks like the data it was tuned on. Two
+standard complementary statistics, both computed per group with one
+pass + one keyed aggregation each:
+
+- **PSI** (population stability index) — binned, symmetric-ish KL
+  blend; the industry drift score (>0.2 ≈ act).
+- **Two-sample KS D** — max ECDF gap; exact, bin-free, catches shape
+  drift PSI's coarse bins miss.
+
+Both split the input into reference/current halves at the midpoint of
+the observed time range — deterministic, no wall-clock dependence —
+so the operators double as "did this week drift from last week"
+primitives when callers pre-filter the window.
+
+Scale shape: PSI is two hash aggregations (bin histogram, then
+per-group sum over a fixed n_bins-row grid) — linear, map-side
+combined, no windows at all. KS needs the per-group value ECDF:
+counts collapse to DISTINCT (group, value) rows first, then a window
+PARTITIONED by group orders each group's distinct values —
+parallel across groups; within a hot group the relation is already
+collapsed to distinct values (bounded by value cardinality, not row
+count). At 100 TB with continuous values, swap the exact ECDF for the
+PSI-style binned D (same code, pre-rounded values) — documented
+trade, not a plan defect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tagged(
+    events: DataFrame, group_col: str, value_col: str, ts_col: str
+) -> DataFrame:
+    """(grp, v, is_ref): period split at the midpoint of the observed
+    time range. ``2*t <= tmin + tmax`` keeps the comparison in exact
+    double arithmetic (no division)."""
+    e = events.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+        F.col(ts_col).cast("double").alias("t"),
+    ).filter(F.col("grp").isNotNull() & F.col("v").isNotNull())
+    bounds = e.agg(F.min("t").alias("tmin"), F.max("t").alias("tmax"))
+    return e.join(F.broadcast(bounds)).select(
+        "grp", "v", (F.col("t") * 2 <= F.col("tmin") + F.col("tmax")).alias("is_ref")
+    )
+
+
+def psi_drift(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population stability index per group between the first and
+    second half of the observed time range.
+
+    Equal-width bins over each group's own [min, max] value range
+    (computed on BOTH periods, so the binning is symmetric); counts
+    additively smoothed with 1/2 per bin (Jeffreys) so empty bins
+    never hit log(0):
+
+        p_b = (c_b + 0.5) / (n + n_bins/2)
+        PSI = sum_b (p_cur - p_ref) * ln(p_cur / p_ref)
+
+    The full group x bin grid is generated explicitly (sequence +
+    explode) so bins empty in both periods still contribute their
+    smoothed mass — dropping them would bias PSI low exactly when
+    drift concentrates the data.
+
+    Returns (grp, n_ref, n_cur, psi) — psi rounded to 6, n_bins-term
+    sum per group.
+    """
+    tagged = _tagged(events, group_col, value_col, ts_col)
+    # ONE per-group aggregation carries value bounds AND period totals
+    # — the bin grid, the bin expression, and the smoothing
+    # denominators all derive from it without re-scanning the input
+    gstats = tagged.groupBy("grp").agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.count(F.when(F.col("is_ref"), 1)).alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("n_cur"),
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+    binned = tagged.join(F.broadcast(gstats), "grp").select(
+        "grp",
+        "is_ref",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.least(
+                F.floor((F.col("v") - F.col("vmin")) / width).cast("long"),
+                F.lit(n_bins - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("bin"),
+    )
+    cnts = binned.groupBy("grp", "bin").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("c_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("c_cur"),
+    )
+    grid = gstats.select(
+        "grp",
+        "n_ref",
+        "n_cur",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_bins - 1).cast("long"))
+        ).alias("bin"),
+    )
+    half = F.lit(n_bins / 2.0)
+    p_ref = (F.coalesce("c_ref", F.lit(0)) + 0.5) / (F.col("n_ref") + half)
+    p_cur = (F.coalesce("c_cur", F.lit(0)) + 0.5) / (F.col("n_cur") + half)
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        grid.join(cnts, ["grp", "bin"], "left")
+        .groupBy("grp", "n_ref", "n_cur")
+        .agg((F.round(F.sum(term), 6) + F.lit(0.0)).alias("psi"))
+    )
+
+
+def ks_drift(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D per group between the
+    first and second half of the observed time range:
+
+        D = max over x of |ECDF_ref(x) - ECDF_cur(x)|
+
+    Tie-safe by construction: rows collapse to one row per DISTINCT
+    (group, value) carrying both periods' counts, cumulative sums run
+    over that relation ordered by value, and the ECDF gap is evaluated
+    AFTER each value's full mass (the only points where the sup can
+    be attained). Cumulative counts are integers — the max is over
+    exact ratios, so the statistic is partitioning-invariant.
+
+    Returns (grp, n_ref, n_cur, ks_d) — ks_d rounded to 6.
+    """
+    tagged = _tagged(events, group_col, value_col, ts_col)
+    per_v = tagged.groupBy("grp", "v").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("c_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("c_cur"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_v.select(
+        "grp",
+        F.sum("c_ref").over(w).alias("cum_ref"),
+        F.sum("c_cur").over(w).alias("cum_cur"),
+    )
+    tot = per_v.groupBy("grp").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    gap = F.abs(
+        F.col("cum_ref") / F.col("n_ref") - F.col("cum_cur") / F.col("n_cur")
+    )
+    return (
+        cum.join(F.broadcast(tot), "grp")
+        .groupBy("grp", "n_ref", "n_cur")
+        .agg((F.round(F.max(gap), 6) + F.lit(0.0)).alias("ks_d"))
+    )

@@ -2990,6 +2990,86 @@ SELECT src AS src_type, event_type AS dst_type, COUNT(*) AS n_transitions
 FROM p WHERE src IS NOT NULL
 GROUP BY src, event_type
 """
+    # PSI per event type between time-range halves (extras/drift.py:
+    # psi_drift): same midpoint split (2t <= tmin+tmax, exact double),
+    # per-group equal-width 10-bin grid, Jeffreys 0.5 smoothing
+    sql["psi_drift"] = """
+WITH e AS (
+  SELECT event_type AS grp, CAST(value AS DOUBLE) AS v, epoch(ts) AS t
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+b AS (SELECT MIN(t) AS tmin, MAX(t) AS tmax FROM e),
+tagged AS (SELECT grp, v, 2*t <= tmin + tmax AS is_ref FROM e, b),
+vb AS (SELECT grp, MIN(v) AS vmin, MAX(v) AS vmax FROM tagged GROUP BY 1),
+binned AS (
+  SELECT t.grp, t.is_ref,
+         CASE WHEN vb.vmax > vb.vmin
+              THEN LEAST(CAST(FLOOR((t.v - vb.vmin) / ((vb.vmax - vb.vmin) / 10.0))
+                              AS BIGINT), 9)
+              ELSE 0 END AS bin
+  FROM tagged t JOIN vb USING (grp)
+),
+cnts AS (
+  SELECT grp, bin,
+         COUNT(*) FILTER (WHERE is_ref) AS c_ref,
+         COUNT(*) FILTER (WHERE NOT is_ref) AS c_cur
+  FROM binned GROUP BY 1, 2
+),
+grid AS (
+  SELECT grp, i AS bin
+  FROM (SELECT DISTINCT grp FROM e), generate_series(0, 9) AS g(i)
+),
+filled AS (
+  SELECT grid.grp, grid.bin,
+         COALESCE(c_ref, 0) AS c_ref, COALESCE(c_cur, 0) AS c_cur
+  FROM grid LEFT JOIN cnts ON cnts.grp = grid.grp AND cnts.bin = grid.bin
+),
+tot AS (SELECT grp, SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM filled GROUP BY 1)
+SELECT f.grp AS event_type,
+       CAST(t.n_ref AS BIGINT) AS n_ref,
+       CAST(t.n_cur AS BIGINT) AS n_cur,
+       ROUND(SUM(
+         ((c_cur + 0.5) / (t.n_cur + 5.0) - (c_ref + 0.5) / (t.n_ref + 5.0))
+         * LN(((c_cur + 0.5) / (t.n_cur + 5.0)) / ((c_ref + 0.5) / (t.n_ref + 5.0)))
+       ), 6) + 0.0 AS psi
+FROM filled f JOIN tot t USING (grp)
+GROUP BY 1, 2, 3
+"""
+
+    # exact two-sample KS D per event type (extras/drift.py:ks_drift):
+    # distinct-value collapse, cumulative counts ordered by value,
+    # sup gap over exact integer-ratio ECDFs
+    sql["ks_drift"] = """
+WITH e AS (
+  SELECT event_type AS grp, CAST(value AS DOUBLE) AS v, epoch(ts) AS t
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+b AS (SELECT MIN(t) AS tmin, MAX(t) AS tmax FROM e),
+tagged AS (SELECT grp, v, 2*t <= tmin + tmax AS is_ref FROM e, b),
+per_v AS (
+  SELECT grp, v,
+         COUNT(*) FILTER (WHERE is_ref) AS c_ref,
+         COUNT(*) FILTER (WHERE NOT is_ref) AS c_cur
+  FROM tagged GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp,
+         SUM(c_ref) OVER (PARTITION BY grp ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum_ref,
+         SUM(c_cur) OVER (PARTITION BY grp ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum_cur
+  FROM per_v
+),
+tot AS (SELECT grp, SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM per_v GROUP BY 1)
+SELECT c.grp AS event_type,
+       CAST(t.n_ref AS BIGINT) AS n_ref,
+       CAST(t.n_cur AS BIGINT) AS n_cur,
+       ROUND(MAX(ABS(CAST(cum_ref AS DOUBLE) / t.n_ref
+                     - CAST(cum_cur AS DOUBLE) / t.n_cur)), 6) + 0.0 AS ks_d
+FROM cum c JOIN tot t USING (grp)
+GROUP BY 1, 2, 3
+"""
+
     sql["value_outliers"] = """
 WITH stats AS (
   SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd

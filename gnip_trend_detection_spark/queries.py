@@ -1824,6 +1824,31 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per event type between the first and
+    second half of the observed time range (extras/drift.py:psi_drift)
+    — equal-width 10-bin histogram, Jeffreys-smoothed; the standard
+    'did the input distribution move' monitor run next to detectors."""
+    from gnip_trend_detection_spark.extras import drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return drift.psi_drift(ev).select(
+        F.col("grp").alias("event_type"), "n_ref", "n_cur", "psi"
+    )
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D per event type between
+    the two halves of the time range (extras/drift.py:ks_drift) —
+    bin-free ECDF sup-gap, tie-safe by distinct-value collapse."""
+    from gnip_trend_detection_spark.extras import drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return drift.ks_drift(ev).select(
+        F.col("grp").alias("event_type"), "n_ref", "n_cur", "ks_d"
+    )
+
+
 def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style data-quality audit as one relational report:
     completeness (nulls), key uniqueness (duplicate (orderkey,
@@ -3181,6 +3206,8 @@ ALL: dict[str, QueryFn] = {
     "conversion_within_hour": q_conversion_within_hour,
     "label_centroids": q_label_centroids,
     "value_outliers": q_value_outliers,
+    "psi_drift": q_psi_drift,
+    "ks_drift": q_ks_drift,
     "dq_audit": q_dq_audit,
     "hashed_tf_features": q_hashed_tf_features,
     "session_motifs": q_session_motifs,

@@ -60,6 +60,8 @@ BNLJ_OK = {
     "unigram_logppl",      # broadcast 1-row corpus total
     "bigram_logppl",       # broadcast 1-row vocab size
     "value_histogram",     # broadcast 1-row global bounds
+    "psi_drift",           # broadcast 1-row (tmin, tmax) period bounds
+    "ks_drift",            # broadcast 1-row (tmin, tmax) period bounds
 }
 
 # measured (2026-08, Spark 4.1) + 2 slack; unlisted queries get DEFAULT
