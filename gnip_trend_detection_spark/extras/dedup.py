@@ -971,3 +971,46 @@ def segment_dedup(
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def canonical_by_quality(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-based canonical selection — the KEEP/DROP decision a
+    curation pipeline makes after clustering near-duplicates. Where
+    duplicate_clusters' ``is_canonical`` keeps the min-id doc (an
+    arbitrary but stable choice), this keeps the BEST doc per cluster
+    by an explicit quality signal (longest text, highest quality
+    score, freshest crawl — caller's column), with doc_id as the
+    deterministic tiebreak. Docs in no cluster are singleton clusters
+    of themselves (left join + coalesce — one row per input doc, the
+    NULL-preservation rule).
+
+    Plan: one doc_id-keyed left join (clusters is bounded by docs that
+    matched >= 1 pair) + two windows PARTITIONED by cluster_id —
+    parallel across clusters; cluster sizes are near-dup group sizes,
+    bounded in practice and never corpus-scale.
+
+    Returns (doc_id, cluster_id, cluster_size, keep).
+    """
+    lab = (
+        docs.select("doc_id", quality_col)
+        .join(clusters.select("doc_id", "cluster_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            quality_col,
+        )
+    )
+    w_rk = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), "doc_id"
+    )
+    w_sz = Window.partitionBy("cluster_id")
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w_sz).cast("long").alias("cluster_size"),
+        (F.row_number().over(w_rk) == 1).alias("keep"),
+    )

@@ -858,3 +858,53 @@ def fuzzy_vocab_pairs(
         .withColumn("dist", F.levenshtein("w1", "w2"))
         .filter(F.col("dist").between(1, max_dist))
     )
+
+
+def zipf_slope(
+    docs: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-language Zipf fit: regress ln(frequency) on ln(rank) over
+    the full vocabulary — the corpus-health diagnostic data curators
+    watch (natural language sits near slope -1; template spam,
+    boilerplate floods, and synthetic fill bend it away). Rank is
+    ROW_NUMBER by (count DESC, term ASC): the term tiebreak makes the
+    rank — and therefore the fit — fully deterministic.
+
+    Slope uses the exact-sum least-squares form
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), the same cross-engine-stable
+    formula as operators/models/linreg.py.
+
+    Plan: explode -> (lang, term) hash agg (map-side combined) ->
+    rank window PARTITIONED by lang (parallel across languages; the
+    relation is already collapsed to distinct terms, so window input
+    is vocabulary-sized, not corpus-sized) -> per-lang aggregate.
+    Languages with a single vocabulary type are dropped (slope
+    undefined: zero x-variance).
+    """
+    t = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = t.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "term")
+    r = tf.select("lang", "cnt", F.row_number().over(w).alias("rk"))
+    x = F.log(F.col("rk").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    s = r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n_types").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.filter(F.col("n_types") > 1).select(
+        "lang",
+        "n_types",
+        "n_tokens",
+        (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
+    )

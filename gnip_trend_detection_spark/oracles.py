@@ -986,6 +986,51 @@ SELECT doc_id, cluster_id,
 FROM comp
 """
 
+    # quality-based canonical selection (extras/dedup.py:
+    # canonical_by_quality over duplicate_clusters): same recursive
+    # min-label components as dedup_clusters, then keep the longest
+    # doc per cluster (doc_id tiebreak), singletons self-canonical
+    sql["canonical_docs"] = f"""
+WITH RECURSIVE
+p AS (SELECT doc_a, doc_b FROM ({sql["lsh_candidate_pairs"]}) WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM p
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT d.doc_id + 1000000 AS doc_id,
+         array_to_string(list_slice({toks}, 1, 40), ' ') AS text
+  FROM documents d WHERE d.doc_id % 5 = 0
+),
+lab AS (
+  SELECT c.doc_id,
+         COALESCE(comp.cluster_id, c.doc_id) AS cluster_id,
+         length(c.text) AS quality
+  FROM corpus c LEFT JOIN comp USING (doc_id)
+),
+r AS (
+  SELECT doc_id, cluster_id,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id) AS rk
+  FROM lab
+)
+SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       rk = 1 AS keep
+FROM r
+"""
+
     sql["simhash64"] = f"""
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
 tok AS (
@@ -1334,6 +1379,33 @@ SELECT doc_a, doc_b,
        ROUND(CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE), 6) AS jaccard
 FROM p
 WHERE CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) >= 0.9
+"""
+
+    # per-language Zipf slope (extras/text.py:zipf_slope): same
+    # deterministic (cnt DESC, term) rank and exact-sum least squares
+    sql["zipf_slope"] = f"""
+WITH t AS (SELECT lang, {toks} AS toks FROM documents),
+tok AS (SELECT lang, unnest(toks) AS term FROM t),
+tf AS (SELECT lang, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+r AS (
+  SELECT lang, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rk
+  FROM tf
+),
+s AS (
+  SELECT lang,
+         COUNT(*) AS n_types,
+         SUM(cnt) AS n_tokens,
+         SUM(LN(rk)) AS sx, SUM(LN(cnt)) AS sy,
+         SUM(LN(rk) * LN(cnt)) AS sxy, SUM(LN(rk) * LN(rk)) AS sxx,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM r GROUP BY 1
+)
+SELECT lang,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS zipf_slope
+FROM s WHERE n_types > 1
 """
 
     # sub-document repeated-segment removal + reassembly (extras/

@@ -586,6 +586,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based canonical selection over the LSH near-dup
+    clusters (extras/dedup.py:canonical_by_quality): keep the LONGEST
+    doc per cluster (doc_id tiebreak), one keep/drop row per corpus
+    doc incl. singletons — the decision step after dedup_clusters."""
+    corpus = _lsh_corpus(spark, sf_dir)
+    sigs = dedup.minhash_signatures(corpus)
+    pairs = dedup.lsh_candidate_pairs(sigs, rows_per_band=2).filter(
+        F.col("jaccard") >= 0.5
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    scored = corpus.select("doc_id", F.length("text").alias("quality"))
+    return dedup.canonical_by_quality(scored, clusters)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram Jaccard over fingerprint-bucket candidates; corpus
     includes truncated twins so buckets actually collide."""
@@ -672,6 +687,13 @@ def q_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes per token) — the budget-planning table multilingual mixing
     needs (extras/text.py:fertility_by_lang)."""
     return text.fertility_by_lang(_docs(spark, sf_dir))
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf slope of the vocabulary rank-frequency curve
+    (extras/text.py:zipf_slope) — the corpus-health diagnostic
+    (natural text ~ -1; template floods bend it)."""
+    return text.zipf_slope(_docs(spark, sf_dir))
 
 
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3114,6 +3136,8 @@ ALL: dict[str, QueryFn] = {
     "dsir_scores": q_dsir_scores,
     "set_similarity_join": q_set_similarity_join,
     "segment_dedup": q_segment_dedup,
+    "zipf_slope": q_zipf_slope,
+    "canonical_docs": q_canonical_docs,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
     "budget_materialize": q_budget_materialize,

@@ -239,3 +239,25 @@ def test_segment_dedup_short_tail_segment(spark):
     assert out[0]["n_segments"] == 2 and out[0]["clean_text"] == "a b c d e f"
     assert out[1]["n_segments"] == 3 and out[1]["n_kept"] == 0
     assert out[1]["clean_text"] == ""
+
+
+def test_canonical_by_quality_keeps_best(spark):
+    """Cluster {1,2,3}: doc 2 has the highest quality -> only doc 2
+    keeps; quality tie in cluster {10,11} -> min doc_id wins; doc 99
+    (no cluster) is its own singleton canonical."""
+    from gnip_trend_detection_spark.extras.dedup import canonical_by_quality
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7), (10, 4), (11, 4), (99, 1)],
+        "doc_id long, quality long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    out = {r["doc_id"]: r for r in canonical_by_quality(docs, clusters).collect()}
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+    assert out[2]["cluster_size"] == 3
+    assert out[10]["keep"] and not out[11]["keep"]  # tie -> min doc_id
+    assert out[99]["keep"] and out[99]["cluster_size"] == 1
+    assert out[99]["cluster_id"] == 99

@@ -743,3 +743,35 @@ def test_winnow_fingerprints_guarantee_and_density(spark):
     # density: selections <= n_grams, and well below it on real text
     n_grams_1 = len(rows[0][1]) - 8 + 1
     assert len(by_doc[1]) < n_grams_1 / 2
+
+
+def test_zipf_slope_recovers_planted_power_law(spark):
+    """A corpus whose term frequencies are EXACTLY f(r) = 1000/r for
+    ranks 1..20 must fit slope -1 (the fit is exact: points lie on the
+    line). A flat-frequency corpus has slope exactly 0 over rank ties
+    broken by term — checks the deterministic tiebreak too."""
+    from gnip_trend_detection_spark.extras.text import zipf_slope
+
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * (1000 // r)
+    # chunk into docs of 50 words, all lang 'en'
+    rows = [
+        (i, " ".join(words[i * 50 : (i + 1) * 50]), "en")
+        for i in range((len(words) + 49) // 50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = zipf_slope(df).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_types"] == 20
+    # frequencies are floor(1000/r), not exactly 1000/r — slope is
+    # near -1, not exact; the planted law still dominates
+    assert -1.05 < row["zipf_slope"] < -0.95
+
+    flat = spark.createDataFrame(
+        [(0, "aa bb cc dd ee aa bb cc dd ee", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    out2 = zipf_slope(flat).collect()[0]
+    assert out2["zipf_slope"] == 0.0  # all counts equal -> ln(cnt) constant
