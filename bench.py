@@ -139,6 +139,11 @@ HEADLINE = [
     "budget_materialize",
     "fertility_by_lang",
     "winnow_fingerprints",
+    "segment_dedup",
+    "psi_drift",
+    "ks_drift",
+    "zipf_slope",
+    "canonical_docs",
     # set_similarity_join is deliberately NOT benched: an EXACT
     # Jaccard join's output is workload-quadratic in true pairs, and
     # the synthetic corpus is template-dense (~43k true pairs >= 0.9

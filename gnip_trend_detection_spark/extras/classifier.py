@@ -205,3 +205,122 @@ def logreg_score(
     return embs.select(id_col, vec_col).mapInPandas(
         score, f"{id_col} long, prob double, pred int"
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    p_micro_col: str = "p_micro",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probability-ish score in integer
+    MICRO-units [0, 1e6]: bin the score into ``n_bins`` equal-width
+    bins, and per bin report how often the positive label actually
+    occurs — the table behind every calibration plot and the input to
+    ECE. A curation pipeline runs this on its quality classifier
+    before trusting its thresholds (a mis-calibrated 0.9 is just a
+    rank, not a probability).
+
+    Integer discipline end-to-end: the score arrives as micro-units
+    (see text.quality_score for why), the bin is integer division,
+    and per-bin sums are exact BIGINTs — the only doubles are the two
+    final ratios, rounded to 6. One map-side-combined hash aggregate;
+    zero joins, zero windows.
+
+    Returns (bin, n_docs, mean_p, pos_rate): mean_p = avg score/1e6,
+    pos_rate = positive fraction, both rounded to 6.
+    """
+    b = F.least(
+        (F.col(p_micro_col) / F.lit(1000000 // n_bins)).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    g = scored.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(p_micro_col).cast("long")).alias("sum_micro"),
+        F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+    )
+    return g.select(
+        "bin",
+        "n_docs",
+        (
+            F.round(F.col("sum_micro") / (F.col("n_docs") * 1000000.0), 6)
+            + F.lit(0.0)
+        ).alias("mean_p"),
+        (F.round(F.col("n_pos") / F.col("n_docs").cast("double"), 6) + F.lit(0.0)).alias(
+            "pos_rate"
+        ),
+    )
+
+
+def expected_calibration_error(
+    scored: DataFrame,
+    p_micro_col: str = "p_micro",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """ECE = sum_b (n_b / N) * |mean_p_b - pos_rate_b| over the same
+    equal-width bins as calibration_bins — the scalar the reliability
+    diagram summarizes to. Two hash aggregates (per-bin, then global);
+    per-bin ratios derive from exact integer sums, so the statistic is
+    partitioning-invariant before the final round.
+
+    Returns one row (n_docs, n_bins_hit, ece)."""
+    bins = calibration_bins(scored, p_micro_col, label_col, n_bins)
+    w = F.col("n_docs").cast("double")
+    return bins.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_hit"),
+        (
+            F.round(
+                F.sum(w * F.abs(F.col("mean_p") - F.col("pos_rate")))
+                / F.sum(w),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("ece"),
+    )
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chance-corrected agreement between two boolean gates (Cohen's
+    kappa) — the governance check a pipeline runs when two quality
+    filters (a heuristic gate and a learned one) are supposed to mean
+    the same thing: raw agreement po is inflated whenever both gates
+    pass almost everything, kappa subtracts the agreement expected
+    from the marginals alone:
+
+        kappa = (po - pe) / (1 - pe),
+        pe = pA*pB + (1-pA)*(1-pB)
+
+    ONE map-side-combined aggregate builds the full 2x2 confusion
+    table as exact integer counts; the three doubles derive from them
+    at the very end (round 6). Zero joins beyond what the caller did
+    to align the gates.
+
+    Returns one row: (n, n_both_keep, n_both_drop, n_only_a,
+    n_only_b, po, pe, kappa).
+    """
+    a = F.col(col_a).cast("boolean")
+    bcol = F.col(col_b).cast("boolean")
+    c = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((a & bcol).cast("long")).alias("n_both_keep"),
+        F.sum((~a & ~bcol).cast("long")).alias("n_both_drop"),
+        F.sum((a & ~bcol).cast("long")).alias("n_only_a"),
+        F.sum((~a & bcol).cast("long")).alias("n_only_b"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n_both_keep") + F.col("n_both_drop")) / n
+    pa = (F.col("n_both_keep") + F.col("n_only_a")) / n
+    pb = (F.col("n_both_keep") + F.col("n_only_b")) / n
+    pe = pa * pb + (1.0 - pa) * (1.0 - pb)
+    return c.select(
+        "n",
+        "n_both_keep",
+        "n_both_drop",
+        "n_only_a",
+        "n_only_b",
+        (F.round(po, 6) + F.lit(0.0)).alias("po"),
+        (F.round(pe, 6) + F.lit(0.0)).alias("pe"),
+        (F.round((po - pe) / (1.0 - pe), 6) + F.lit(0.0)).alias("kappa"),
+    )

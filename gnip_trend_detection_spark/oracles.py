@@ -2876,6 +2876,80 @@ SELECT doc_id, n_words, word_chars, n_alpha_words, n_stop_hits,
         AND (n_stop_hits >= 2)) AS keep
 FROM s
 """
+    # reliability diagram of quality_micro vs the Gopher verdict
+    # (extras/classifier.py:calibration_bins): same integer bin
+    # division (floor; micro-units non-negative) and exact sums
+    _calib_bins = f"""
+WITH q AS ({sql["text_quality"]}),
+g AS ({sql["gopher_quality"]}),
+j AS (SELECT q.doc_id, q.quality_micro, g.keep FROM q JOIN g USING (doc_id)),
+b AS (
+  SELECT LEAST(quality_micro // 100000, 9) AS bin,
+         COUNT(*) AS n_docs,
+         SUM(quality_micro) AS sum_micro,
+         SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_pos
+  FROM j GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(sum_micro AS DOUBLE) / (n_docs * 1000000.0), 6) + 0.0 AS mean_p,
+       ROUND(CAST(n_pos AS DOUBLE) / n_docs, 6) + 0.0 AS pos_rate
+FROM b
+"""
+    sql["calibration_bins"] = _calib_bins
+
+    # ECE over the SAME rounded bin table (extras/classifier.py:
+    # expected_calibration_error)
+    sql["calibration_ece"] = f"""
+WITH bins AS ({_calib_bins})
+SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_hit,
+       ROUND(SUM(n_docs * ABS(mean_p - pos_rate)) / SUM(n_docs), 6) + 0.0 AS ece
+FROM bins
+"""
+
+    # Cohen's kappa between the Gopher gate and quality>=0.5 (extras/
+    # classifier.py:cohens_kappa): exact 2x2 integer confusion table,
+    # doubles only in the final three ratios
+    sql["filter_agreement"] = f"""
+WITH q AS ({sql["text_quality"]}),
+g AS ({sql["gopher_quality"]}),
+j AS (
+  SELECT g.keep AS a_keep, q.quality_micro >= 500000 AS b_keep
+  FROM q JOIN g USING (doc_id)
+),
+c AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN a_keep AND b_keep THEN 1 ELSE 0 END) AS n_both_keep,
+         SUM(CASE WHEN NOT a_keep AND NOT b_keep THEN 1 ELSE 0 END) AS n_both_drop,
+         SUM(CASE WHEN a_keep AND NOT b_keep THEN 1 ELSE 0 END) AS n_only_a,
+         SUM(CASE WHEN NOT a_keep AND b_keep THEN 1 ELSE 0 END) AS n_only_b
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_both_keep AS BIGINT) AS n_both_keep,
+       CAST(n_both_drop AS BIGINT) AS n_both_drop,
+       CAST(n_only_a AS BIGINT) AS n_only_a,
+       CAST(n_only_b AS BIGINT) AS n_only_b,
+       ROUND((n_both_keep + n_both_drop) / CAST(n AS DOUBLE), 6) + 0.0 AS po,
+       ROUND(((n_both_keep + n_only_a) / CAST(n AS DOUBLE))
+             * ((n_both_keep + n_only_b) / CAST(n AS DOUBLE))
+             + (1.0 - (n_both_keep + n_only_a) / CAST(n AS DOUBLE))
+               * (1.0 - (n_both_keep + n_only_b) / CAST(n AS DOUBLE)), 6)
+         + 0.0 AS pe,
+       ROUND(((n_both_keep + n_both_drop) / CAST(n AS DOUBLE)
+              - ((n_both_keep + n_only_a) / CAST(n AS DOUBLE))
+                * ((n_both_keep + n_only_b) / CAST(n AS DOUBLE))
+              - (1.0 - (n_both_keep + n_only_a) / CAST(n AS DOUBLE))
+                * (1.0 - (n_both_keep + n_only_b) / CAST(n AS DOUBLE)))
+             / (1.0 - ((n_both_keep + n_only_a) / CAST(n AS DOUBLE))
+                      * ((n_both_keep + n_only_b) / CAST(n AS DOUBLE))
+                - (1.0 - (n_both_keep + n_only_a) / CAST(n AS DOUBLE))
+                  * (1.0 - (n_both_keep + n_only_b) / CAST(n AS DOUBLE))), 6)
+         + 0.0 AS kappa
+FROM c
+"""
+
     # RANGE-frame sliding window twin (q_rolling_hour_activity);
     # FLOOR before the BIGINT cast — CAST alone rounds in DuckDB but
     # truncates in Spark

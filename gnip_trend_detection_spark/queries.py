@@ -2974,6 +2974,53 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_rules(_docs(spark, sf_dir))
 
 
+def _quality_vs_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality_micro, keep): heuristic quality score joined
+    with the Gopher gate verdict — the two filters later ops compare."""
+    docs = _docs(spark, sf_dir)
+    q = text.quality_score(docs)
+    g = text.gopher_rules(docs).select("doc_id", "keep")
+    return q.join(g, "doc_id")
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the heuristic quality score against the
+    Gopher keep verdict (extras/classifier.py:calibration_bins):
+    10 equal-width score bins, exact integer sums, per-bin observed
+    pass rate — the table behind every calibration plot."""
+    from gnip_trend_detection_spark.extras.classifier import calibration_bins
+
+    return calibration_bins(
+        _quality_vs_gopher(spark, sf_dir), "quality_micro", "keep"
+    )
+
+
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error over the same bins (extras/
+    classifier.py:expected_calibration_error) — the scalar summary of
+    q_calibration_bins."""
+    from gnip_trend_detection_spark.extras.classifier import (
+        expected_calibration_error,
+    )
+
+    return expected_calibration_error(
+        _quality_vs_gopher(spark, sf_dir), "quality_micro", "keep"
+    )
+
+
+def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the Gopher gate and the quality-score
+    gate at 0.5 (extras/classifier.py:cohens_kappa) — chance-corrected
+    agreement from one exact 2x2 confusion aggregate."""
+    from gnip_trend_detection_spark.extras.classifier import cohens_kappa
+
+    j = _quality_vs_gopher(spark, sf_dir).select(
+        F.col("keep").alias("gopher_keep"),
+        (F.col("quality_micro") >= 500000).alias("score_keep"),
+    )
+    return cohens_kappa(j, "gopher_keep", "score_keep")
+
+
 def q_rolling_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based sliding window via a RANGE frame: for every event,
     the count and value-sum of the same user's events in the trailing
@@ -3138,6 +3185,9 @@ ALL: dict[str, QueryFn] = {
     "segment_dedup": q_segment_dedup,
     "zipf_slope": q_zipf_slope,
     "canonical_docs": q_canonical_docs,
+    "calibration_bins": q_calibration_bins,
+    "calibration_ece": q_calibration_ece,
+    "filter_agreement": q_filter_agreement,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
     "budget_materialize": q_budget_materialize,

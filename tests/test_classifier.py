@@ -115,3 +115,59 @@ def test_logreg_newton_empty_input(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>, y double")
     w, b = classifier.logreg_train_newton(df, label_col="y")
     assert len(w) == 0 and b == 0.0
+
+
+def test_calibration_bins_and_ece_hand_values(spark):
+    """Perfectly calibrated bins give ECE 0; a score that is always
+    0.9 but right only half the time gives ECE = |0.9 - 0.5| = 0.4."""
+    from gnip_trend_detection_spark.extras.classifier import (
+        calibration_bins,
+        expected_calibration_error,
+    )
+
+    rows = [(900000, i % 2 == 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "p_micro long, label boolean")
+    bins = calibration_bins(df).collect()
+    assert len(bins) == 1
+    b = bins[0]
+    assert b["bin"] == 9 and b["n_docs"] == 100
+    assert b["mean_p"] == 0.9 and b["pos_rate"] == 0.5
+    ece = expected_calibration_error(df).collect()[0]
+    assert ece["ece"] == 0.4 and ece["n_bins_hit"] == 1
+
+    # scores at the bin edges: 1e6 clamps into bin 9, 0 into bin 0
+    edge = spark.createDataFrame(
+        [(0, False), (1000000, True)], "p_micro long, label boolean"
+    )
+    by_bin = {r["bin"]: r for r in calibration_bins(edge).collect()}
+    assert set(by_bin) == {0, 9}
+    assert by_bin[0]["pos_rate"] == 0.0 and by_bin[9]["pos_rate"] == 1.0
+
+
+def test_cohens_kappa_hand_values(spark):
+    """Classic 2x2: a=20 both-keep, d=15 both-drop, b=10 only-A,
+    c=5 only-B (n=50): po=0.7, pa=0.6, pb=0.5, pe=0.5, kappa=0.4.
+    Perfect agreement gives kappa 1."""
+    from gnip_trend_detection_spark.extras.classifier import cohens_kappa
+
+    rows = (
+        [(True, True)] * 20
+        + [(False, False)] * 15
+        + [(True, False)] * 10
+        + [(False, True)] * 5
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 50
+    assert (r["n_both_keep"], r["n_both_drop"], r["n_only_a"], r["n_only_b"]) == (
+        20,
+        15,
+        10,
+        5,
+    )
+    assert r["po"] == 0.7 and r["pe"] == 0.5 and r["kappa"] == 0.4
+
+    perfect = spark.createDataFrame(
+        [(True, True)] * 3 + [(False, False)] * 7, "a boolean, b boolean"
+    )
+    assert cohens_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
