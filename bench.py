@@ -144,6 +144,11 @@ HEADLINE = [
     "ks_drift",
     "zipf_slope",
     "canonical_docs",
+    "calibration_bins",
+    "calibration_ece",
+    "filter_agreement",
+    "vocab_growth",
+    "key_skew",
     # set_similarity_join is deliberately NOT benched: an EXACT
     # Jaccard join's output is workload-quadratic in true pairs, and
     # the synthetic corpus is template-dense (~43k true pairs >= 0.9

@@ -908,3 +908,67 @@ def zipf_slope(
         "n_tokens",
         (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
     )
+
+
+def vocab_growth(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: for each decile prefix of
+    the corpus (by doc_id order), how many docs/tokens have been seen
+    and how large the vocabulary is. Sub-linear growth (V ~ n^beta,
+    beta ~ 0.5) is the natural-text signature; a vocabulary that
+    flattens early means template spam, one that grows linearly means
+    noise/IDs — the companion diagnostic to zipf_slope.
+
+    "Cumulative distinct over a stream" sounds inherently sequential;
+    relationally it decomposes into two embarrassingly-parallel facts:
+    a term is IN the decile-d vocabulary iff its FIRST occurrence doc
+    is <= the decile-d doc_id threshold. So:
+      1. (term, min(doc_id)) — one keyed aggregation;
+      2. decile thresholds from the two-phase exact-quantile histogram
+         (operators/quantile.py — quantile_cont semantics, no
+         single-partition sort);
+      3. each term/doc row joins the broadcast 10-row threshold
+         relation on an inequality (bounded nested-loop on 10 rows —
+         each input row expands to at most 10) and counts per decile —
+         the cumulative curve falls out because a term counts in
+         EVERY decile at/after its first appearance.
+
+    Returns (decile, n_docs, n_tokens, vocab_size) — all exact
+    integers; decile d covers doc_id <= quantile_cont(doc_id, d/10).
+    """
+    from gnip_trend_detection_spark.operators.quantile import exact_quantiles
+
+    qs = [i / 10.0 for i in range(1, 11)]
+    # localCheckpoint the 10-row threshold relation: both the vocab and
+    # sizes branches probe it, and without materialization the static
+    # plan expands the whole two-phase quantile subtree twice
+    thr = (
+        exact_quantiles(docs, "doc_id", qs)
+        .select(
+            F.round(F.col("q") * 10).cast("long").alias("decile"),
+            F.col("quantile_value").alias("qv"),
+        )
+        .localCheckpoint()
+    )
+    t = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    firsts = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    vocab = (
+        firsts.join(F.broadcast(thr), F.col("first_doc") <= F.col("qv"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    sizes = (
+        t.select("doc_id", F.size("toks").cast("long").alias("n_toks"))
+        .join(F.broadcast(thr), F.col("doc_id") <= F.col("qv"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    return sizes.join(vocab, "decile").select(
+        "decile", "n_docs", "n_tokens", "vocab_size"
+    )

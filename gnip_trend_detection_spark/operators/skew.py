@@ -100,3 +100,63 @@ def salted_agg(
             for name, (_p, merge) in aggs.items()
         ]
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """MEASURE skew before fixing it: the diagnostic that decides
+    whether a key needs `salted_join`/`salted_agg` at all, and with
+    what n_salt. Everything above in this module treats skew as known;
+    at 100 TB you establish it with one cheap keyed pass, not by
+    watching a straggler for an hour.
+
+    Two hash aggregations, both map-side combined, no windows and no
+    global sort:
+      1. per-key counts (the only data-sized shuffle);
+      2. one global fold over the key histogram emitting:
+         - n_rows, n_keys, max_cnt and the hottest key (max over a
+           (cnt, key) struct — key as deterministic tiebreak),
+         - hot_share = max_cnt/n_rows (what fraction one reducer
+           would absorb),
+         - cv = population stddev / mean of key counts,
+         - entropy_ratio = H(key distribution)/ln(n_keys) in [0,1]
+           (1 = perfectly uniform; via the exact-integer identity
+           H = ln(n) - sum(cnt*ln cnt)/n, one aggregate term).
+
+    NULL keys count as a real group (NULLs skew joins too): GROUP BY
+    collects NULLs into one group in both Spark and ANSI SQL, so no
+    sentinel is needed. Returns ONE row; doubles rounded to 6.
+    """
+    cnts = df.select(F.col(key_col).alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = F.max(F.struct(F.col("cnt"), F.col("k"))).alias("top")
+    n = F.sum("cnt").cast("double")
+    sum_clnc = F.sum(F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double")))
+    mean = n / F.count(F.lit(1)).cast("double")
+    agg = cnts.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        top,
+        (F.round(F.stddev_pop("cnt") / mean, 6) + F.lit(0.0)).alias("cv"),
+        F.when(
+            F.count(F.lit(1)) > 1,
+            F.round(
+                (F.log(n) - sum_clnc / n) / F.log(F.count(F.lit(1)).cast("double")),
+                6,
+            )
+            + F.lit(0.0),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("entropy_ratio"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_keys",
+        F.col("top.cnt").cast("long").alias("max_cnt"),
+        F.col("top.k").alias("hot_key"),
+        (F.round(F.col("top.cnt") / F.col("n_rows").cast("double"), 6) + F.lit(0.0)).alias(
+            "hot_share"
+        ),
+        "cv",
+        "entropy_ratio",
+    )

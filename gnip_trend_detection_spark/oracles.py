@@ -1381,6 +1381,59 @@ FROM p
 WHERE CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) >= 0.9
 """
 
+    # Heaps'-law vocabulary growth (extras/text.py:vocab_growth):
+    # quantile_cont doc_id thresholds, first-occurrence inequality join
+    sql["vocab_growth"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+firsts AS (SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY 1),
+q1 AS (
+  SELECT quantile_cont(doc_id,
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS qs
+  FROM documents
+),
+thr AS (SELECT i AS decile, qs[i] AS qv FROM q1, generate_series(1, 10) AS g(i)),
+vocab AS (
+  SELECT decile, COUNT(*) AS vocab_size
+  FROM firsts JOIN thr ON first_doc <= qv GROUP BY 1
+),
+sizes AS (
+  SELECT decile, COUNT(*) AS n_docs, SUM(len(toks)) AS n_tokens
+  FROM t JOIN thr ON doc_id <= qv GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(vocab_size AS BIGINT) AS vocab_size
+FROM sizes JOIN vocab USING (decile)
+"""
+
+    # join-key skew diagnostic (operators/skew.py:key_skew_report over
+    # events.user_id): exact key histogram, struct-max hottest key,
+    # H = ln(n) - sum(c ln c)/n identity, cv = stddev_pop/mean
+    sql["key_skew"] = """
+WITH cnts AS (SELECT user_id AS k, COUNT(*) AS cnt FROM events GROUP BY 1),
+a AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         MAX(struct_pack(cnt := cnt, k := k)) AS top,
+         SUM(CAST(cnt AS DOUBLE)) AS n,
+         SUM(CAST(cnt AS DOUBLE) * LN(CAST(cnt AS DOUBLE))) AS sum_clnc,
+         stddev_pop(cnt) AS sd,
+         AVG(CAST(cnt AS DOUBLE)) AS mean_cnt
+  FROM cnts
+)
+SELECT n_rows, n_keys,
+       CAST(top.cnt AS BIGINT) AS max_cnt,
+       top.k AS hot_key,
+       ROUND(CAST(top.cnt AS DOUBLE) / n_rows, 6) + 0.0 AS hot_share,
+       ROUND(sd / mean_cnt, 6) + 0.0 AS cv,
+       CASE WHEN n_keys > 1
+            THEN ROUND((LN(n) - sum_clnc / n) / LN(CAST(n_keys AS DOUBLE)), 6) + 0.0
+            ELSE 1.0 END AS entropy_ratio
+FROM a
+"""
+
     # per-language Zipf slope (extras/text.py:zipf_slope): same
     # deterministic (cnt DESC, term) rank and exact-sum least squares
     sql["zipf_slope"] = f"""

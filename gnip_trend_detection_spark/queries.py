@@ -696,6 +696,22 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.zipf_slope(_docs(spark, sf_dir))
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth over corpus deciles (extras/
+    text.py:vocab_growth) — cumulative distinct decomposed into
+    first-occurrence facts + exact-quantile thresholds."""
+    return text.vocab_growth(_docs(spark, sf_dir))
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over events.user_id (operators/
+    skew.py:key_skew_report) — the measurement that decides whether
+    salted_join/salted_agg is needed and with what n_salt."""
+    from gnip_trend_detection_spark.operators.skew import key_skew_report
+
+    return key_skew_report(load_table(spark, sf_dir, "events"), "user_id")
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character-unigram Shannon entropy (bits/char) — the
     compressibility quality gate (extras/text.py:char_entropy)."""
@@ -3188,6 +3204,8 @@ ALL: dict[str, QueryFn] = {
     "calibration_bins": q_calibration_bins,
     "calibration_ece": q_calibration_ece,
     "filter_agreement": q_filter_agreement,
+    "vocab_growth": q_vocab_growth,
+    "key_skew": q_key_skew,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
     "budget_materialize": q_budget_materialize,

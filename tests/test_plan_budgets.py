@@ -61,6 +61,8 @@ BNLJ_OK = {
     "bigram_logppl",       # broadcast 1-row vocab size
     "value_histogram",     # broadcast 1-row global bounds
     "psi_drift",           # broadcast 1-row (tmin, tmax) period bounds
+    "vocab_growth",        # broadcast 10-row decile thresholds,
+                           # inequality-joined (each row expands <= 10x)
     "ks_drift",            # broadcast 1-row (tmin, tmax) period bounds
 }
 
@@ -119,6 +121,8 @@ UNPARTITIONED_WINDOW_OK = {
     "tpch_q3_shipping",    # row_number over the top-10 revenue head
     "global_quantiles",    # offsets over <= n_parts per-pid totals
     "quality_percentile_gate",  # same exact_quantiles offsets shape
+    "vocab_growth",        # same exact_quantiles offsets shape (2x:
+                           # vocab + sizes branches re-expand it)
     "unimax_budget",       # water-filling windows over the #sources-
                            # row per-source aggregate
     "budget_materialize",  # inherits unimax_budget's bounded windows

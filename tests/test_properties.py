@@ -775,3 +775,55 @@ def test_zipf_slope_recovers_planted_power_law(spark):
     )
     out2 = zipf_slope(flat).collect()[0]
     assert out2["zipf_slope"] == 0.0  # all counts equal -> ln(cnt) constant
+
+
+def test_vocab_growth_cumulative_and_exact(spark):
+    """10 docs with doc_id 0..9: doc d introduces term t{d} and always
+    repeats term 'common'. Vocab at decile k must be k+1 (k new terms
+    + common... actually decile k covers doc_ids <= quantile(k/10) of
+    0..9) — verify against a brute-force prefix computation."""
+    from gnip_trend_detection_spark.extras.text import vocab_growth
+
+    rows = [(d, f"common t{d} t{d}") for d in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["decile"]: r for r in vocab_growth(df).collect()}
+    assert set(out) == set(range(1, 11))
+    # brute force: decile d threshold = quantile_cont(doc_ids, d/10)
+    ids = list(range(10))
+    for d in range(1, 11):
+        pos = (d / 10.0) * (len(ids) - 1)
+        lo = int(pos)
+        qv = ids[lo] + (pos - lo) * (ids[min(lo + 1, 9)] - ids[lo])
+        pref = [r for r in rows if r[0] <= qv]
+        vocab = {w for r in pref for w in r[1].split()}
+        assert out[d]["n_docs"] == len(pref)
+        assert out[d]["n_tokens"] == 3 * len(pref)
+        assert out[d]["vocab_size"] == len(vocab)
+    # monotone non-decreasing by construction
+    v = [out[d]["vocab_size"] for d in range(1, 11)]
+    assert v == sorted(v) and out[10]["vocab_size"] == 11
+
+
+def test_key_skew_report_hand_values(spark):
+    """Uniform keys -> entropy_ratio 1, cv 0; one hot key -> hot_share
+    and cv reflect it exactly."""
+    from gnip_trend_detection_spark.operators.skew import key_skew_report
+
+    uniform = spark.createDataFrame(
+        [(k,) for k in range(4) for _ in range(5)], "k long"
+    )
+    r = key_skew_report(uniform, "k").collect()[0]
+    assert r["n_rows"] == 20 and r["n_keys"] == 4
+    assert r["max_cnt"] == 5 and r["hot_key"] == 3  # tie -> max key
+    assert r["cv"] == 0.0 and r["entropy_ratio"] == 1.0 and r["hot_share"] == 0.25
+
+    import math
+
+    hot = spark.createDataFrame(
+        [(0,)] * 97 + [(1,), (2,), (3,)], "k long"
+    )
+    r2 = key_skew_report(hot, "k").collect()[0]
+    assert r2["max_cnt"] == 97 and r2["hot_key"] == 0 and r2["hot_share"] == 0.97
+    # exact entropy: H = ln(100) - (97 ln 97)/100; ratio = H / ln(4)
+    h = math.log(100) - (97 * math.log(97)) / 100
+    assert abs(r2["entropy_ratio"] - round(h / math.log(4), 6)) < 1e-9
