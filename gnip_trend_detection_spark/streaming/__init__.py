@@ -9,6 +9,7 @@ from gnip_trend_detection_spark.streaming.controlchart import (
     score_stream_cusum,
     score_stream_ewma,
 )
+from gnip_trend_detection_spark.streaming.drift import psi_stream
 from gnip_trend_detection_spark.streaming.models import (
     score_stream_poisson_lc,
     score_stream_poisson_cycle,
@@ -32,4 +33,5 @@ __all__ = [
     "score_stream_wdt",
     "score_stream_ewma",
     "score_stream_cusum",
+    "psi_stream",
 ]

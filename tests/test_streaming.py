@@ -956,3 +956,124 @@ def test_streaming_last_touch_matches_batch_asof(spark):
         ev.unpersist()
         shutil.rmtree(base, ignore_errors=True)
         shutil.rmtree(flat, ignore_errors=True)
+
+
+def test_streaming_psi_matches_batch(spark):
+    """Calibrate the reference histogram from the first half of the
+    events fixture (the same midpoint split + joint min/max bins the
+    batch operator uses), replay the second half as 3 micro-batches:
+    the final emitted PSI per group must equal extras.drift.psi_drift
+    over the full relation, to the shared round-6 output."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.extras.drift import psi_drift
+    from gnip_trend_detection_spark.sources.tables import load_table
+    from gnip_trend_detection_spark.streaming import psi_stream
+
+    ev = load_table(spark, SF, "events")
+    want = {
+        r["grp"]: (r["n_cur"], r["psi"])
+        for r in psi_drift(ev).collect()
+    }
+
+    # calibration: per group joint (vmin, vmax) + ref-half bin counts,
+    # via the same expressions the batch operator uses
+    t = ev.select(
+        F.col("event_type").alias("grp"),
+        F.col("value").cast("double").alias("v"),
+        F.col("ts").cast("double").alias("tt"),
+    )
+    lo, hi = t.agg(F.min("tt"), F.max("tt")).first()
+    ref = t.filter(F.col("tt") * 2 <= lo + hi)
+    cur = t.filter(F.col("tt") * 2 > lo + hi)
+    vb = {
+        r["grp"]: (r["vmin"], r["vmax"])
+        for r in t.groupBy("grp")
+        .agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+        .collect()
+    }
+    n_bins = 10
+    cal = {}
+    for grp, (vmin, vmax) in vb.items():
+        width = (vmax - vmin) / n_bins
+        counts = [0] * n_bins
+        for r in ref.filter(F.col("grp") == grp).collect():
+            b = min(int(math.floor((r["v"] - vmin) / width)), n_bins - 1)
+            counts[b] += 1
+        cal[grp] = (vmin, vmax, counts)
+
+    # replay the current half as 3 time-ordered micro-batches
+    flat = tempfile.mkdtemp(prefix="psi_stream_")
+    tlo, thi = cur.agg(F.min("tt"), F.max("tt")).first()
+    cuts = [tlo + (thi - tlo) * i / 3 for i in range(1, 3)]
+    slices = [
+        cur.filter(F.col("tt") < cuts[0]),
+        cur.filter((F.col("tt") >= cuts[0]) & (F.col("tt") < cuts[1])),
+        cur.filter(F.col("tt") >= cuts[1]),
+    ]
+    t0 = _time.time() - 600
+    for i, sl in enumerate(slices):
+        d = f"{flat}/stage_{i}"
+        sl.select("grp", "v").coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.copy(f"{d}/{part}", dst)
+        shutil.rmtree(d)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    stream_in = (
+        spark.readStream.schema("grp string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    _run_to_completion(psi_stream(stream_in, cal), "update", "psi_stream_out")
+    # update mode emits one row per group per micro-batch; the LAST
+    # (max n_cur) row per group is the final state
+    rows = spark.sql("select * from psi_stream_out").collect()
+    got = {}
+    for r in rows:
+        if r["grp"] not in got or r["n_cur"] > got[r["grp"]][0]:
+            got[r["grp"]] = (r["n_cur"], r["psi"])
+
+    assert set(got) == set(want)
+    for grp, (n_want, psi_want) in want.items():
+        n_got, psi_got = got[grp]
+        assert n_got == n_want, grp
+        assert math.isclose(psi_got, psi_want, rel_tol=0, abs_tol=2e-6), (
+            grp,
+            psi_got,
+            psi_want,
+        )
+    shutil.rmtree(flat, ignore_errors=True)
+
+
+def test_streaming_psi_unknown_group_null(spark):
+    """A group with no calibration entry emits psi NULL, not a crash."""
+    import tempfile
+    import time as _time
+
+    flat = tempfile.mkdtemp(prefix="psi_unknown_")
+    pdf_path = f"{flat}/000.parquet"
+    spark.createDataFrame(
+        [("mystery", 1.0), ("mystery", 2.0)], "grp string, v double"
+    ).coalesce(1).write.parquet(f"{flat}/stage")
+    part = [f for f in os.listdir(f"{flat}/stage") if f.endswith(".parquet")][0]
+    shutil.copy(f"{flat}/stage/{part}", pdf_path)
+    shutil.rmtree(f"{flat}/stage")
+    os.utime(pdf_path, (_time.time() - 600, _time.time() - 600))
+
+    from gnip_trend_detection_spark.streaming import psi_stream
+
+    stream_in = (
+        spark.readStream.schema("grp string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    _run_to_completion(psi_stream(stream_in, {}), "update", "psi_unknown_out")
+    rows = spark.sql("select * from psi_unknown_out").collect()
+    assert len(rows) == 1 and rows[0]["grp"] == "mystery"
+    assert rows[0]["psi"] is None
+    shutil.rmtree(flat, ignore_errors=True)
