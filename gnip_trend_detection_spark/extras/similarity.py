@@ -834,3 +834,69 @@ def mine_hard_negatives(
         F.desc("cosine"), F.asc("negative_id")
     )
     return cands.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def kmeans_silhouette(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    seed: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette for the parity-pinned
+    spherical k-means — the fit-quality report a curation pipeline
+    reads before trusting cluster-balanced sampling or per-cell dedup
+    quotas. Simplified silhouette (Hruschka et al. 2004) replaces the
+    O(n^2) pairwise form with centroid distances — the only version
+    that exists at corpus scale:
+
+        a = 1 - cos(x, own centroid)      (cosine distance)
+        b = 1 - cos(x, nearest OTHER)     (= 2nd-best overall, since
+                                           own is the argmax)
+        sil = (b - a) / max(a, b) = (c1 - c2) / (1 - c2); 0 on ties
+
+    Plan: the same zero-shuffle broadcast-centroid probe as
+    kmeans_fit_predict, kept at top-2 instead of top-1, one hash
+    aggregate per vector (pivot rk 1/2) and one per cluster. Cosines
+    are pre-rounded, so sil — and its per-cluster mean — is
+    partitioning-invariant at the shared round-6 output.
+
+    Returns (cluster, n_vecs, mean_silhouette).
+    """
+    cents = kmeans_centroids(
+        embeddings,
+        n_centroids=n_centroids,
+        n_iter=n_iter,
+        seed=seed,
+        round_digits=round_digits,
+    ).withColumn("cnrm", F.lit(1.0))
+    n = _normed(embeddings).withColumn(
+        "u", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    )
+    unit = n.select("vec_id", F.col("u").alias("v"), F.lit(1.0).alias("nrm"))
+    probes = centroid_probes(unit, cents, 2, round_digits=round_digits)
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = probes.join(
+        F.broadcast(cents.select("centroid_id", "cv")), "centroid_id"
+    ).select(
+        "vec_id",
+        "crk",
+        "centroid_id",
+        F.round(dot, round_digits).alias("c"),
+    )
+    per_vec = scored.groupBy("vec_id").agg(
+        F.max(F.when(F.col("crk") == 1, F.col("centroid_id"))).alias("cluster"),
+        F.max(F.when(F.col("crk") == 1, F.col("c"))).alias("c1"),
+        F.max(F.when(F.col("crk") == 2, F.col("c"))).alias("c2"),
+    )
+    sil = F.when(F.col("c1") == F.col("c2"), F.lit(0.0)).otherwise(
+        (F.col("c1") - F.col("c2")) / (F.lit(1.0) - F.col("c2"))
+    )
+    return per_vec.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        (F.round(F.avg(sil), 6) + F.lit(0.0)).alias("mean_silhouette"),
+    )

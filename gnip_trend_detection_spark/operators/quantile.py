@@ -251,3 +251,76 @@ def exact_quantiles_by(
             ).alias("quantile_value"),
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Winsorization report: clamp ``value_col`` to its GLOBAL exact
+    [p_lo, p_hi] quantiles and compare per-group means before/after —
+    the standard heavy-tail guard before feeding a value into scaling,
+    z-scores, or a loss, plus the clamp-rate audit that shows how much
+    mass the tails held.
+
+    Thresholds come from the two-phase exact quantile histogram above
+    (no single-partition sort); they pivot to one broadcast row and
+    ride onto the scan. Means are exact-integer sums: raw values in
+    CENTS (the fixture's 2-decimal contract), clamped values rounded
+    once to integer MICROS — so both means are partitioning-invariant
+    before the final round-6 division.
+
+    Returns one row per group: (grp, n, n_lo_clamped, n_hi_clamped,
+    mean_raw, mean_winsorized, lo, hi).
+    """
+    thr = (
+        exact_quantiles(df, value_col, [p_lo, p_hi])
+        .agg(
+            F.max(
+                F.when(F.col("q") == p_lo, F.col("quantile_value"))
+            ).alias("lo"),
+            F.max(
+                F.when(F.col("q") == p_hi, F.col("quantile_value"))
+            ).alias("hi"),
+        )
+        .localCheckpoint()
+    )
+    v = F.col(value_col).cast("double")
+    scored = df.select(F.col(group_col).alias("grp"), v.alias("v")).join(
+        F.broadcast(thr)
+    )
+    agg = scored.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("v") < F.col("lo")).cast("long")).alias("n_lo_clamped"),
+        F.sum((F.col("v") > F.col("hi")).cast("long")).alias("n_hi_clamped"),
+        F.sum(F.round(F.col("v") * 100).cast("long")).alias("cents"),
+        F.sum(
+            F.round(
+                F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+                * 1000000.0
+            ).cast("long")
+        ).alias("micros"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    )
+    return agg.select(
+        "grp",
+        "n",
+        "n_lo_clamped",
+        "n_hi_clamped",
+        (
+            F.round(F.col("cents") / (F.col("n").cast("double") * 100.0), 6)
+            + F.lit(0.0)
+        ).alias("mean_raw"),
+        (
+            F.round(
+                F.col("micros") / (F.col("n").cast("double") * 1000000.0), 6
+            )
+            + F.lit(0.0)
+        ).alias("mean_winsorized"),
+        (F.round(F.col("lo"), 6) + F.lit(0.0)).alias("lo"),
+        (F.round(F.col("hi"), 6) + F.lit(0.0)).alias("hi"),
+    )

@@ -3634,6 +3634,74 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dot_r + 0.0 AS cos_r FROM (
 ) WHERE rk = 1
 """
 
+    # simplified silhouette over the SAME pinned k-means (extras/
+    # similarity.py:kmeans_silhouette): reuse the kmeans oracle's CTE
+    # chain, keep the top-2 probe, sil = (c1-c2)/(1-c2), 0 on ties.
+    # rindex keeps this loud if the base oracle's tail ever changes.
+    _km_tail = sql["embedding_kmeans"].rindex(
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cluster"
+    )
+    sql["kmeans_silhouette"] = sql["embedding_kmeans"][:_km_tail] + """
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(CASE WHEN c1 = c2 THEN 0.0
+                      ELSE (c1 - c2) / (1.0 - c2) END), 6) + 0.0
+         AS mean_silhouette
+FROM (
+  SELECT vec_id,
+         MAX(CASE WHEN rk = 1 THEN cid END) AS cluster,
+         MAX(CASE WHEN rk = 1 THEN dot_r END) AS c1,
+         MAX(CASE WHEN rk = 2 THEN dot_r END) AS c2
+  FROM (
+    SELECT u.vec_id, c.cid,
+           ROUND(list_reduce(
+               [u.uv[i] * c.cv[i] FOR i IN generate_series(1, len(u.uv))],
+               (a, b) -> a + b), 6) AS dot_r,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY ROUND(list_reduce(
+                 [u.uv[i] * c.cv[i] FOR i IN generate_series(1, len(u.uv))],
+                 (a, b) -> a + b), 6) DESC, c.cid) AS rk
+    FROM u CROSS JOIN c2 c
+  ) WHERE rk <= 2
+  GROUP BY 1
+)
+GROUP BY cluster
+"""
+
+    # winsorization audit (operators/quantile.py:winsorized_stats):
+    # exact global [p01, p99] thresholds, integer-cent raw sums,
+    # integer-micro clamped sums
+    sql["winsorize_values"] = """
+WITH thr AS (
+  SELECT quantile_cont(CAST(value AS DOUBLE), [0.01, 0.99]) AS qs FROM events
+),
+t AS (SELECT qs[1] AS lo, qs[2] AS hi FROM thr),
+s AS (
+  SELECT event_type AS grp, CAST(value AS DOUBLE) AS v, lo, hi
+  FROM events, t
+),
+a AS (
+  SELECT grp, COUNT(*) AS n,
+         SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS n_lo_clamped,
+         SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS n_hi_clamped,
+         SUM(CAST(ROUND(v * 100) AS BIGINT)) AS cents,
+         SUM(CAST(ROUND(LEAST(GREATEST(v, lo), hi) * 1000000.0) AS BIGINT))
+           AS micros,
+         MAX(lo) AS lo, MAX(hi) AS hi
+  FROM s GROUP BY 1
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       CAST(n_lo_clamped AS BIGINT) AS n_lo_clamped,
+       CAST(n_hi_clamped AS BIGINT) AS n_hi_clamped,
+       ROUND(cents / (CAST(n AS DOUBLE) * 100.0), 6) + 0.0 AS mean_raw,
+       ROUND(micros / (CAST(n AS DOUBLE) * 1000000.0), 6) + 0.0
+         AS mean_winsorized,
+       ROUND(lo, 6) + 0.0 AS lo,
+       ROUND(hi, 6) + 0.0 AS hi
+FROM a
+"""
+
     # cluster-balanced sample: k-means assignment (oracle above) +
     # per-cluster deterministic 20-quota by the seed-11 hash draw
     sql["cluster_balanced_sample"] = f"""

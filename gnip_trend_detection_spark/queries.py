@@ -3110,6 +3110,26 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit_predict(emb, n_centroids=8, n_iter=2, seed=7)
 
 
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette of the parity-pinned k-means
+    (extras/similarity.py:kmeans_silhouette) — the fit-quality gate
+    before cluster-balanced sampling trusts the cells."""
+    from gnip_trend_detection_spark.extras.similarity import kmeans_silhouette
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_silhouette(emb, n_centroids=8, n_iter=2, seed=7)
+
+
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit of events.value at the exact global
+    [p01, p99] (operators/quantile.py:winsorized_stats): per-type
+    clamp rates and exact-integer before/after means."""
+    from gnip_trend_detection_spark.operators.quantile import winsorized_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return winsorized_stats(ev, "value", "event_type")
+
+
 def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced inspection sample: k-means the embedding
     space, then draw a deterministic 20-vector quota per cluster —
@@ -3206,6 +3226,8 @@ ALL: dict[str, QueryFn] = {
     "filter_agreement": q_filter_agreement,
     "vocab_growth": q_vocab_growth,
     "key_skew": q_key_skew,
+    "kmeans_silhouette": q_kmeans_silhouette,
+    "winsorize_values": q_winsorize_values,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
     "budget_materialize": q_budget_materialize,

