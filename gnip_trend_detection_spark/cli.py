@@ -180,6 +180,39 @@ def _build_parser() -> argparse.ArgumentParser:
         "when the column is absent",
     )
 
+    sc = sub.add_parser(
+        "scrub",
+        help="sub-document repeated-segment removal (C4-style): drop "
+        "k-token spans occurring too often corpus-wide, reassemble docs",
+    )
+    sc.add_argument("-i", "--input", required=True, help="corpus file/dir")
+    sc.add_argument("-o", "--output", required=True, help="output parquet dir")
+    sc.add_argument(
+        "--format", choices=("jsonl", "parquet"), default="jsonl", dest="fmt"
+    )
+    sc.add_argument("--k", type=int, default=4, help="segment length (tokens)")
+    sc.add_argument(
+        "--max-occurrences", type=int, default=2,
+        help="segments seen more often than this anywhere are dropped",
+    )
+    sc.add_argument(
+        "--drop-empty", action="store_true",
+        help="omit docs whose every segment was boilerplate "
+        "(default keeps them with empty clean_text)",
+    )
+
+    dr = sub.add_parser(
+        "drift",
+        help="distribution-drift report (PSI + two-sample KS per group) "
+        "between the first and second half of the observed time range",
+    )
+    dr.add_argument("-i", "--input", required=True, help="events parquet file/dir")
+    dr.add_argument("-o", "--output", help="optional output parquet dir")
+    dr.add_argument("--group-col", default="event_type")
+    dr.add_argument("--value-col", default="value")
+    dr.add_argument("--ts-col", default="ts")
+    dr.add_argument("--bins", type=int, default=10, help="PSI histogram bins")
+
     dc = sub.add_parser(
         "decontam", help="benchmark-contamination report over a corpus"
     )
@@ -354,7 +387,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd in (
-        "curate", "chunk", "split", "dedup", "decontam", "pack", "budget"
+        "curate", "chunk", "split", "dedup", "decontam", "pack", "budget",
+        "scrub",
     ):
         from gnip_trend_detection_spark.sources.jsonl import load_documents_jsonl
 
@@ -492,6 +526,43 @@ def main(argv: list[str] | None = None) -> int:
             print(f"dedup: kept {kept.count()} canonical doc(s)")
         else:
             report.write.mode("overwrite").parquet(args.output)
+        return 0
+
+    if args.cmd == "scrub":
+        from pyspark.sql import functions as F
+
+        from gnip_trend_detection_spark.extras.dedup import segment_dedup
+
+        out = segment_dedup(
+            read_docs(args.input), k=args.k, max_occurrences=args.max_occurrences
+        )
+        if args.drop_empty:
+            out = out.filter(F.col("n_kept") > 0)
+        out.write.mode("overwrite").parquet(args.output)
+        return 0
+
+    if args.cmd == "drift":
+        from pyspark.sql import functions as F
+
+        from gnip_trend_detection_spark.extras.drift import ks_drift, psi_drift
+
+        ev = spark.read.parquet(args.input)
+        kw = dict(
+            group_col=args.group_col,
+            value_col=args.value_col,
+            ts_col=args.ts_col,
+        )
+        report = psi_drift(ev, n_bins=args.bins, **kw).join(
+            ks_drift(ev, **kw).select("grp", "ks_d"), "grp"
+        )
+        if args.output:
+            report.write.mode("overwrite").parquet(args.output)
+        # bounded by group cardinality, not row volume
+        for r in report.orderBy("grp").collect():
+            print(
+                f"{r['grp']}: n_ref={r['n_ref']} n_cur={r['n_cur']} "
+                f"psi={r['psi']:.6f} ks_d={r['ks_d']:.6f}"
+            )
         return 0
 
     if args.cmd == "decontam":

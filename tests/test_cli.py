@@ -453,3 +453,67 @@ def test_cli_budget_allocates_and_writes(tmp_path, spark, capsys):
     assert rows["small"]["alloc_tokens"] == rows["small"]["capacity"]
     total = sum(r["alloc_tokens"] for r in rows.values())
     assert abs(total - 2000.0) < 1e-6
+
+
+def test_cli_scrub_removes_boilerplate(tmp_path, spark):
+    from gnip_trend_detection_spark.cli import main
+
+    corpus = tmp_path / "corpus_scrub"
+    corpus.mkdir()
+    boiler = "click here to subscribe"
+    lines = []
+    for i in range(4):
+        text = f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d"
+        lines.append(
+            f'{{"doc_id": {i}, "text": "{text}", "lang": "en", "source": "t"}}'
+        )
+    lines.append(
+        f'{{"doc_id": 99, "text": "{boiler}", "lang": "en", "source": "t"}}'
+    )
+    (corpus / "d.jsonl").write_text("\n".join(lines))
+
+    out = tmp_path / "scrubbed"
+    rc = main(["scrub", "-i", str(corpus), "-o", str(out)])
+    assert rc == 0
+    rep = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert len(rep) == 5  # all docs present, incl. the fully-boilerplate one
+    assert rep[0]["clean_text"] == "unique0a unique0b unique0c unique0d"
+    assert rep[99]["clean_text"] == "" and rep[99]["n_kept"] == 0
+
+    out2 = tmp_path / "scrubbed_dropped"
+    rc = main(["scrub", "-i", str(corpus), "-o", str(out2), "--drop-empty"])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(str(out2)).collect()}
+    assert kept == {0, 1, 2, 3}
+
+
+def test_cli_drift_report(tmp_path, spark, capsys):
+    import datetime
+
+    from gnip_trend_detection_spark.cli import main
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # group "stable": same uniform both halves; group "moved": shifted
+    for i in range(40):
+        rows.append(("stable", float(i % 10), base + datetime.timedelta(seconds=i)))
+        rows.append(
+            ("stable", float(i % 10), base + datetime.timedelta(hours=2, seconds=i))
+        )
+        rows.append(("moved", float(i % 10), base + datetime.timedelta(seconds=i)))
+        rows.append(
+            ("moved", 50.0 + i % 10, base + datetime.timedelta(hours=2, seconds=i))
+        )
+    data = tmp_path / "drift_events"
+    spark.createDataFrame(
+        rows, "event_type string, value double, ts timestamp"
+    ).write.parquet(str(data))
+
+    out = tmp_path / "drift_report"
+    rc = main(["drift", "-i", str(data), "-o", str(out)])
+    assert rc == 0
+    rep = {r["grp"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert rep["stable"]["psi"] == 0.0 and rep["stable"]["ks_d"] == 0.0
+    assert rep["moved"]["psi"] > 1.0 and rep["moved"]["ks_d"] == 1.0
+    printed = capsys.readouterr().out
+    assert "moved:" in printed and "ks_d=" in printed
