@@ -151,6 +151,7 @@ HEADLINE = [
     "key_skew",
     "kmeans_silhouette",
     "winsorize_values",
+    "source_js",
     # set_similarity_join is deliberately NOT benched: an EXACT
     # Jaccard join's output is workload-quadratic in true pairs, and
     # the synthetic corpus is template-dense (~43k true pairs >= 0.9

@@ -972,3 +972,69 @@ def vocab_growth(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return sizes.join(vocab, "decile").select(
         "decile", "n_docs", "n_tokens", "vocab_size"
     )
+
+
+def source_js_divergence(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source Jensen-Shannon divergence between the source's
+    unigram distribution and the WHOLE corpus's — "which ingest stream
+    stopped looking like the corpus" as one number per source in
+    [0, ln 2]. The lexical companion to the value-level drift pair
+    (extras/drift.py): PSI/KS watch a numeric column, this watches the
+    text itself.
+
+        JS(P||Q) = (KL(P||M) + KL(Q||M)) / 2,  M = (P + Q) / 2
+
+    computed term-by-term from EXACT integer counts (source tf and
+    corpus tf) — terms absent from a source contribute only through
+    the corpus side of M, and every term the corpus has appears in
+    exactly one grouped relation, so the sum is complete without any
+    grid generation.
+
+    Plan: one (source, term) hash aggregate (map-side combined) →
+    term-keyed corpus rollup derived FROM it (no second scan) →
+    broadcast per-source + corpus totals onto the term relation → one
+    per-source sum. Two keyed exchanges on the tf relation
+    (vocabulary-sized, sub-corpus); everything after is bounded.
+
+    Returns (source, n_tokens, js) — js rounded to 6.
+    """
+    # localCheckpoint: three consumers (corpus rollup, per-source
+    # totals, the probe join) would otherwise each re-expand the
+    # explode + groupBy subtree — one materialized vocabulary-sized
+    # relation replaces three corpus scans
+    tf = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_src"))
+        .localCheckpoint()
+    )
+    corpus = tf.groupBy("term").agg(F.sum("c_src").alias("c_all"))
+    totals = tf.groupBy("source").agg(F.sum("c_src").alias("n_src"))
+    n_all = corpus.agg(F.sum("c_all").alias("n_all"))
+    # every (source, term-the-corpus-has) pair matters: a term the
+    # source LACKS still contributes through Q's KL term, so join the
+    # full grid source x corpus-term, not just tf. The #sources-row
+    # side broadcasts; the vocabulary-sized side streams (BNLJ over a
+    # bounded build, never a CartesianProduct)
+    small = totals.crossJoin(F.broadcast(n_all))
+    grid = corpus.select("term", "c_all").crossJoin(F.broadcast(small))
+    joined = grid.join(tf, ["source", "term"], "left").select(
+        "source",
+        "n_src",
+        "n_all",
+        (F.coalesce("c_src", F.lit(0)) / F.col("n_src")).alias("p"),
+        (F.col("c_all") / F.col("n_all")).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+    term = (
+        F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+        + F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)).otherwise(0.0)
+    ) / 2.0
+    return joined.groupBy("source", "n_src").agg(
+        (F.round(F.sum(term), 6) + F.lit(0.0)).alias("js")
+    ).select("source", F.col("n_src").alias("n_tokens"), "js")

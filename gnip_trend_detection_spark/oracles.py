@@ -1381,6 +1381,37 @@ FROM p
 WHERE CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) >= 0.9
 """
 
+    # per-source unigram JS divergence from the corpus (extras/
+    # text.py:source_js_divergence): same exact-count grid over
+    # source x corpus-term, same per-term KL split
+    sql["source_js"] = f"""
+WITH t AS (SELECT source, {toks} AS toks FROM documents),
+tf AS (
+  SELECT source, term, COUNT(*) AS c_src
+  FROM (SELECT source, unnest(toks) AS term FROM t) GROUP BY 1, 2
+),
+corpus AS (SELECT term, SUM(c_src) AS c_all FROM tf GROUP BY 1),
+totals AS (SELECT source, SUM(c_src) AS n_src FROM tf GROUP BY 1),
+alltot AS (SELECT SUM(c_all) AS n_all FROM corpus),
+grid AS (
+  SELECT totals.source, totals.n_src, alltot.n_all, corpus.term, corpus.c_all
+  FROM corpus CROSS JOIN totals CROSS JOIN alltot
+),
+j AS (
+  SELECT g.source, g.n_src,
+         COALESCE(tf.c_src, 0) / CAST(g.n_src AS DOUBLE) AS p,
+         g.c_all / CAST(g.n_all AS DOUBLE) AS q
+  FROM grid g LEFT JOIN tf ON tf.source = g.source AND tf.term = g.term
+)
+SELECT source, CAST(n_src AS BIGINT) AS n_tokens,
+       ROUND(SUM(
+         (CASE WHEN p > 0 THEN p * LN(p / ((p + q) / 2.0)) ELSE 0.0 END
+          + CASE WHEN q > 0 THEN q * LN(q / ((p + q) / 2.0)) ELSE 0.0 END)
+         / 2.0
+       ), 6) + 0.0 AS js
+FROM j GROUP BY 1, 2
+"""
+
     # Heaps'-law vocabulary growth (extras/text.py:vocab_growth):
     # quantile_cont doc_id thresholds, first-occurrence inequality join
     sql["vocab_growth"] = f"""

@@ -696,6 +696,13 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.zipf_slope(_docs(spark, sf_dir))
 
 
+def q_source_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Jensen-Shannon divergence from the corpus
+    distribution (extras/text.py:source_js_divergence) — the lexical
+    'which ingest stream drifted' audit."""
+    return text.source_js_divergence(_docs(spark, sf_dir))
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary growth over corpus deciles (extras/
     text.py:vocab_growth) — cumulative distinct decomposed into
@@ -3228,6 +3235,7 @@ ALL: dict[str, QueryFn] = {
     "key_skew": q_key_skew,
     "kmeans_silhouette": q_kmeans_silhouette,
     "winsorize_values": q_winsorize_values,
+    "source_js": q_source_js,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
     "budget_materialize": q_budget_materialize,

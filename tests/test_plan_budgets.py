@@ -64,6 +64,8 @@ BNLJ_OK = {
     "vocab_growth",        # broadcast 10-row decile thresholds,
                            # inequality-joined (each row expands <= 10x)
     "winsorize_values",    # broadcast 1-row (lo, hi) clamp thresholds
+    "source_js",           # broadcast #sources-row totals onto the
+                           # vocabulary-sized corpus-term relation
     "ks_drift",            # broadcast 1-row (tmin, tmax) period bounds
 }
 

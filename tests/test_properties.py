@@ -861,3 +861,44 @@ def test_winsorized_stats_hand_values(spark):
     )
     got = {r["grp"]: r for r in winsorized_stats(df2, "value", "event_type").collect()}
     assert got["b"]["mean_raw"] > got["b"]["mean_winsorized"]
+
+
+def test_source_js_divergence_hand_values(spark):
+    """Identical sources -> JS 0 for both; disjoint vocabularies ->
+    per-source JS vs the pooled corpus = ln(2)/... verify against a
+    brute-force python recomputation."""
+    import math
+    from collections import Counter
+
+    from gnip_trend_detection_spark.extras.text import source_js_divergence
+
+    rows = [
+        (0, "a b c d", "s1"),
+        (1, "a b c d", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in source_js_divergence(df).collect()}
+    assert out["s1"]["js"] == 0.0 and out["s2"]["js"] == 0.0
+
+    rows2 = [
+        (0, "x x y", "p"),
+        (1, "z z w", "q"),
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string, source string")
+    got = {r["source"]: r["js"] for r in source_js_divergence(df2).collect()}
+
+    corpus = Counter("x x y z z w".split())
+    n_all = sum(corpus.values())
+    for src, textstr in (("p", "x x y"), ("q", "z z w")):
+        tf = Counter(textstr.split())
+        n = sum(tf.values())
+        js = 0.0
+        for term, c_all in corpus.items():
+            p = tf.get(term, 0) / n
+            q = c_all / n_all
+            m = (p + q) / 2
+            if p > 0:
+                js += p * math.log(p / m) / 2
+            if q > 0:
+                js += q * math.log(q / m) / 2
+        assert abs(got[src] - round(js, 6)) < 1e-9, src
