@@ -986,6 +986,41 @@ SELECT doc_id, cluster_id,
 FROM comp
 """
 
+    # near-dup split-leakage audit (queries.q_split_leakage): LSH
+    # pairs at J >= 0.5 vs the NAIVE doc-keyed split (same seed-42
+    # md5 draw and alphabetical cumulative thresholds as
+    # dataset_split, keyed by doc_id)
+    sql["split_leakage"] = f"""
+WITH p AS (SELECT doc_a, doc_b FROM ({sql["lsh_candidate_pairs"]}) WHERE jaccard >= 0.5),
+corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 5 = 0
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN u < 0.125 THEN 'test'
+              WHEN u < 0.875 THEN 'train'
+              ELSE 'val' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+                AS BIGINT) / 4294967296.0 AS u
+    FROM corpus
+  )
+),
+j AS (
+  SELECT sa.split AS sa, sb.split AS sb
+  FROM p
+  JOIN s sa ON sa.doc_id = p.doc_a
+  JOIN s sb ON sb.doc_id = p.doc_b
+)
+SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       LEAST(sa, sb) <> GREATEST(sa, sb) AS leaking
+FROM j GROUP BY 1, 2
+"""
+
     # quality-based canonical selection (extras/dedup.py:
     # canonical_by_quality over duplicate_clusters): same recursive
     # min-label components as dedup_clusters, then keep the longest

@@ -601,6 +601,41 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.canonical_by_quality(scored, clusters)
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage audit of a NAIVE doc-keyed split: LSH pairs at
+    J >= 0.5 joined onto each side's split assignment, counted per
+    unordered split-pair. Nonzero off-diagonal rows are exactly the
+    train/test contamination a doc-keyed split allows and the
+    source-keyed q_dataset_split prevents — the governance number a
+    pipeline checks before trusting held-out metrics."""
+    corpus = _lsh_corpus(spark, sf_dir)
+    sigs = dedup.minhash_signatures(corpus)
+    pairs = dedup.lsh_candidate_pairs(sigs, rows_per_band=2).filter(
+        F.col("jaccard") >= 0.5
+    )
+    splits = sample.split_dataset(
+        corpus.select("doc_id"),
+        {"train": 0.75, "val": 0.125, "test": 0.125},
+        key_col="doc_id",
+    )
+    a = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    return (
+        j.groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("leaking"),
+        )
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram Jaccard over fingerprint-bucket candidates; corpus
     includes truncated twins so buckets actually collide."""
@@ -3236,6 +3271,7 @@ ALL: dict[str, QueryFn] = {
     "kmeans_silhouette": q_kmeans_silhouette,
     "winsorize_values": q_winsorize_values,
     "source_js": q_source_js,
+    "split_leakage": q_split_leakage,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
     "budget_materialize": q_budget_materialize,

@@ -405,3 +405,47 @@ def test_materialize_budget_replicates_and_samples(spark):
         for r in materialize_budget(df.repartition(13), alloc).collect()
     }
     assert re_got == got
+
+
+def test_split_leakage_counts_straddling_pairs(spark):
+    """The leakage matrix must equal a brute-force recomputation from
+    the same deterministic draw: hash each doc_id, assign splits, and
+    bucket the given near-dup pairs by (least, greatest) split."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.extras.sample import split_dataset
+
+    def py_split(doc_id):
+        u = int(hashlib.md5(f"{doc_id}:42".encode()).hexdigest()[:8], 16) / 2**32
+        return "test" if u < 0.125 else ("train" if u < 0.875 else "val")
+
+    ids = list(range(40))
+    pairs = [(i, i + 20) for i in range(20)]
+    splits = split_dataset(
+        spark.createDataFrame([(i,) for i in ids], "doc_id long"),
+        {"train": 0.75, "val": 0.125, "test": 0.125},
+        key_col="doc_id",
+    )
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    a = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    got = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in pdf.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .collect()
+    }
+    from collections import Counter
+
+    want = Counter(
+        tuple(sorted((py_split(x), py_split(y)))) for x, y in pairs
+    )
+    assert got == dict(want)
+    assert sum(got.values()) == 20
