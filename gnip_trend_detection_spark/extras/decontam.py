@@ -232,3 +232,92 @@ def decontaminate(
             (F.col("n_hit") > 0).alias("is_contaminated"),
         )
     )
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training docs that are
+    MinHash-banded near-duplicates of a benchmark doc at verified
+    shingle-Jaccard >= threshold — the contamination exact n-gram
+    collision misses when the leak was paraphrased, truncated, or
+    reformatted (the Llama-2 A.6 "fuzzy" tier above the exact-gram
+    recipe).
+
+    Plan: both sides run the SAME MinHash signature map pass
+    (dedup.minhash_signatures — Arrow/numpy kernel, one scan each);
+    candidates come from the banded bucket equi-join (never all-pairs)
+    probing corpus bands against benchmark bands only; each candidate
+    pair is verified with the exact shingle Jaccard before flagging.
+    The benchmark side is small by construction (MBs vs TBs), so its
+    band relation broadcasts and the corpus side never shuffles beyond
+    its per-doc signature aggregate — the same asymmetry
+    decontaminate() exploits, lifted to near-dup matching.
+
+    Returns one row per corpus doc: (doc_id, n_bench_matches,
+    best_jaccard, contaminated) — best_jaccard NULL when no candidate
+    survived verification.
+    """
+    from gnip_trend_detection_spark.extras.dedup import (
+        band_rows,
+        minhash_signatures,
+    )
+
+    c_sigs = minhash_signatures(corpus, text_col=text_col)
+    b_sigs = minhash_signatures(benchmark, text_col=text_col)
+    c_bands = band_rows(c_sigs, rows_per_band=2)
+    b_bands = band_rows(b_sigs, rows_per_band=2).select(
+        F.col("b"),
+        F.col("band_val"),
+        F.col("doc_id").alias("bench_id"),
+    )
+    cand = (
+        c_bands.join(F.broadcast(b_bands), ["b", "band_val"])
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    # exact verify on the candidate subset only: shingle sets of both
+    # sides, intersection via integer cross-multiplied Jaccard
+    c_sh = c_sigs.select("doc_id", F.explode("shingles").alias("sh")).distinct()
+    b_sh = b_sigs.select(
+        F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("sh")
+    ).distinct()
+    c_sz = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    b_sz = b_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("nb"))
+    inter = (
+        cand.join(c_sh, "doc_id")
+        .join(b_sh, ["bench_id", "sh"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    t = float(threshold)
+    verified = (
+        inter.join(c_sz, "doc_id")
+        .join(F.broadcast(b_sz), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("j"),
+        )
+        .filter(F.col("j") >= t)
+    )
+    hits = verified.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_matches"),
+        (F.round(F.max("j"), 6) + F.lit(0.0)).alias("best_jaccard"),
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bench_matches", F.lit(0).cast("long")).alias(
+                "n_bench_matches"
+            ),
+            "best_jaccard",
+            (F.coalesce("n_bench_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -921,6 +921,68 @@ LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 """
+    # fuzzy MinHash decontamination (extras/decontam.py:
+    # decontaminate_fuzzy): corpus = non-bench docs + 40-token
+    # truncations of bench docs (ids +3e6); one shared minhash CTE
+    # over the union, band join restricted corpus-side x bench-side,
+    # exact shingle-Jaccard verify at >= 0.5
+    sql["decontaminate_fuzzy"] = f"""
+WITH allsrc AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+  UNION ALL
+  SELECT d.doc_id + 3000000 AS doc_id,
+         array_to_string(list_slice({toks}, 1, 40), ' ') AS text
+  FROM documents d WHERE d.doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+),
+{minhash_ctes.format(toks=toks, src="allsrc")},
+bands AS (
+  SELECT doc_id, b,
+         CAST(sig[2*b + 1] AS VARCHAR) || ':' || CAST(sig[2*b + 2] AS VARCHAR) AS band_val
+  FROM (SELECT doc_id, sig, unnest(generate_series(0, 7)) AS b FROM sigs)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id, bb.doc_id AS bench_id
+  FROM bands a JOIN bands bb
+    ON a.b = bb.b AND a.band_val = bb.band_val AND a.doc_id <> bb.doc_id
+  WHERE (a.doc_id >= 3000000 OR a.doc_id % 20 <> 0)
+    AND bb.doc_id < 3000000 AND bb.doc_id % 20 = 0
+),
+shd AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+inter AS (
+  SELECT c.doc_id, c.bench_id, COUNT(*) AS i
+  FROM cand c
+  JOIN shd s1 ON s1.doc_id = c.doc_id
+  JOIN shd s2 ON s2.doc_id = c.bench_id AND s2.shingle = s1.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc_id,
+         CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS j
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_id
+  JOIN sizes sb ON sb.doc_id = i.bench_id
+  WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_bench_matches,
+         ROUND(MAX(j), 6) + 0.0 AS best_jaccard
+  FROM verified GROUP BY 1
+),
+corpus AS (
+  SELECT doc_id FROM documents WHERE doc_id % 20 <> 0
+  UNION ALL
+  SELECT doc_id + 3000000 FROM documents WHERE doc_id % 20 = 0
+)
+SELECT c.doc_id,
+       CAST(COALESCE(h.n_bench_matches, 0) AS BIGINT) AS n_bench_matches,
+       h.best_jaccard,
+       COALESCE(h.n_bench_matches, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+"""
+
     # LSH quality eval (dedup.lsh_eval): exact ground truth from the
     # shared-shingle equi-join (jaccard > 0 implies >= 1 shared
     # shingle), candidates from the lsh SQL as a subquery; integer

@@ -1110,6 +1110,24 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.decontaminate(corpus, bench, n=4)
 
 
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash-banded) benchmark decontamination (extras/
+    decontam.py:decontaminate_fuzzy): every 20th doc plays the
+    benchmark; the corpus is the rest PLUS 40-token truncations of the
+    benchmark docs — planted paraphrase-leaks exact n-gram collision
+    can miss but near-dup matching at J >= 0.5 must flag."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    leaked = bench.select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(F.slice(text.tokens(F.col("text")), 1, 40), " ").alias(
+            "text"
+        ),
+    )
+    corpus = docs.filter(F.col("doc_id") % 20 != 0).unionByName(leaked)
+    return decontam.decontaminate_fuzzy(corpus, bench, threshold=0.5)
+
+
 BM25_QUERY_TERMS = ["hash", "join", "stream", "vector", "zzzunseen"]
 
 
@@ -3272,6 +3290,7 @@ ALL: dict[str, QueryFn] = {
     "winsorize_values": q_winsorize_values,
     "source_js": q_source_js,
     "split_leakage": q_split_leakage,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
     "budget_materialize": q_budget_materialize,

@@ -449,3 +449,31 @@ def test_split_leakage_counts_straddling_pairs(spark):
     )
     assert got == dict(want)
     assert sum(got.values()) == 20
+
+
+def test_decontaminate_fuzzy_catches_truncated_leak(spark):
+    """A training doc that is a truncation of a benchmark doc (shares
+    a long prefix -> high shingle Jaccard) must be flagged; an
+    unrelated doc must not; every corpus doc gets a row."""
+    from gnip_trend_detection_spark.extras.decontam import decontaminate_fuzzy
+
+    bench_text = " ".join(f"benchword{i}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(f"benchword{i}" for i in range(45))),  # leak
+            (2, " ".join(f"clean{i}" for i in range(50))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_fuzzy(corpus, bench, threshold=0.5).collect()
+    }
+    assert len(out) == 2
+    assert out[1]["contaminated"] and out[1]["n_bench_matches"] == 1
+    # truncation at 45/60 tokens -> shingle containment 43/58 ≈ 0.74
+    assert out[1]["best_jaccard"] > 0.5
+    assert not out[2]["contaminated"] and out[2]["best_jaccard"] is None

@@ -100,6 +100,11 @@ EXCHANGE_CEILING = {
     # rank relations are distinct-value-sized off a checkpointed
     # histogram, so AQE broadcasts them at runtime (keyed, bounded)
     "quality_blend": 17,
+    # candidate-then-verify across two relations: corpus + bench
+    # signature aggs, band-probe distinct, shingle-set distincts +
+    # sizes, intersection agg, per-doc hit agg, final left join —
+    # every exchange keyed, the bench side broadcast throughout
+    "decontaminate_fuzzy": 10,
     "semantic_dedup": 8,
     "tfidf_top_terms": 7,
     "ann_ivf_topk": 7,
