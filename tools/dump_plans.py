@@ -55,6 +55,11 @@ SHOWCASE = [
     ("detector_ensemble", "batched two-phase rank: one (signal,value) histogram, pid-partitioned prefix windows, no single-partition sort"),
     ("pack_sequences", "one shard-keyed exchange + per-shard prefix sum: the partitionBy-write shape"),
     ("bigram_logppl", "explode -> tf agg -> LM/prefix roll-ups -> AQE-broadcast term joins"),
+    ("segment_dedup", "segment histogram + shuffle hash join back; hot keys dropped before the join"),
+    ("psi_drift", "one fused per-group stats agg, broadcast grid, two hash aggs, no windows"),
+    ("ks_drift", "distinct-value collapse, group-partitioned cumulative windows"),
+    ("vocab_growth", "two-phase quantile thresholds checkpointed to 10 rows, inequality BNLJ over bounded build"),
+    ("decontaminate_fuzzy", "corpus bands probe BROADCAST bench bands; exact verify only on candidates"),
 ]
 
 
