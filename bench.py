@@ -154,6 +154,7 @@ HEADLINE = [
     "source_js",
     "split_leakage",
     "decontaminate_fuzzy",
+    "longest_dup_span",
     # set_similarity_join is deliberately NOT benched: an EXACT
     # Jaccard join's output is workload-quadratic in true pairs, and
     # the synthetic corpus is template-dense (~43k true pairs >= 0.9

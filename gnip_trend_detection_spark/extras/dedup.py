@@ -1014,3 +1014,77 @@ def canonical_by_quality(
         F.count(F.lit(1)).over(w_sz).cast("long").alias("cluster_size"),
         (F.row_number().over(w_rk) == 1).alias("keep"),
     )
+
+
+def longest_dup_span(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    hash_impl: str = "xxhash64",
+) -> DataFrame:
+    """Longest cross-document duplicated TOKEN RUN per document — the
+    span-length view of duplicated_spans. Lee et al. 2022 dedup at
+    ~50-token spans; the count/fraction signal says HOW MUCH of a doc
+    is duplicated, this says HOW LONG its worst span is (one 400-token
+    verbatim quote and 50 scattered 8-grams have the same dup_frac but
+    very different memorization risk).
+
+    Relational islands-and-gaps: duplicated n-gram POSITIONS per doc,
+    ``pos - row_number()`` over (doc, pos-order) labels each maximal
+    consecutive run with a constant, two hash aggs pick the longest;
+    a run of L consecutive duplicated n-gram positions is a duplicated
+    token span of L + n - 1 tokens. The window is PARTITIONED by
+    doc_id (parallel; per-doc input bounded by doc length), the gram
+    relation is persisted once for both consumers, and span keys are
+    hashed pre-shuffle exactly as duplicated_spans does (output is
+    hash-invariant; the oracle groups by gram content).
+
+    Returns (doc_id, n_grams, longest_span_tokens) for every doc with
+    >= n tokens; 0 when nothing is duplicated.
+    """
+    t = docs.select("doc_id", tokens(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    if hash_impl == "xxhash64":
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.xxhash64(F.slice(F.col("toks"), i + 1, n)),
+        )
+    elif hash_impl == "md5":
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n))),
+        )
+    else:
+        raise ValueError(f"unknown hash_impl: {hash_impl!r}")
+    g = t.select("doc_id", F.posexplode(grams).alias("pos", "g")).persist()
+    dup = (
+        g.dropDuplicates(["doc_id", "g"])
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        g.join(dup, "g")
+        .select("doc_id", "pos")
+        .withColumn("isl", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "isl")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("doc_id")
+        .agg(F.max("run").alias("max_run"))
+    )
+    return (
+        t.select(
+            "doc_id", (F.size("toks") - n + 1).cast("long").alias("n_grams")
+        )
+        .join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.when(F.col("max_run").isNull(), F.lit(0).cast("long"))
+            .otherwise((F.col("max_run") + n - 1).cast("long"))
+            .alias("longest_span_tokens"),
+        )
+    )

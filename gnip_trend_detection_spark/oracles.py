@@ -1289,6 +1289,47 @@ SELECT tt.doc_id, CAST(tt.ng AS BIGINT) AS n_grams,
 FROM tt LEFT JOIN dc USING (doc_id)
 """
 
+    # longest cross-doc duplicated token run (extras/dedup.py:
+    # longest_dup_span): same corpus/grams as duplicated_spans,
+    # islands via pos - ROW_NUMBER, longest run -> run + n - 1 tokens
+    sql["longest_dup_span"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, substr(text, 1, 200) FROM documents WHERE doc_id % 7 = 0
+),
+t AS (SELECT doc_id, {toks} AS toks FROM corpus),
+tt AS (SELECT doc_id, toks, len(toks) - 7 AS ng FROM t WHERE len(toks) >= 8),
+g AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g
+  FROM (
+    SELECT doc_id,
+           unnest([struct_pack(pos := i - 1,
+                               g := md5(array_to_string(toks[i:i+7], ' ')))
+                   for i in generate_series(1, ng)]) AS u
+    FROM tt
+  )
+),
+nd AS (
+  SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+  WHERE nd >= 2
+),
+isl AS (
+  SELECT doc_id,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM g JOIN nd USING (g)
+),
+runs AS (
+  SELECT doc_id, MAX(run) AS max_run FROM (
+    SELECT doc_id, isl, COUNT(*) AS run FROM isl GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT tt.doc_id, CAST(tt.ng AS BIGINT) AS n_grams,
+       CAST(CASE WHEN runs.max_run IS NULL THEN 0
+                 ELSE runs.max_run + 7 END AS BIGINT) AS longest_span_tokens
+FROM tt LEFT JOIN runs USING (doc_id)
+"""
+
     # cross-source word-trigram overlap matrix (extras/dedup.py:
     # source_overlap); zero-overlap pairs included via the size cross
     sql["source_overlap"] = f"""

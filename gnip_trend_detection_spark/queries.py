@@ -659,6 +659,18 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_spans(docs.unionByName(truncated), n=8)
 
 
+def q_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest cross-document duplicated token run per doc (extras/
+    dedup.py:longest_dup_span) over the same prefix-twin corpus as
+    duplicated_spans — islands-and-gaps over duplicated positions."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    truncated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.substring(F.col("text"), 1, 200).alias("text"),
+    )
+    return dedup.longest_dup_span(docs.unionByName(truncated), n=8)
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram overlap/containment matrix across corpus sources."""
     return dedup.source_overlap(_docs(spark, sf_dir), n=3)
@@ -3291,6 +3303,7 @@ ALL: dict[str, QueryFn] = {
     "source_js": q_source_js,
     "split_leakage": q_split_leakage,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
+    "longest_dup_span": q_longest_dup_span,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
     "budget_materialize": q_budget_materialize,

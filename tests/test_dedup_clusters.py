@@ -261,3 +261,24 @@ def test_canonical_by_quality_keeps_best(spark):
     assert out[10]["keep"] and not out[11]["keep"]  # tie -> min doc_id
     assert out[99]["keep"] and out[99]["cluster_size"] == 1
     assert out[99]["cluster_id"] == 99
+
+
+def test_longest_dup_span_islands(spark):
+    """Two docs share one contiguous 12-token block (-> 5 consecutive
+    duplicated 8-gram positions -> span 12) and one isolated 8-token
+    block (span 8, not adjacent): the longest must be 12, not 20, and
+    a doc with no cross-doc dup reports 0."""
+    from gnip_trend_detection_spark.extras.dedup import longest_dup_span
+
+    block = " ".join(f"s{i}" for i in range(12))
+    iso = " ".join(f"t{i}" for i in range(8))
+    rows = [
+        (0, f"{block} a1 a2 a3 a4 a5 {iso} a6 a7 a8"),
+        (1, f"b1 b2 b3 b4 b5 {block} b6 b7 {iso}"),
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in longest_dup_span(df, n=8).collect()}
+    assert out[0]["longest_span_tokens"] == 12
+    assert out[1]["longest_span_tokens"] == 12
+    assert out[2]["longest_span_tokens"] == 0
