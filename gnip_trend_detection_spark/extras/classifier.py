@@ -322,5 +322,9 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         "n_only_b",
         (F.round(po, 6) + F.lit(0.0)).alias("po"),
         (F.round(pe, 6) + F.lit(0.0)).alias("pe"),
-        (F.round((po - pe) / (1.0 - pe), 6) + F.lit(0.0)).alias("kappa"),
+        # pe == 1 (both gates constant) leaves kappa 0/0-undefined;
+        # Spark folds that to NULL, DuckDB to NaN — emit explicit NULL
+        F.when(
+            pe < 1.0, F.round((po - pe) / (1.0 - pe), 6) + F.lit(0.0)
+        ).alias("kappa"),
     )

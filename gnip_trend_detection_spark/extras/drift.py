@@ -163,11 +163,21 @@ def ks_drift(
     tot = per_v.groupBy("grp").agg(
         F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
     )
+    # try_divide: a degenerate group entirely inside one half makes
+    # n 0, and the engines disagree on x/0 (ANSI Spark throws, DuckDB
+    # yields NaN) — divide NULL-safely and emit an explicit NULL D
+    # for that group in both engines
     gap = F.abs(
-        F.col("cum_ref") / F.col("n_ref") - F.col("cum_cur") / F.col("n_cur")
+        F.try_divide(F.col("cum_ref"), F.col("n_ref"))
+        - F.try_divide(F.col("cum_cur"), F.col("n_cur"))
     )
     return (
         cum.join(F.broadcast(tot), "grp")
         .groupBy("grp", "n_ref", "n_cur")
-        .agg((F.round(F.max(gap), 6) + F.lit(0.0)).alias("ks_d"))
+        .agg(
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.round(F.max(gap), 6) + F.lit(0.0),
+            ).alias("ks_d")
+        )
     )

@@ -3153,23 +3153,20 @@ SELECT CAST(n AS BIGINT) AS n,
        CAST(n_both_drop AS BIGINT) AS n_both_drop,
        CAST(n_only_a AS BIGINT) AS n_only_a,
        CAST(n_only_b AS BIGINT) AS n_only_b,
-       ROUND((n_both_keep + n_both_drop) / CAST(n AS DOUBLE), 6) + 0.0 AS po,
-       ROUND(((n_both_keep + n_only_a) / CAST(n AS DOUBLE))
-             * ((n_both_keep + n_only_b) / CAST(n AS DOUBLE))
-             + (1.0 - (n_both_keep + n_only_a) / CAST(n AS DOUBLE))
-               * (1.0 - (n_both_keep + n_only_b) / CAST(n AS DOUBLE)), 6)
-         + 0.0 AS pe,
-       ROUND(((n_both_keep + n_both_drop) / CAST(n AS DOUBLE)
-              - ((n_both_keep + n_only_a) / CAST(n AS DOUBLE))
-                * ((n_both_keep + n_only_b) / CAST(n AS DOUBLE))
-              - (1.0 - (n_both_keep + n_only_a) / CAST(n AS DOUBLE))
-                * (1.0 - (n_both_keep + n_only_b) / CAST(n AS DOUBLE)))
-             / (1.0 - ((n_both_keep + n_only_a) / CAST(n AS DOUBLE))
-                      * ((n_both_keep + n_only_b) / CAST(n AS DOUBLE))
-                - (1.0 - (n_both_keep + n_only_a) / CAST(n AS DOUBLE))
-                  * (1.0 - (n_both_keep + n_only_b) / CAST(n AS DOUBLE))), 6)
-         + 0.0 AS kappa
-FROM c
+       ROUND(po0, 6) + 0.0 AS po,
+       ROUND(pe0, 6) + 0.0 AS pe,
+       CASE WHEN pe0 < 1.0
+            THEN ROUND((po0 - pe0) / (1.0 - pe0), 6) + 0.0
+       END AS kappa
+FROM (
+  SELECT *,
+         (n_both_keep + n_both_drop) / CAST(n AS DOUBLE) AS po0,
+         ((n_both_keep + n_only_a) / CAST(n AS DOUBLE))
+           * ((n_both_keep + n_only_b) / CAST(n AS DOUBLE))
+         + (1.0 - (n_both_keep + n_only_a) / CAST(n AS DOUBLE))
+           * (1.0 - (n_both_keep + n_only_b) / CAST(n AS DOUBLE)) AS pe0
+  FROM c
+)
 """
 
     # RANGE-frame sliding window twin (q_rolling_hour_activity);
@@ -3432,10 +3429,12 @@ tot AS (SELECT grp, SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM per_v GROUP BY
 SELECT c.grp AS event_type,
        CAST(t.n_ref AS BIGINT) AS n_ref,
        CAST(t.n_cur AS BIGINT) AS n_cur,
-       ROUND(MAX(ABS(CAST(cum_ref AS DOUBLE) / t.n_ref
-                     - CAST(cum_cur AS DOUBLE) / t.n_cur)), 6) + 0.0 AS ks_d
+       CASE WHEN t.n_ref > 0 AND t.n_cur > 0
+            THEN ROUND(MAX(ABS(CAST(cum_ref AS DOUBLE) / t.n_ref
+                               - CAST(cum_cur AS DOUBLE) / t.n_cur)), 6) + 0.0
+       END AS ks_d
 FROM cum c JOIN tot t USING (grp)
-GROUP BY 1, 2, 3
+GROUP BY c.grp, t.n_ref, t.n_cur
 """
 
     sql["value_outliers"] = """

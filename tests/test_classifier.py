@@ -171,3 +171,14 @@ def test_cohens_kappa_hand_values(spark):
         [(True, True)] * 3 + [(False, False)] * 7, "a boolean, b boolean"
     )
     assert cohens_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
+
+
+def test_cohens_kappa_degenerate_pe_one_null(spark):
+    """Both gates constant (everything agrees, pe = 1): kappa is
+    0/0-undefined — must emit NULL in both engines, not NaN."""
+    from gnip_trend_detection_spark.extras.classifier import cohens_kappa
+
+    df = spark.createDataFrame([(True, True)] * 5, "a boolean, b boolean")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["po"] == 1.0 and r["pe"] == 1.0
+    assert r["kappa"] is None

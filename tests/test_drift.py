@@ -102,3 +102,25 @@ def test_drift_multiple_groups_independent(spark):
     ks = {r["grp"]: r["ks_d"] for r in ks_drift(df).collect()}
     assert psi["s"] == 0.0 and psi["d"] > 1.0
     assert ks["s"] == 0.0 and ks["d"] == 1.0
+
+
+def test_ks_degenerate_one_sided_group_null(spark):
+    """A group whose rows all land in one time half has no defined KS
+    D: it must emit NULL (matching the SQL twin's CASE guard), never a
+    NULL/NaN cross-engine divergence or a crash."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = (
+        # 'both' spans the range; 'early' exists only in the first half
+        [("both", 1.0, base)]
+        + [("both", 2.0, base + datetime.timedelta(hours=2))]
+        + [("early", 5.0, base + datetime.timedelta(seconds=s)) for s in range(3)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, ts timestamp"
+    )
+    out = {r["grp"]: r for r in ks_drift(df).collect()}
+    assert out["early"]["n_cur"] == 0
+    assert out["early"]["ks_d"] is None
+    assert out["both"]["ks_d"] == 1.0
