@@ -155,6 +155,7 @@ HEADLINE = [
     "split_leakage",
     "decontaminate_fuzzy",
     "longest_dup_span",
+    "normalize_text",
     # set_similarity_join is deliberately NOT benched: an EXACT
     # Jaccard join's output is workload-quadratic in true pairs, and
     # the synthetic corpus is template-dense (~43k true pairs >= 0.9

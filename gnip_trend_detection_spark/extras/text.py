@@ -1038,3 +1038,32 @@ def source_js_divergence(
     return joined.groupBy("source", "n_src").agg(
         (F.round(F.sum(term), 6) + F.lit(0.0)).alias("js")
     ).select("source", F.col("n_src").alias("n_tokens"), "js")
+
+
+NORM_URL_RE = r"https?://[a-z0-9./_-]+"
+NORM_WS_RE = r"[ \t\r\n]+"
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pre-tokenization text normalization — the first map pass of
+    every curation pipeline: lowercase, URL masking, whitespace
+    collapse, edge trim. Both regexes stay in the RE2-compatible
+    subset (same discipline as pii_scrub) so Spark's Java engine and
+    the SQL twin's RE2 agree byte-for-byte; the normalized text is
+    emitted as an md5 + length so the oracle compares content without
+    hauling full strings through the canonicalizer. Pure per-row map:
+    zero shuffle, scales as a scan.
+
+    Returns (doc_id, n_urls, norm_hash, norm_len, shrunk) — shrunk
+    marks docs the normalization actually changed.
+    """
+    t = F.lower(F.col(text_col))
+    masked = F.regexp_replace(t, NORM_URL_RE, "<URL>")
+    collapsed = F.trim(F.regexp_replace(masked, NORM_WS_RE, " "))
+    return docs.filter(F.col(text_col).isNotNull()).select(
+        "doc_id",
+        F.regexp_count(t, F.lit(NORM_URL_RE)).cast("long").alias("n_urls"),
+        F.md5(collapsed.cast("binary")).alias("norm_hash"),
+        F.length(collapsed).cast("long").alias("norm_len"),
+        (collapsed != F.col(text_col)).alias("shrunk"),
+    )

@@ -1519,6 +1519,40 @@ FROM p
 WHERE CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) >= 0.9
 """
 
+    # pre-tokenization normalization (extras/text.py:normalize_text):
+    # same RE2-subset regexes, same seeding; DuckDB regexp_replace
+    # needs the 'g' flag to match Spark's replace-all
+    sql["normalize_text"] = """
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' see https://example.com/a_b-c.html now'
+              ELSE text END AS text
+  FROM documents
+),
+seeded2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0
+              THEN text || '   MIXED   Case' || chr(9) || 'TEXT  '
+              ELSE text END AS text
+  FROM seeded
+),
+n AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(lower(text), 'https?://[a-z0-9./_-]+')) AS n_urls,
+         trim(regexp_replace(
+             regexp_replace(lower(text), 'https?://[a-z0-9./_-]+', '<URL>', 'g'),
+             '[ \t\r\n]+', ' ', 'g')) AS norm
+  FROM seeded2 WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(n_urls AS BIGINT) AS n_urls,
+       md5(norm) AS norm_hash,
+       CAST(length(norm) AS BIGINT) AS norm_len,
+       norm <> text AS shrunk
+FROM n
+"""
+
     # per-source unigram JS divergence from the corpus (extras/
     # text.py:source_js_divergence): same exact-count grid over
     # source x corpus-term, same per-term KL split

@@ -743,6 +743,32 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.zipf_slope(_docs(spark, sf_dir))
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization normalization (extras/text.py:normalize_text)
+    over a corpus seeded with URLs (every 4th doc) and mixed-case /
+    tab / multi-space noise (every 6th) so masking, collapsing, and
+    the shrunk flag are actually exercised (pii_scrub's seeding
+    discipline)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://example.com/a_b-c.html now"),
+            ),
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.col("text"), F.lit("   MIXED   Case\tTEXT  ")),
+        ).otherwise(F.col("text")),
+    )
+    return text.normalize_text(seeded)
+
+
 def q_source_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source unigram Jensen-Shannon divergence from the corpus
     distribution (extras/text.py:source_js_divergence) — the lexical
@@ -3304,6 +3330,7 @@ ALL: dict[str, QueryFn] = {
     "split_leakage": q_split_leakage,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "longest_dup_span": q_longest_dup_span,
+    "normalize_text": q_normalize_text,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
     "budget_materialize": q_budget_materialize,

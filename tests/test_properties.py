@@ -902,3 +902,25 @@ def test_source_js_divergence_hand_values(spark):
             if q > 0:
                 js += q * math.log(q / m) / 2
         assert abs(got[src] - round(js, 6)) < 1e-9, src
+
+
+def test_normalize_text_masks_and_collapses(spark):
+    """URL masked, whitespace collapsed, edges trimmed, case lowered;
+    an already-clean doc is not marked shrunk."""
+    import hashlib
+
+    from gnip_trend_detection_spark.extras.text import normalize_text
+
+    rows = [
+        (0, "Visit https://example.com/x_y-z.html   NOW\t\tplease  "),
+        (1, "already clean text"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert set(out) == {0, 1}  # NULL text dropped
+    want0 = "visit <URL> now please"
+    assert out[0]["n_urls"] == 1
+    assert out[0]["norm_hash"] == hashlib.md5(want0.encode()).hexdigest()
+    assert out[0]["norm_len"] == len(want0) and out[0]["shrunk"]
+    assert out[1]["n_urls"] == 0 and not out[1]["shrunk"]
