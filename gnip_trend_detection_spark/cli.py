@@ -207,6 +207,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "between the first and second half of the observed time range",
     )
     dr.add_argument("-i", "--input", required=True, help="events parquet file/dir")
+    dr.add_argument(
+        "-r", "--reference",
+        help="optional trusted reference parquet; when given, drift is "
+        "input-vs-reference instead of a midpoint time split",
+    )
     dr.add_argument("-o", "--output", help="optional output parquet dir")
     dr.add_argument("--group-col", default="event_type")
     dr.add_argument("--value-col", default="value")
@@ -544,17 +549,29 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "drift":
         from pyspark.sql import functions as F
 
-        from gnip_trend_detection_spark.extras.drift import ks_drift, psi_drift
+        from gnip_trend_detection_spark.extras.drift import (
+            ks_between,
+            ks_drift,
+            psi_between,
+            psi_drift,
+        )
 
         ev = spark.read.parquet(args.input)
-        kw = dict(
-            group_col=args.group_col,
-            value_col=args.value_col,
-            ts_col=args.ts_col,
-        )
-        report = psi_drift(ev, n_bins=args.bins, **kw).join(
-            ks_drift(ev, **kw).select("grp", "ks_d"), "grp"
-        )
+        if args.reference:
+            ref = spark.read.parquet(args.reference)
+            kw = dict(group_col=args.group_col, value_col=args.value_col)
+            report = psi_between(ref, ev, n_bins=args.bins, **kw).join(
+                ks_between(ref, ev, **kw).select("grp", "ks_d"), "grp"
+            )
+        else:
+            kw = dict(
+                group_col=args.group_col,
+                value_col=args.value_col,
+                ts_col=args.ts_col,
+            )
+            report = psi_drift(ev, n_bins=args.bins, **kw).join(
+                ks_drift(ev, **kw).select("grp", "ks_d"), "grp"
+            )
         if args.output:
             report.write.mode("overwrite").parquet(args.output)
         # bounded by group cardinality, not row volume

@@ -78,7 +78,41 @@ def psi_drift(
     Returns (grp, n_ref, n_cur, psi) — psi rounded to 6, n_bins-term
     sum per group.
     """
-    tagged = _tagged(events, group_col, value_col, ts_col)
+    return _psi_from_tagged(
+        _tagged(events, group_col, value_col, ts_col), n_bins
+    )
+
+
+def psi_between(
+    reference: DataFrame,
+    current: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_bins: int = 10,
+) -> DataFrame:
+    """PSI per group between TWO relations — the other production
+    shape ("this week's crawl vs the trusted reference corpus"):
+    identical math to psi_drift, the period flag comes from which
+    input a row arrived in instead of a time split."""
+    return _psi_from_tagged(
+        _union_tagged(reference, current, group_col, value_col), n_bins
+    )
+
+
+def _union_tagged(
+    reference: DataFrame, current: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    def side(df: DataFrame, flag: bool) -> DataFrame:
+        return df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("double").alias("v"),
+            F.lit(flag).alias("is_ref"),
+        ).filter(F.col("grp").isNotNull() & F.col("v").isNotNull())
+
+    return side(reference, True).unionByName(side(current, False))
+
+
+def _psi_from_tagged(tagged: DataFrame, n_bins: int) -> DataFrame:
     # ONE per-group aggregation carries value bounds AND period totals
     # — the bin grid, the bin expression, and the smoothing
     # denominators all derive from it without re-scanning the input
@@ -145,7 +179,21 @@ def ks_drift(
 
     Returns (grp, n_ref, n_cur, ks_d) — ks_d rounded to 6.
     """
-    tagged = _tagged(events, group_col, value_col, ts_col)
+    return _ks_from_tagged(_tagged(events, group_col, value_col, ts_col))
+
+
+def ks_between(
+    reference: DataFrame,
+    current: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-sample KS D per group between TWO relations (see
+    psi_between) — same exact ECDF machinery as ks_drift."""
+    return _ks_from_tagged(_union_tagged(reference, current, group_col, value_col))
+
+
+def _ks_from_tagged(tagged: DataFrame) -> DataFrame:
     per_v = tagged.groupBy("grp", "v").agg(
         F.count(F.when(F.col("is_ref"), 1)).alias("c_ref"),
         F.count(F.when(~F.col("is_ref"), 1)).alias("c_cur"),

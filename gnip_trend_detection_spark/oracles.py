@@ -3435,6 +3435,54 @@ FROM filled f JOIN tot t USING (grp)
 GROUP BY 1, 2, 3
 """
 
+    # two-relation PSI (extras/drift.py:psi_between): view events as
+    # reference vs click as current, grouped by hour-of-day — same
+    # grid/smoothing as psi_drift with an input-side period flag
+    sql["psi_between_types"] = """
+WITH e AS (
+  SELECT CAST(FLOOR(epoch(ts) / 3600) % 24 AS BIGINT) AS grp,
+         CAST(value AS DOUBLE) AS v,
+         event_type = 'view' AS is_ref
+  FROM events
+  WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+),
+gstats AS (
+  SELECT grp, MIN(v) AS vmin, MAX(v) AS vmax,
+         COUNT(*) FILTER (WHERE is_ref) AS n_ref,
+         COUNT(*) FILTER (WHERE NOT is_ref) AS n_cur
+  FROM e GROUP BY 1
+),
+binned AS (
+  SELECT e.grp, e.is_ref,
+         CASE WHEN g.vmax > g.vmin
+              THEN LEAST(CAST(FLOOR((e.v - g.vmin) / ((g.vmax - g.vmin) / 10.0))
+                              AS BIGINT), 9)
+              ELSE 0 END AS bin
+  FROM e JOIN gstats g USING (grp)
+),
+cnts AS (
+  SELECT grp, bin,
+         COUNT(*) FILTER (WHERE is_ref) AS c_ref,
+         COUNT(*) FILTER (WHERE NOT is_ref) AS c_cur
+  FROM binned GROUP BY 1, 2
+),
+grid AS (
+  SELECT grp, n_ref, n_cur, i AS bin
+  FROM gstats, generate_series(0, 9) AS s(i)
+)
+SELECT g.grp AS hour,
+       CAST(g.n_ref AS BIGINT) AS n_ref,
+       CAST(g.n_cur AS BIGINT) AS n_cur,
+       ROUND(SUM(
+         ((COALESCE(c.c_cur, 0) + 0.5) / (g.n_cur + 5.0)
+          - (COALESCE(c.c_ref, 0) + 0.5) / (g.n_ref + 5.0))
+         * LN(((COALESCE(c.c_cur, 0) + 0.5) / (g.n_cur + 5.0))
+              / ((COALESCE(c.c_ref, 0) + 0.5) / (g.n_ref + 5.0)))
+       ), 6) + 0.0 AS psi
+FROM grid g LEFT JOIN cnts c ON c.grp = g.grp AND c.bin = g.bin
+GROUP BY 1, 2, 3
+"""
+
     # exact two-sample KS D per event type (extras/drift.py:ks_drift):
     # distinct-value collapse, cumulative counts ordered by value,
     # sup gap over exact integer-ratio ECDFs

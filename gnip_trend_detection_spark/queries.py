@@ -1985,6 +1985,27 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_between_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-relation PSI (extras/drift.py:psi_between): 'view' events
+    as the trusted reference vs 'click' events as the candidate batch,
+    grouped by hour-of-day — the reference-corpus-vs-new-crawl shape
+    of the drift monitor."""
+    from gnip_trend_detection_spark.extras import drift
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.floor(F.col("ts").cast("double") / 3600) % 24)
+        .cast("long")
+        .alias("hour"),
+    )
+    ref = ev.filter(F.col("event_type") == "view")
+    cur = ev.filter(F.col("event_type") == "click")
+    return drift.psi_between(ref, cur, group_col="hour", value_col="value").select(
+        F.col("grp").alias("hour"), "n_ref", "n_cur", "psi"
+    )
+
+
 def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style data-quality audit as one relational report:
     completeness (nulls), key uniqueness (duplicate (orderkey,
@@ -3331,6 +3352,7 @@ ALL: dict[str, QueryFn] = {
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "longest_dup_span": q_longest_dup_span,
     "normalize_text": q_normalize_text,
+    "psi_between_types": q_psi_between_types,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
     "budget_materialize": q_budget_materialize,

@@ -517,3 +517,25 @@ def test_cli_drift_report(tmp_path, spark, capsys):
     assert rep["moved"]["psi"] > 1.0 and rep["moved"]["ks_d"] == 1.0
     printed = capsys.readouterr().out
     assert "moved:" in printed and "ks_d=" in printed
+
+
+def test_cli_drift_against_reference(tmp_path, spark, capsys):
+    import datetime
+
+    from gnip_trend_detection_spark.cli import main
+
+    base = datetime.datetime(2024, 1, 1)
+    ref_rows = [("g", float(i % 10), base) for i in range(50)]
+    cur_rows = [("g", 40.0 + i % 10, base) for i in range(50)]
+    ref = tmp_path / "ref_ev"
+    cur = tmp_path / "cur_ev"
+    schema = "event_type string, value double, ts timestamp"
+    spark.createDataFrame(ref_rows, schema).write.parquet(str(ref))
+    spark.createDataFrame(cur_rows, schema).write.parquet(str(cur))
+
+    out = tmp_path / "drift_vs_ref"
+    rc = main(["drift", "-i", str(cur), "-r", str(ref), "-o", str(out)])
+    assert rc == 0
+    rep = spark.read.parquet(str(out)).collect()
+    assert len(rep) == 1
+    assert rep[0]["psi"] > 1.0 and rep[0]["ks_d"] == 1.0  # fully shifted

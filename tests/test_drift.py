@@ -124,3 +124,34 @@ def test_ks_degenerate_one_sided_group_null(spark):
     assert out["early"]["n_cur"] == 0
     assert out["early"]["ks_d"] is None
     assert out["both"]["ks_d"] == 1.0
+
+
+def test_between_variants_match_time_split(spark):
+    """psi_between/ks_between on the two halves of a relation must
+    equal psi_drift/ks_drift on the whole relation — same math, the
+    period flag just arrives by input instead of by timestamp."""
+    from gnip_trend_detection_spark.extras.drift import (
+        ks_between,
+        ks_drift,
+        psi_between,
+        psi_drift,
+    )
+
+    rows = _rows([float(x % 7) for x in range(60)], [float(x % 3) for x in range(50)])
+    df = _df(spark, rows)
+    lo, hi = df.selectExpr(
+        "min(cast(ts as double))", "max(cast(ts as double))"
+    ).first()
+    ref = df.filter(df["ts"].cast("double") * 2 <= lo + hi)
+    cur = df.filter(df["ts"].cast("double") * 2 > lo + hi)
+
+    want_psi = psi_drift(df).collect()[0]
+    got_psi = psi_between(ref, cur).collect()[0]
+    assert (got_psi["n_ref"], got_psi["n_cur"], got_psi["psi"]) == (
+        want_psi["n_ref"],
+        want_psi["n_cur"],
+        want_psi["psi"],
+    )
+    want_ks = ks_drift(df).collect()[0]
+    got_ks = ks_between(ref, cur).collect()[0]
+    assert got_ks["ks_d"] == want_ks["ks_d"]
