@@ -229,3 +229,92 @@ def _ks_from_tagged(tagged: DataFrame) -> DataFrame:
             ).alias("ks_d")
         )
     )
+
+
+def psi_timeline(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    n_bins: int = 10,
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """Drift as a TIME SERIES: for every (group, time bucket), the PSI
+    of that bucket's value distribution against the group's WHOLE
+    observed distribution — the continuous-monitoring view (the same
+    framing as the reference's counter monitoring) where psi_drift's
+    single split is the one-shot audit. A bucket whose PSI spikes is
+    the moment the input changed.
+
+    Same Jeffreys-smoothed equal-width bins as psi_drift (bin edges
+    from the group's global [min, max], so every bucket is measured
+    against the same ruler). Plan: one pass bins every row, then three
+    hash aggregations — (grp, bucket, bin) counts, (grp, bin) baseline
+    counts, and the per-(grp, bucket) PSI sum over the generated full
+    bin grid. The baseline relation is #groups x n_bins rows and
+    broadcasts; no windows, no single-partition anything.
+
+    Returns (grp, bucket, n, psi) — bucket is the epoch-second bucket
+    start, psi rounded to 6.
+    """
+    e = events.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+        (
+            F.floor(F.col(ts_col).cast("double") / bucket_sec)
+            * F.lit(bucket_sec)
+        )
+        .cast("long")
+        .alias("bucket"),
+    ).filter(F.col("grp").isNotNull() & F.col("v").isNotNull())
+    vb = e.groupBy("grp").agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+    binned = e.join(F.broadcast(vb), "grp").select(
+        "grp",
+        "bucket",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.least(
+                F.floor((F.col("v") - F.col("vmin")) / width).cast("long"),
+                F.lit(n_bins - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("bin"),
+    )
+    # localCheckpoint: three consumers (baseline, totals, the grid
+    # probe) would each re-expand the scan+bin subtree; the relation
+    # is (groups x buckets x bins)-sized — bounded, cheap to pin
+    per_bucket_bin = (
+        binned.groupBy("grp", "bucket", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    baseline = per_bucket_bin.groupBy("grp", "bin").agg(
+        F.sum("c").alias("c_all")
+    )
+    totals = per_bucket_bin.groupBy("grp", "bucket").agg(F.sum("c").alias("n"))
+    grid = totals.select(
+        "grp",
+        "bucket",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_bins - 1).cast("long"))
+        ).alias("bin"),
+    )
+    half = F.lit(n_bins / 2.0)
+    joined = (
+        grid.join(per_bucket_bin, ["grp", "bucket", "bin"], "left")
+        .join(F.broadcast(baseline), ["grp", "bin"], "left")
+        .join(F.broadcast(vb.select("grp", "n_all")), "grp")
+    )
+    p_cur = (F.coalesce("c", F.lit(0)) + 0.5) / (F.col("n") + half)
+    p_ref = (F.coalesce("c_all", F.lit(0)) + 0.5) / (F.col("n_all") + half)
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return joined.groupBy("grp", "bucket", "n").agg(
+        (F.round(F.sum(term), 6) + F.lit(0.0)).alias("psi")
+    )

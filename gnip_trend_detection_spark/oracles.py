@@ -3435,6 +3435,48 @@ FROM filled f JOIN tot t USING (grp)
 GROUP BY 1, 2, 3
 """
 
+    # drift time series (extras/drift.py:psi_timeline, 6h buckets):
+    # per-bucket PSI vs the group's whole distribution; same grid and
+    # smoothing as psi_drift, baseline derived from the bucket counts
+    sql["psi_timeline"] = """
+WITH e AS (
+  SELECT event_type AS grp, CAST(value AS DOUBLE) AS v,
+         CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+vb AS (
+  SELECT grp, MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS n_all
+  FROM e GROUP BY 1
+),
+binned AS (
+  SELECT e.grp, e.bucket,
+         CASE WHEN vb.vmax > vb.vmin
+              THEN LEAST(CAST(FLOOR((e.v - vb.vmin) / ((vb.vmax - vb.vmin) / 10.0))
+                              AS BIGINT), 9)
+              ELSE 0 END AS bin
+  FROM e JOIN vb USING (grp)
+),
+pbb AS (SELECT grp, bucket, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2, 3),
+baseline AS (SELECT grp, bin, SUM(c) AS c_all FROM pbb GROUP BY 1, 2),
+totals AS (SELECT grp, bucket, SUM(c) AS n FROM pbb GROUP BY 1, 2),
+grid AS (
+  SELECT grp, bucket, n, i AS bin
+  FROM totals, generate_series(0, 9) AS s(i)
+)
+SELECT g.grp AS event_type, g.bucket, CAST(g.n AS BIGINT) AS n,
+       ROUND(SUM(
+         ((COALESCE(p.c, 0) + 0.5) / (g.n + 5.0)
+          - (COALESCE(b.c_all, 0) + 0.5) / (vb.n_all + 5.0))
+         * LN(((COALESCE(p.c, 0) + 0.5) / (g.n + 5.0))
+              / ((COALESCE(b.c_all, 0) + 0.5) / (vb.n_all + 5.0)))
+       ), 6) + 0.0 AS psi
+FROM grid g
+LEFT JOIN pbb p ON p.grp = g.grp AND p.bucket = g.bucket AND p.bin = g.bin
+LEFT JOIN baseline b ON b.grp = g.grp AND b.bin = g.bin
+JOIN vb ON vb.grp = g.grp
+GROUP BY 1, 2, 3
+"""
+
     # two-relation PSI (extras/drift.py:psi_between): view events as
     # reference vs click as current, grouped by hour-of-day — same
     # grid/smoothing as psi_drift with an input-side period flag

@@ -1985,6 +1985,19 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift as a monitoring time series (extras/drift.py:
+    psi_timeline): per (event_type, 6h bucket) PSI against the type's
+    whole observed distribution — the continuous view whose spike IS
+    the drift alarm."""
+    from gnip_trend_detection_spark.extras import drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return drift.psi_timeline(ev, bucket_sec=21600).select(
+        F.col("grp").alias("event_type"), "bucket", "n", "psi"
+    )
+
+
 def q_psi_between_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-relation PSI (extras/drift.py:psi_between): 'view' events
     as the trusted reference vs 'click' events as the candidate batch,
@@ -3353,6 +3366,7 @@ ALL: dict[str, QueryFn] = {
     "longest_dup_span": q_longest_dup_span,
     "normalize_text": q_normalize_text,
     "psi_between_types": q_psi_between_types,
+    "psi_timeline": q_psi_timeline,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
     "budget_materialize": q_budget_materialize,

@@ -155,3 +155,36 @@ def test_between_variants_match_time_split(spark):
     want_ks = ks_drift(df).collect()[0]
     got_ks = ks_between(ref, cur).collect()[0]
     assert got_ks["ks_d"] == want_ks["ks_d"]
+
+
+def test_psi_timeline_flags_the_shifted_bucket(spark):
+    """Three hourly buckets, two matching the overall distribution and
+    one shifted: only the shifted bucket's PSI stands out, and every
+    (group, bucket) present in the input gets a row."""
+    import datetime
+
+    from gnip_trend_detection_spark.extras.drift import psi_timeline
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for h in range(3):
+        for i in range(60):
+            v = float(i % 10) if h != 1 else 90.0 + i % 10
+            rows.append(
+                ("g", v, base + datetime.timedelta(hours=h, seconds=i))
+            )
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, ts timestamp"
+    )
+    out = {r["bucket"]: r for r in psi_timeline(df, bucket_sec=3600).collect()}
+    assert len(out) == 3
+    b0 = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+    normal = [out[b0]["psi"], out[b0 + 7200]["psi"]]
+    shifted = out[b0 + 3600]["psi"]
+    # the baseline is the MIXTURE (2/3 normal + 1/3 shifted), so the
+    # normal buckets also carry some PSI — the shifted one must still
+    # dominate, and the two identical buckets must score identically
+    assert shifted > 2.0
+    assert normal[0] == normal[1]
+    assert all(p < shifted / 2 for p in normal)
+    assert all(out[b]["n"] == 60 for b in out)
