@@ -158,6 +158,8 @@ HEADLINE = [
     "normalize_text",
     "psi_between_types",
     "psi_timeline",
+    "embedding_shift",
+    "lang_agreement",
     # set_similarity_join is deliberately NOT benched: an EXACT
     # Jaccard join's output is workload-quadratic in true pairs, and
     # the synthetic corpus is template-dense (~43k true pairs >= 0.9

@@ -900,3 +900,73 @@ def kmeans_silhouette(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         (F.round(F.avg(sil), 6) + F.lit(0.0)).alias("mean_silhouette"),
     )
+
+
+def embedding_shift(
+    embeddings: DataFrame,
+    split_col: Column | None = None,
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-space drift monitor: per label, compare the MEAN
+    vector of a reference slice against a candidate slice — the
+    "did the new encoder batch / new crawl move the embedding space"
+    check that runs before ANN indexes or k-NN labels built on the old
+    geometry are trusted on new vectors. Reports:
+
+        l2_shift    = || mu_ref - mu_cur ||
+        mean_cosine = cos(mu_ref, mu_cur)
+        max_dim_shift = max_d |mu_ref[d] - mu_cur[d]|
+
+    ``split_col`` is a boolean Column marking the reference slice
+    (default: even vec_id — the deterministic two-batch simulation).
+
+    Determinism: per-(label, dim, side) means are rounded once to
+    ``round_digits`` BEFORE any combination (the pre-rounding
+    discipline every float aggregate in this repo uses), so the
+    downstream exact arithmetic — 64-term sums of rounded doubles —
+    is merge-order-invariant at the rounded output. Plan: one explode
+    -> (label, dim) hash agg (map-side combined) -> one #labels-sized
+    aggregate. Zero joins, zero windows.
+    """
+    if split_col is None:
+        split_col = F.col("vec_id") % 2 == 0
+    e = embeddings.select(
+        F.col(label_col).alias("label"),
+        split_col.alias("is_ref"),
+        F.posexplode(as_double(F.col("embedding"))).alias("dim", "x"),
+    )
+    per_dim = e.groupBy("label", "dim").agg(
+        F.round(F.avg(F.when(F.col("is_ref"), F.col("x"))), round_digits).alias(
+            "mr"
+        ),
+        F.round(F.avg(F.when(~F.col("is_ref"), F.col("x"))), round_digits).alias(
+            "mc"
+        ),
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("nr"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("nc"),
+    )
+    d = F.col("mr") - F.col("mc")
+    out = per_dim.groupBy("label").agg(
+        (F.max("nr")).cast("long").alias("n_ref"),
+        (F.max("nc")).cast("long").alias("n_cur"),
+        F.sum(d * d).alias("sq"),
+        F.sum(F.col("mr") * F.col("mc")).alias("dot"),
+        F.sum(F.col("mr") * F.col("mr")).alias("rr"),
+        F.sum(F.col("mc") * F.col("mc")).alias("cc"),
+        F.max(F.abs(d)).alias("mx"),
+    )
+    return out.select(
+        "label",
+        "n_ref",
+        "n_cur",
+        (F.round(F.sqrt(F.col("sq")), round_digits) + F.lit(0.0)).alias("l2_shift"),
+        (
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("rr")) * F.sqrt(F.col("cc"))),
+                round_digits,
+            )
+            + F.lit(0.0)
+        ).alias("mean_cosine"),
+        (F.round(F.col("mx"), round_digits) + F.lit(0.0)).alias("max_dim_shift"),
+    )

@@ -1215,6 +1215,22 @@ SELECT d.doc_id,
        COALESCE(b.n_hits, 0) AS n_stopword_hits
 FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
 """
+    # per-source lang-metadata agreement (queries.q_lang_agreement):
+    # lang_id oracle joined back onto the declared lang column
+    sql["lang_agreement"] = f"""
+WITH pred AS ({sql["text_lang_id"]})
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.lang = p.predicted_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+       CAST(SUM(CASE WHEN p.predicted_lang = 'und' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_und,
+       ROUND(SUM(CASE WHEN d.lang = p.predicted_lang THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS agree_rate
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1
+"""
+
     fp_expr = """list_aggregate(
          [list_reduce([ascii(substr(lt, i + j, 1)) for j in generate_series(0, 7)],
                       (a, c) -> (CAST(a AS BIGINT) * 257 + c) % 2147483647)
@@ -3848,6 +3864,47 @@ FROM c
     # order; assignment scores and per-dim means round to 6 before any
     # downstream use, so the whole cascade is engine-invariant; argmax
     # ties break on centroid id; + 0.0 canonicalizes -0.0
+    # embedding-space drift per label (extras/similarity.py:
+    # embedding_shift): even/odd vec_id split, per-dim means rounded
+    # to 6 BEFORE combination (pre-rounding discipline), exact
+    # arithmetic after
+    sql["embedding_shift"] = f"""
+WITH e AS (
+  SELECT label, vec_id % 2 = 0 AS is_ref, u.dim AS dim, u.x AS x
+  FROM (
+    SELECT vec_id, label,
+           unnest([struct_pack(dim := i - 1, x := CAST(embedding[i] AS DOUBLE))
+                   for i in generate_series(1, len(embedding))]) AS u
+    FROM embeddings
+  )
+),
+per_dim AS (
+  SELECT label, dim,
+         ROUND(AVG(x) FILTER (WHERE is_ref), 6) AS mr,
+         ROUND(AVG(x) FILTER (WHERE NOT is_ref), 6) AS mc,
+         COUNT(*) FILTER (WHERE is_ref) AS nr,
+         COUNT(*) FILTER (WHERE NOT is_ref) AS nc
+  FROM e GROUP BY 1, 2
+),
+agg AS (
+  SELECT label,
+         MAX(nr) AS n_ref, MAX(nc) AS n_cur,
+         SUM((mr - mc) * (mr - mc)) AS sq,
+         SUM(mr * mc) AS dot,
+         SUM(mr * mr) AS rr,
+         SUM(mc * mc) AS cc,
+         MAX(ABS(mr - mc)) AS mx
+  FROM per_dim GROUP BY 1
+)
+SELECT label,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND(SQRT(sq), 6) + 0.0 AS l2_shift,
+       ROUND(dot / (SQRT(rr) * SQRT(cc)), 6) + 0.0 AS mean_cosine,
+       ROUND(mx, 6) + 0.0 AS max_dim_shift
+FROM agg
+"""
+
     sql["embedding_kmeans"] = """
 WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
 n AS (

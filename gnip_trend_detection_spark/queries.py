@@ -3242,6 +3242,41 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit_predict(emb, n_centroids=8, n_iter=2, seed=7)
 
 
+def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: per source, how often the heuristic
+    lang_id prediction agrees with the corpus's declared lang column —
+    the metadata-trust check run before lang-conditional curation
+    rules are applied. Composition of text.lang_id (broadcast wordlist
+    argmax) + one grouped aggregate."""
+    docs = _docs(spark, sf_dir)
+    pred = text.lang_id(spark, docs, "text")
+    j = docs.select("doc_id", "lang", "source").join(pred, "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("lang") == F.col("predicted_lang")).cast("long")).alias(
+            "n_agree"
+        ),
+        F.sum((F.col("predicted_lang") == "und").cast("long")).alias("n_und"),
+        (
+            F.round(
+                F.sum((F.col("lang") == F.col("predicted_lang")).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("agree_rate"),
+    )
+
+
+def q_embedding_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label (extras/similarity.py:
+    embedding_shift): even vec_ids as the reference batch vs odd as
+    the candidate — mean-vector L2 shift / cosine / max-dim shift."""
+    from gnip_trend_detection_spark.extras.similarity import embedding_shift
+
+    return embedding_shift(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster simplified silhouette of the parity-pinned k-means
     (extras/similarity.py:kmeans_silhouette) — the fit-quality gate
@@ -3367,6 +3402,8 @@ ALL: dict[str, QueryFn] = {
     "normalize_text": q_normalize_text,
     "psi_between_types": q_psi_between_types,
     "psi_timeline": q_psi_timeline,
+    "embedding_shift": q_embedding_shift,
+    "lang_agreement": q_lang_agreement,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
     "budget_materialize": q_budget_materialize,

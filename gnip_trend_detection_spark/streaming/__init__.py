@@ -9,7 +9,7 @@ from gnip_trend_detection_spark.streaming.controlchart import (
     score_stream_cusum,
     score_stream_ewma,
 )
-from gnip_trend_detection_spark.streaming.drift import psi_stream
+from gnip_trend_detection_spark.streaming.drift import ks_stream, psi_stream
 from gnip_trend_detection_spark.streaming.models import (
     score_stream_poisson_lc,
     score_stream_poisson_cycle,
@@ -34,4 +34,5 @@ __all__ = [
     "score_stream_ewma",
     "score_stream_cusum",
     "psi_stream",
+    "ks_stream",
 ]

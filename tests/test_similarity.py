@@ -336,3 +336,36 @@ def test_kmeans_silhouette_separated_vs_mixed(spark):
     out2 = kmeans_silhouette(same, n_centroids=2, n_iter=1, seed=7).collect()
     assert len(out2) == 1 and out2[0]["n_vecs"] == 8
     assert out2[0]["mean_silhouette"] is None
+
+
+def test_embedding_shift_identical_and_shifted(spark):
+    """Identical ref/cur slices -> zero shift, cosine 1; a constant
+    +2 shift on one dimension -> l2_shift == max_dim_shift == 2."""
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.extras.similarity import embedding_shift
+
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0], 0) for i in range(8)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    r = embedding_shift(same).collect()[0]
+    assert r["n_ref"] == 4 and r["n_cur"] == 4
+    assert r["l2_shift"] == 0.0 and r["mean_cosine"] == 1.0
+
+    rows = []
+    for i in range(8):
+        v = [1.0, 0.0] if i % 2 == 0 else [3.0, 0.0]  # cur dim0 +2
+        rows.append((i, v, 1))
+    shifted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    r2 = embedding_shift(shifted).collect()[0]
+    assert r2["l2_shift"] == 2.0 and r2["max_dim_shift"] == 2.0
+    assert r2["mean_cosine"] == 1.0  # same direction, different norm
+
+    # custom split column: ref = vec_id < 4
+    r3 = embedding_shift(shifted, split_col=F.col("vec_id") < 4).collect()[0]
+    assert r3["n_ref"] == 4 and r3["n_cur"] == 4
+    # each side now mixes both values equally -> means match -> 0
+    assert r3["l2_shift"] == 0.0

@@ -1077,3 +1077,59 @@ def test_streaming_psi_unknown_group_null(spark):
     assert len(rows) == 1 and rows[0]["grp"] == "mystery"
     assert rows[0]["psi"] is None
     shutil.rmtree(flat, ignore_errors=True)
+
+
+def test_streaming_ks_matches_between_on_bin_atomic_data(spark):
+    """On integer-valued data where each distinct value owns one bin,
+    the binned streaming KS equals the exact batch ks_between — replay
+    the candidate batch as 2 micro-batches against a calibrated
+    reference and compare the final D."""
+    import tempfile
+    import time as _time
+
+    from gnip_trend_detection_spark.extras.drift import ks_between
+    from gnip_trend_detection_spark.streaming import ks_stream
+
+    n_bins = 10
+    ref_vals = [float(i % 10) for i in range(80)]
+    cur_vals = [float((i % 5) + 5) for i in range(60)]  # shifted up
+    ref = spark.createDataFrame(
+        [("g", v) for v in ref_vals], "event_type string, value double"
+    )
+    cur = spark.createDataFrame(
+        [("g", v) for v in cur_vals], "event_type string, value double"
+    )
+    want = ks_between(ref, cur).collect()[0]
+
+    # calibration over the JOINT [vmin, vmax] so every integer has its
+    # own bin: vmin=0, vmax=9, width=.9 -> v -> bin v
+    counts = [0] * n_bins
+    for v in ref_vals:
+        counts[int(v)] += 1
+    cal = {"g": (0.0, 9.0, counts)}
+
+    flat = tempfile.mkdtemp(prefix="ks_stream_")
+    halves = [cur_vals[:30], cur_vals[30:]]
+    t0 = _time.time() - 600
+    for i, vals in enumerate(halves):
+        d = f"{flat}/stage_{i}"
+        spark.createDataFrame(
+            [("g", v) for v in vals], "grp string, v double"
+        ).coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.copy(f"{d}/{part}", dst)
+        shutil.rmtree(d)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    stream_in = (
+        spark.readStream.schema("grp string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    _run_to_completion(ks_stream(stream_in, cal), "update", "ks_stream_out")
+    rows = spark.sql("select * from ks_stream_out").collect()
+    final = max(rows, key=lambda r: r["n_cur"])
+    assert final["n_cur"] == want["n_cur"]
+    assert final["ks_d"] == want["ks_d"]
+    shutil.rmtree(flat, ignore_errors=True)
