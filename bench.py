@@ -160,6 +160,7 @@ HEADLINE = [
     "psi_timeline",
     "embedding_shift",
     "lang_agreement",
+    "categorical_drift",
     # set_similarity_join is deliberately NOT benched: an EXACT
     # Jaccard join's output is workload-quadratic in true pairs, and
     # the synthetic corpus is template-dense (~43k true pairs >= 0.9

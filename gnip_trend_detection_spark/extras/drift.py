@@ -318,3 +318,69 @@ def psi_timeline(
     return joined.groupBy("grp", "bucket", "n").agg(
         (F.round(F.sum(term), 6) + F.lit(0.0)).alias("psi")
     )
+
+
+def categorical_drift(
+    events: DataFrame,
+    category_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_sec: int = 21600,
+) -> DataFrame:
+    """Drift monitor for a CATEGORICAL column: per time bucket, the
+    chi-square homogeneity statistic of the category distribution
+    against the whole period's — the companion to psi_timeline when
+    the drifting thing is a label/type/source mix rather than a
+    numeric value (a crawler that suddenly returns 90% 'error' events
+    moves no value histogram but screams here).
+
+        chi2_b = sum_c (obs_bc - exp_bc)^2 / exp_bc,
+        exp_bc = n_b * (n_c / N)
+
+    Exact integer counts everywhere; the statistic is a sum over the
+    (bucket x category) grid of deterministic double terms, rounded
+    to 6. Plan: one (bucket, category) hash aggregate (the only
+    data-sized shuffle), a category-marginal rollup derived FROM it,
+    and a broadcast grid join — no windows. Categories absent from a
+    bucket still contribute their full expected mass (grid generated
+    from the marginals, not the observations).
+
+    Returns (bucket, n, chi2, dof) — dof = #categories - 1.
+    """
+    e = events.select(
+        F.col(category_col).alias("cat"),
+        (
+            F.floor(F.col(ts_col).cast("double") / bucket_sec)
+            * F.lit(bucket_sec)
+        )
+        .cast("long")
+        .alias("bucket"),
+    ).filter(F.col("cat").isNotNull())
+    obs = (
+        e.groupBy("bucket", "cat")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint()
+    )
+    cat_tot = obs.groupBy("cat").agg(F.sum("o").alias("n_c"))
+    bucket_tot = obs.groupBy("bucket").agg(F.sum("o").alias("n_b"))
+    n_all = cat_tot.agg(F.sum("n_c").alias("n_all"))
+    grid = bucket_tot.crossJoin(F.broadcast(cat_tot)).crossJoin(
+        F.broadcast(n_all)
+    )
+    full = grid.join(obs, ["bucket", "cat"], "left").select(
+        "bucket",
+        "n_b",
+        F.coalesce("o", F.lit(0)).alias("o"),
+        (
+            F.col("n_b").cast("double")
+            * F.col("n_c").cast("double")
+            / F.col("n_all").cast("double")
+        ).alias("exp"),
+    )
+    term = (F.col("o") - F.col("exp")) * (F.col("o") - F.col("exp")) / F.col("exp")
+    dof = cat_tot.agg((F.count(F.lit(1)) - 1).cast("long").alias("dof"))
+    return (
+        full.groupBy("bucket", "n_b")
+        .agg((F.round(F.sum(term), 6) + F.lit(0.0)).alias("chi2"))
+        .crossJoin(F.broadcast(dof))
+        .select("bucket", F.col("n_b").cast("long").alias("n"), "chi2", "dof")
+    )

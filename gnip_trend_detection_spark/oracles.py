@@ -3493,6 +3493,37 @@ JOIN vb ON vb.grp = g.grp
 GROUP BY 1, 2, 3
 """
 
+    # categorical mix drift (extras/drift.py:categorical_drift, 6h
+    # buckets): chi-square homogeneity per bucket vs the whole
+    # period's category marginals; full grid so absent categories
+    # contribute their expected mass
+    sql["categorical_drift"] = """
+WITH e AS (
+  SELECT event_type AS cat,
+         CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket
+  FROM events WHERE event_type IS NOT NULL
+),
+obs AS (SELECT bucket, cat, COUNT(*) AS o FROM e GROUP BY 1, 2),
+cat_tot AS (SELECT cat, SUM(o) AS n_c FROM obs GROUP BY 1),
+bucket_tot AS (SELECT bucket, SUM(o) AS n_b FROM obs GROUP BY 1),
+alltot AS (SELECT SUM(n_c) AS n_all FROM cat_tot),
+grid AS (
+  SELECT b.bucket, b.n_b, c.cat,
+         CAST(b.n_b AS DOUBLE) * CAST(c.n_c AS DOUBLE)
+           / CAST(a.n_all AS DOUBLE) AS exp
+  FROM bucket_tot b CROSS JOIN cat_tot c CROSS JOIN alltot a
+),
+dof AS (SELECT COUNT(*) - 1 AS dof FROM cat_tot)
+SELECT g.bucket, CAST(g.n_b AS BIGINT) AS n,
+       ROUND(SUM((COALESCE(o.o, 0) - g.exp) * (COALESCE(o.o, 0) - g.exp)
+                 / g.exp), 6) + 0.0 AS chi2,
+       CAST(dof.dof AS BIGINT) AS dof
+FROM grid g
+LEFT JOIN obs o ON o.bucket = g.bucket AND o.cat = g.cat
+CROSS JOIN dof
+GROUP BY 1, 2, 4
+"""
+
     # two-relation PSI (extras/drift.py:psi_between): view events as
     # reference vs click as current, grouped by hour-of-day — same
     # grid/smoothing as psi_drift with an input-side period flag

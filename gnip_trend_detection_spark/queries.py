@@ -1998,6 +1998,17 @@ def q_psi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mix drift (extras/drift.py:categorical_drift): per
+    6h bucket, chi-square homogeneity of the event_type distribution
+    vs the whole period — the monitor for label/type-mix shifts no
+    value histogram sees."""
+    from gnip_trend_detection_spark.extras import drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return drift.categorical_drift(ev, bucket_sec=21600)
+
+
 def q_psi_between_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-relation PSI (extras/drift.py:psi_between): 'view' events
     as the trusted reference vs 'click' events as the candidate batch,
@@ -3404,6 +3415,7 @@ ALL: dict[str, QueryFn] = {
     "psi_timeline": q_psi_timeline,
     "embedding_shift": q_embedding_shift,
     "lang_agreement": q_lang_agreement,
+    "categorical_drift": q_categorical_drift,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
     "budget_materialize": q_budget_materialize,

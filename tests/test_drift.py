@@ -188,3 +188,31 @@ def test_psi_timeline_flags_the_shifted_bucket(spark):
     assert normal[0] == normal[1]
     assert all(p < shifted / 2 for p in normal)
     assert all(out[b]["n"] == 60 for b in out)
+
+
+def test_categorical_drift_hand_chi2(spark):
+    """Two buckets: one matching the marginal mix, one flipped — chi2
+    recomputed by hand on exact integers."""
+    import datetime
+
+    from gnip_trend_detection_spark.extras.drift import categorical_drift
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # bucket 0: 30 a, 10 b; bucket 1: 10 a, 30 b
+    for i in range(30):
+        rows.append(("a", 0.0, base + datetime.timedelta(seconds=i)))
+        rows.append(("b", 0.0, base + datetime.timedelta(hours=7, seconds=i)))
+    for i in range(10):
+        rows.append(("b", 0.0, base + datetime.timedelta(seconds=100 + i)))
+        rows.append(("a", 0.0, base + datetime.timedelta(hours=7, seconds=100 + i)))
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, ts timestamp"
+    )
+    out = {r["bucket"]: r for r in categorical_drift(df, bucket_sec=21600).collect()}
+    assert len(out) == 2
+    # marginals: a = 40, b = 40, N = 80; each bucket n = 40 -> exp 20
+    # chi2 per bucket = (30-20)^2/20 + (10-20)^2/20 = 10
+    for r in out.values():
+        assert r["n"] == 40 and r["dof"] == 1
+        assert r["chi2"] == 10.0

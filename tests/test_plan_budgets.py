@@ -66,6 +66,8 @@ BNLJ_OK = {
     "winsorize_values",    # broadcast 1-row (lo, hi) clamp thresholds
     "source_js",           # broadcast #sources-row totals onto the
                            # vocabulary-sized corpus-term relation
+    "categorical_drift",   # broadcast #categories marginals + 1-row
+                           # total onto the bucket marginals
     "ks_drift",            # broadcast 1-row (tmin, tmax) period bounds
 }
 
