@@ -924,3 +924,62 @@ def test_normalize_text_masks_and_collapses(spark):
     assert out[0]["norm_hash"] == hashlib.md5(want0.encode()).hexdigest()
     assert out[0]["norm_len"] == len(want0) and out[0]["shrunk"]
     assert out[1]["n_urls"] == 0 and not out[1]["shrunk"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=1,
+            max_size=25,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_segment_dedup_identity_when_nothing_repeats_enough(spark_prop, docs):
+    """Invariant: with max_occurrences >= total segment count, nothing
+    is ever dropped — clean_text reconstructs the whitespace-normalized
+    original for EVERY doc, and n_kept == n_segments. (The reassembly
+    path — sort by seg_idx + join — must be an exact inverse of the
+    segmentation path.)"""
+    from gnip_trend_detection_spark.extras.dedup import segment_dedup
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark_prop.createDataFrame(rows, "doc_id long, text string")
+    total_segments = sum((len(w) + 3) // 4 for w in docs)
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(df, k=4, max_occurrences=total_segments).collect()
+    }
+    for i, words in enumerate(docs):
+        assert out[i]["clean_text"] == " ".join(words)
+        assert out[i]["n_kept"] == out[i]["n_segments"] == (len(words) + 3) // 4
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False),
+             min_size=2, max_size=40),
+    st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False),
+             min_size=2, max_size=40),
+)
+def test_ks_d_bounds_and_symmetry(spark_prop, a, b):
+    """KS invariants on arbitrary float samples: 0 <= D <= 1, D is
+    symmetric in the two samples, and D == 0 iff the multisets match
+    (checked in the equal direction)."""
+    from gnip_trend_detection_spark.extras.drift import ks_between
+
+    df_a = spark_prop.createDataFrame(
+        [("g", float(v)) for v in a], "event_type string, value double"
+    )
+    df_b = spark_prop.createDataFrame(
+        [("g", float(v)) for v in b], "event_type string, value double"
+    )
+    d_ab = ks_between(df_a, df_b).collect()[0]["ks_d"]
+    d_ba = ks_between(df_b, df_a).collect()[0]["ks_d"]
+    assert 0.0 <= d_ab <= 1.0
+    assert d_ab == d_ba
+    d_aa = ks_between(df_a, df_a).collect()[0]["ks_d"]
+    assert d_aa == 0.0
