@@ -161,6 +161,7 @@ HEADLINE = [
     "embedding_shift",
     "lang_agreement",
     "categorical_drift",
+    "cluster_purity",
     # set_similarity_join is deliberately NOT benched: an EXACT
     # Jaccard join's output is workload-quadratic in true pairs, and
     # the synthetic corpus is template-dense (~43k true pairs >= 0.9

@@ -970,3 +970,48 @@ def embedding_shift(
         ).alias("mean_cosine"),
         (F.round(F.col("mx"), round_digits) + F.lit(0.0)).alias("max_dim_shift"),
     )
+
+
+def cluster_purity(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    seed: int = 7,
+    label_col: str = "label",
+) -> DataFrame:
+    """External clustering evaluation against ground-truth labels:
+    per fitted k-means cluster, its size, majority label, and purity
+    (majority fraction) — the cheap contingency-table check run next
+    to kmeans_silhouette (internal geometry) before cluster-level
+    curation decisions trust the cells.
+
+    Majority ties break by SMALLEST label (max over a (count, -label)
+    struct — deterministic in both engines). Plan: the pinned k-means
+    assignment (zero-shuffle probe) + one (cluster, label) hash
+    aggregate + one #clusters-sized rollup.
+
+    Returns (cluster, n_vecs, majority_label, purity) — purity
+    rounded to 6.
+    """
+    assigned = kmeans_fit_predict(
+        embeddings, n_centroids=n_centroids, n_iter=n_iter, seed=seed
+    ).select("vec_id", "cluster")
+    lab = embeddings.select("vec_id", F.col(label_col).alias("lab"))
+    cl = (
+        assigned.join(lab, "vec_id")
+        .groupBy("cluster", "lab")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = F.max(F.struct(F.col("c"), (-F.col("lab")).alias("neg_lab"))).alias("top")
+    out = cl.groupBy("cluster").agg(
+        F.sum("c").cast("long").alias("n_vecs"), top
+    )
+    return out.select(
+        "cluster",
+        "n_vecs",
+        (-F.col("top.neg_lab")).cast("long").alias("majority_label"),
+        (
+            F.round(F.col("top.c") / F.col("n_vecs").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("purity"),
+    )

@@ -4099,6 +4099,28 @@ SELECT vec_id, cluster FROM (
 ) WHERE rn <= 20
 """
 
+    # per-cluster label purity of the pinned k-means (extras/
+    # similarity.py:cluster_purity): contingency counts, majority by
+    # (count, -label) struct max — smallest label wins ties
+    sql["cluster_purity"] = f"""
+WITH km AS ({sql["embedding_kmeans"]}),
+cl AS (
+  SELECT km.cluster, e.label AS lab, COUNT(*) AS c
+  FROM km JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT cluster, SUM(c) AS n_vecs,
+         MAX(struct_pack(c := c, neg_lab := -lab)) AS top
+  FROM cl GROUP BY 1
+)
+SELECT cluster,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(-(top.neg_lab) AS BIGINT) AS majority_label,
+       ROUND(CAST(top.c AS DOUBLE) / n_vecs, 6) + 0.0 AS purity
+FROM agg
+"""
+
     # hard-negative mining (extras/similarity.py:mine_hard_negatives):
     # anchors = vec_id % 25 == 0; top-10 different-label neighbors by
     # (rounded cosine DESC, id ASC); + 0.0 canonicalizes -0.0

@@ -3298,6 +3298,15 @@ def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_silhouette(emb, n_centroids=8, n_iter=2, seed=7)
 
 
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster label purity of the pinned k-means (extras/
+    similarity.py:cluster_purity) — the external eval next to the
+    silhouette's internal one."""
+    from gnip_trend_detection_spark.extras.similarity import cluster_purity
+
+    return cluster_purity(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization audit of events.value at the exact global
     [p01, p99] (operators/quantile.py:winsorized_stats): per-type
@@ -3416,6 +3425,7 @@ ALL: dict[str, QueryFn] = {
     "embedding_shift": q_embedding_shift,
     "lang_agreement": q_lang_agreement,
     "categorical_drift": q_categorical_drift,
+    "cluster_purity": q_cluster_purity,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
     "budget_materialize": q_budget_materialize,

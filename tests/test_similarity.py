@@ -369,3 +369,43 @@ def test_embedding_shift_identical_and_shifted(spark):
     assert r3["n_ref"] == 4 and r3["n_cur"] == 4
     # each side now mixes both values equally -> means match -> 0
     assert r3["l2_shift"] == 0.0
+
+
+def test_cluster_purity_matches_assignment_contingency(spark, embeddings):
+    """Purity rows must equal a brute-force contingency recomputation
+    from the SAME pinned assignment (kmeans_fit_predict), including
+    the smallest-label majority tiebreak."""
+    from collections import Counter
+
+    from gnip_trend_detection_spark.extras.similarity import (
+        cluster_purity,
+        kmeans_fit_predict,
+    )
+
+    got = {r["cluster"]: r for r in cluster_purity(embeddings).collect()}
+    assigned = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_fit_predict(embeddings).collect()
+    }
+    labels = {r["vec_id"]: r["label"] for r in embeddings.collect()}
+    per_cluster: dict[int, Counter] = {}
+    for vid, cl in assigned.items():
+        per_cluster.setdefault(cl, Counter())[labels[vid]] += 1
+    assert set(got) == set(per_cluster)
+    for cl, cnt in per_cluster.items():
+        n = sum(cnt.values())
+        maj_label, maj_c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0])
+        )  # most votes, smallest label on ties
+        r = got[cl]
+        assert r["n_vecs"] == n
+        assert r["majority_label"] == maj_label, (cl, dict(cnt))
+        assert r["purity"] == round(maj_c / n, 6)
+
+    # exact 50/50 tie -> majority must be the SMALLEST label
+    tie = spark.createDataFrame(
+        [(i, [1.0, 0.0], i % 2) for i in range(8)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    t = cluster_purity(tie, n_centroids=2, n_iter=1).collect()
+    assert all(r["majority_label"] == 0 and r["purity"] == 0.5 for r in t)
