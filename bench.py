@@ -162,6 +162,8 @@ HEADLINE = [
     "lang_agreement",
     "categorical_drift",
     "cluster_purity",
+    "cluster_nmi",
+    "packing_efficiency",
     # set_similarity_join is deliberately NOT benched: an EXACT
     # Jaccard join's output is workload-quadratic in true pairs, and
     # the synthetic corpus is template-dense (~43k true pairs >= 0.9

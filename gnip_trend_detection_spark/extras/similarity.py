@@ -1015,3 +1015,82 @@ def cluster_purity(
             + F.lit(0.0)
         ).alias("purity"),
     )
+
+
+def cluster_nmi(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    seed: int = 7,
+    label_col: str = "label",
+) -> DataFrame:
+    """Normalized mutual information between the pinned k-means
+    clustering and ground-truth labels — the single-number external
+    eval cluster_purity's per-cluster rows roll up to (purity rewards
+    many tiny clusters; NMI doesn't):
+
+        NMI = I(C;L) / sqrt(H(C) * H(L))
+
+    All three terms come from ONE contingency table of exact integer
+    counts (localCheckpoint-ed: every marginal and the joint read it
+    without re-expanding the k-means assignment subtree). Degenerate
+    partitions (one cluster or one label: H = 0) emit NULL in both
+    engines rather than dividing by zero.
+
+    Returns one row: (n, n_clusters, n_labels, nmi) — nmi rounded 6.
+    """
+    assigned = kmeans_fit_predict(
+        embeddings, n_centroids=n_centroids, n_iter=n_iter, seed=seed
+    ).select("vec_id", "cluster")
+    lab = embeddings.select("vec_id", F.col(label_col).alias("lab"))
+    cl = (
+        assigned.join(lab, "vec_id")
+        .groupBy("cluster", "lab")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    marg_c = cl.groupBy("cluster").agg(F.sum("c").alias("nc"))
+    marg_l = cl.groupBy("lab").agg(F.sum("c").alias("nl"))
+    n_row = cl.agg(F.sum("c").cast("double").alias("n"))
+    joint = (
+        cl.join(F.broadcast(marg_c), "cluster")
+        .join(F.broadcast(marg_l), "lab")
+        .crossJoin(F.broadcast(n_row))
+    )
+    c = F.col("c").cast("double")
+    i_term = (c / F.col("n")) * F.log(
+        c * F.col("n") / (F.col("nc").cast("double") * F.col("nl").cast("double"))
+    )
+    mi = joint.agg(F.sum(i_term).alias("mi"), F.max("n").alias("n"))
+    p_c = F.col("nc").cast("double") / F.col("n")
+    hc = (
+        marg_c.crossJoin(F.broadcast(n_row))
+        .agg(
+            (-F.sum(p_c * F.log(p_c))).alias("hc"),
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        )
+    )
+    p_l = F.col("nl").cast("double") / F.col("n")
+    hl = (
+        marg_l.crossJoin(F.broadcast(n_row))
+        .agg(
+            (-F.sum(p_l * F.log(p_l))).alias("hl"),
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "n_clusters",
+            "n_labels",
+            F.when(
+                (F.col("hc") > 0) & (F.col("hl") > 0),
+                F.round(
+                    F.col("mi") / F.sqrt(F.col("hc") * F.col("hl")), 6
+                )
+                + F.lit(0.0),
+            ).alias("nmi"),
+        )
+    )

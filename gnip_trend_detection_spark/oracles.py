@@ -3890,6 +3890,20 @@ SELECT doc_id, n_tokens, shard, pos,
 FROM c
 """
 
+    # per-shard fill report over the packing manifest (queries.
+    # q_packing_efficiency): pure rollup of the placement rows
+    sql["packing_efficiency"] = f"""
+WITH pl AS ({sql["pack_sequences"]})
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok_end - tok_start) AS BIGINT) AS n_tokens,
+       CAST(MAX(block_end) + 1 AS BIGINT) AS n_blocks,
+       ROUND(SUM(tok_end - tok_start)
+             / ((MAX(block_end) + 1) * 512.0), 6) + 0.0 AS fill_rate
+FROM pl GROUP BY 1
+"""
+
+
     # parity-pinned spherical k-means (extras/similarity.py:
     # kmeans_fit_predict): k=8, 2 Lloyd rounds, md5(vec_id:7) init
     # order; assignment scores and per-dim means round to 6 before any
@@ -4119,6 +4133,37 @@ SELECT cluster,
        CAST(-(top.neg_lab) AS BIGINT) AS majority_label,
        ROUND(CAST(top.c AS DOUBLE) / n_vecs, 6) + 0.0 AS purity
 FROM agg
+"""
+
+    # NMI between the pinned k-means and labels (extras/similarity.py:
+    # cluster_nmi): one exact contingency table drives I, H(C), H(L);
+    # degenerate partitions emit NULL
+    sql["cluster_nmi"] = f"""
+WITH km AS ({sql["embedding_kmeans"]}),
+cl AS (
+  SELECT km.cluster, e.label AS lab, COUNT(*) AS c
+  FROM km JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+),
+marg_c AS (SELECT cluster, SUM(c) AS nc FROM cl GROUP BY 1),
+marg_l AS (SELECT lab, SUM(c) AS nl FROM cl GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cl),
+mi AS (
+  SELECT SUM((CAST(c AS DOUBLE) / n)
+             * LN(CAST(c AS DOUBLE) * n
+                  / (CAST(nc AS DOUBLE) * CAST(nl AS DOUBLE)))) AS mi
+  FROM cl JOIN marg_c USING (cluster) JOIN marg_l USING (lab) CROSS JOIN tot
+),
+hc AS (SELECT -SUM((nc / n) * LN(nc / n)) AS hc,
+              COUNT(*) AS n_clusters FROM marg_c, tot),
+hl AS (SELECT -SUM((nl / n) * LN(nl / n)) AS hl,
+              COUNT(*) AS n_labels FROM marg_l, tot)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(n_labels AS BIGINT) AS n_labels,
+       CASE WHEN hc > 0 AND hl > 0
+            THEN ROUND(mi / SQRT(hc * hl), 6) + 0.0 END AS nmi
+FROM mi CROSS JOIN hc CROSS JOIN hl CROSS JOIN tot
 """
 
     # hard-negative mining (extras/similarity.py:mine_hard_negatives):

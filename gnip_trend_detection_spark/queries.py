@@ -3307,6 +3307,38 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_purity(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_cluster_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NMI between the pinned k-means clustering and labels (extras/
+    similarity.py:cluster_nmi) — the tiny-cluster-proof rollup of
+    cluster_purity."""
+    from gnip_trend_detection_spark.extras.similarity import cluster_nmi
+
+    return cluster_nmi(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard fill report over the sequence-packing manifest: docs,
+    placed tokens, blocks used, fill rate vs block capacity — the
+    padding-waste audit a training pipeline reads before accepting a
+    packing plan. Pure rollup of q_pack_sequences' placement rows."""
+    placements = q_pack_sequences(spark, sf_dir)
+    return placements.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("tok_end") - F.col("tok_start"))
+        .cast("long")
+        .alias("n_tokens"),
+        (F.max("block_end") + 1).cast("long").alias("n_blocks"),
+        (
+            F.round(
+                F.sum(F.col("tok_end") - F.col("tok_start"))
+                / ((F.max("block_end") + 1).cast("double") * 512.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("fill_rate"),
+    )
+
+
 def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization audit of events.value at the exact global
     [p01, p99] (operators/quantile.py:winsorized_stats): per-type
@@ -3426,6 +3458,8 @@ ALL: dict[str, QueryFn] = {
     "lang_agreement": q_lang_agreement,
     "categorical_drift": q_categorical_drift,
     "cluster_purity": q_cluster_purity,
+    "cluster_nmi": q_cluster_nmi,
+    "packing_efficiency": q_packing_efficiency,
     "quality_percentile_gate": q_quality_percentile_gate,
     "unimax_budget": q_unimax_budget,
     "budget_materialize": q_budget_materialize,

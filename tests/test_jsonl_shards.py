@@ -99,3 +99,29 @@ def test_jsonl_dead_letter_rejects(spark, tmp_path):
     # the unparseable line keeps its raw bytes for forensics
     raw = {r["raw_line"] for r in rrows if r["reject_reason"] == "unparseable"}
     assert raw == {"this is not json at all"}
+
+
+def test_packing_efficiency_rollup(spark):
+    """fill_rate per shard must equal placed tokens over block
+    capacity recomputed from the raw placement rows."""
+    from gnip_trend_detection_spark.queries import (
+        q_pack_sequences,
+        q_packing_efficiency,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    placements = q_pack_sequences(spark, sf).collect()
+    got = {r["shard"]: r for r in q_packing_efficiency(spark, sf).collect()}
+    by_shard = {}
+    for p in placements:
+        s = by_shard.setdefault(p["shard"], {"docs": 0, "toks": 0, "maxb": -1})
+        s["docs"] += 1
+        s["toks"] += p["tok_end"] - p["tok_start"]
+        s["maxb"] = max(s["maxb"], p["block_end"])
+    assert set(got) == set(by_shard)
+    for shard, s in by_shard.items():
+        r = got[shard]
+        assert r["n_docs"] == s["docs"] and r["n_tokens"] == s["toks"]
+        assert r["n_blocks"] == s["maxb"] + 1
+        assert r["fill_rate"] == round(s["toks"] / ((s["maxb"] + 1) * 512.0), 6)
+        assert 0.0 < r["fill_rate"] <= 1.0

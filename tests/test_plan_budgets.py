@@ -68,6 +68,8 @@ BNLJ_OK = {
                            # vocabulary-sized corpus-term relation
     "categorical_drift",   # broadcast #categories marginals + 1-row
                            # total onto the bucket marginals
+    "cluster_nmi",         # broadcast 1-row total + k/label-row
+                           # marginals onto the contingency cells
     "ks_drift",            # broadcast 1-row (tmin, tmax) period bounds
 }
 
@@ -107,6 +109,10 @@ EXCHANGE_CEILING = {
     # sizes, intersection agg, per-doc hit agg, final left join —
     # every exchange keyed, the bench side broadcast throughout
     "decontaminate_fuzzy": 10,
+    # contingency checkpoint feeds four consumers (joint + both
+    # marginals + total); the static plan still counts each branch's
+    # exchange — all are contingency-cell-sized (k x labels rows)
+    "cluster_nmi": 11,
     "semantic_dedup": 8,
     "tfidf_top_terms": 7,
     "ann_ivf_topk": 7,

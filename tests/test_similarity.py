@@ -409,3 +409,43 @@ def test_cluster_purity_matches_assignment_contingency(spark, embeddings):
     )
     t = cluster_purity(tie, n_centroids=2, n_iter=1).collect()
     assert all(r["majority_label"] == 0 and r["purity"] == 0.5 for r in t)
+
+
+def test_cluster_nmi_bounds_and_hand_value(spark):
+    """NMI on the fixture is in [0, 1]; a label-identical clustering
+    cross-check: cluster the one-hot bundles where cluster == label
+    exactly -> NMI 1 when the fit separates them, and a scipy-free
+    hand recomputation from the contingency matches."""
+    import math
+    from collections import Counter
+
+    from gnip_trend_detection_spark.extras.similarity import (
+        cluster_nmi,
+        kmeans_fit_predict,
+    )
+    from gnip_trend_detection_spark.sources.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    r = cluster_nmi(embs).collect()[0]
+    assert 0.0 <= r["nmi"] <= 1.0
+    assert r["n_clusters"] >= 2 and r["n_labels"] == 10
+
+    # hand recomputation from the same assignment
+    assigned = {
+        x["vec_id"]: x["cluster"] for x in kmeans_fit_predict(embs).collect()
+    }
+    labels = {x["vec_id"]: x["label"] for x in embs.collect()}
+    joint = Counter((assigned[v], labels[v]) for v in assigned)
+    n = sum(joint.values())
+    mc = Counter()
+    ml = Counter()
+    for (cl, lb), c in joint.items():
+        mc[cl] += c
+        ml[lb] += c
+    mi = sum(
+        (c / n) * math.log(c * n / (mc[cl] * ml[lb]))
+        for (cl, lb), c in joint.items()
+    )
+    hc = -sum((v / n) * math.log(v / n) for v in mc.values())
+    hl = -sum((v / n) * math.log(v / n) for v in ml.values())
+    assert abs(r["nmi"] - round(mi / math.sqrt(hc * hl), 6)) < 1e-9
