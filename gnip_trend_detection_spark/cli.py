@@ -218,6 +218,22 @@ def _build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--ts-col", default="ts")
     dr.add_argument("--bins", type=int, default=10, help="PSI histogram bins")
 
+    mo = sub.add_parser(
+        "monitor",
+        help="one-stop data-health report over an events dataset: "
+        "PSI+KS drift per group, per-bucket PSI timeline, categorical "
+        "mix chi-square, and key-skew diagnostics",
+    )
+    mo.add_argument("-i", "--input", required=True, help="events parquet file/dir")
+    mo.add_argument("-o", "--output", required=True,
+                    help="output dir (one parquet subdir per report)")
+    mo.add_argument("--group-col", default="event_type")
+    mo.add_argument("--value-col", default="value")
+    mo.add_argument("--ts-col", default="ts")
+    mo.add_argument("--key-col", default="user_id",
+                    help="join/shuffle key to profile for skew")
+    mo.add_argument("--bucket-sec", type=int, default=21600)
+
     dc = sub.add_parser(
         "decontam", help="benchmark-contamination report over a corpus"
     )
@@ -580,6 +596,47 @@ def main(argv: list[str] | None = None) -> int:
                 f"{r['grp']}: n_ref={r['n_ref']} n_cur={r['n_cur']} "
                 f"psi={r['psi']:.6f} ks_d={r['ks_d']:.6f}"
             )
+        return 0
+
+    if args.cmd == "monitor":
+        from gnip_trend_detection_spark.extras.drift import (
+            categorical_drift,
+            ks_drift,
+            psi_drift,
+            psi_timeline,
+        )
+        from gnip_trend_detection_spark.operators.skew import key_skew_report
+
+        ev = spark.read.parquet(args.input)
+        kw = dict(
+            group_col=args.group_col,
+            value_col=args.value_col,
+            ts_col=args.ts_col,
+        )
+        drift_rep = psi_drift(ev, **kw).join(
+            ks_drift(ev, **kw).select("grp", "ks_d"), "grp"
+        )
+        reports = {
+            "drift": drift_rep,
+            "timeline": psi_timeline(ev, bucket_sec=args.bucket_sec, **kw),
+            "mix": categorical_drift(
+                ev,
+                category_col=args.group_col,
+                ts_col=args.ts_col,
+                bucket_sec=args.bucket_sec,
+            ),
+            "skew": key_skew_report(ev, args.key_col),
+        }
+        for name, df in reports.items():
+            df.write.mode("overwrite").parquet(f"{args.output}/{name}")
+        # bounded: group cardinality + one skew row
+        for r in drift_rep.orderBy("grp").collect():
+            print(f"{r['grp']}: psi={r['psi']:.6f} ks_d={r['ks_d']:.6f}")
+        sk = reports["skew"].collect()[0]
+        print(
+            f"key {args.key_col}: n_keys={sk['n_keys']} "
+            f"hot_share={sk['hot_share']:.6f} entropy_ratio={sk['entropy_ratio']:.6f}"
+        )
         return 0
 
     if args.cmd == "decontam":

@@ -539,3 +539,36 @@ def test_cli_drift_against_reference(tmp_path, spark, capsys):
     rep = spark.read.parquet(str(out)).collect()
     assert len(rep) == 1
     assert rep[0]["psi"] > 1.0 and rep[0]["ks_d"] == 1.0  # fully shifted
+
+
+def test_cli_monitor_writes_all_reports(tmp_path, spark, capsys):
+    import datetime
+
+    from gnip_trend_detection_spark.cli import main
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        rows.append(("a", float(i % 10), 7 + i % 3, base + datetime.timedelta(seconds=i)))
+        rows.append(
+            ("a", 30.0 + i % 10, 7 + i % 3, base + datetime.timedelta(hours=8, seconds=i))
+        )
+        rows.append(("b", 1.0, 99, base + datetime.timedelta(hours=4, seconds=i)))
+    data = tmp_path / "mon_events"
+    spark.createDataFrame(
+        rows, "event_type string, value double, user_id long, ts timestamp"
+    ).write.parquet(str(data))
+
+    out = tmp_path / "mon_out"
+    rc = main(["monitor", "-i", str(data), "-o", str(out)])
+    assert rc == 0
+    drift = {r["grp"]: r for r in spark.read.parquet(f"{out}/drift").collect()}
+    assert drift["a"]["psi"] > 1.0  # shifted group flagged
+    timeline = spark.read.parquet(f"{out}/timeline").collect()
+    assert len(timeline) >= 3
+    mix = spark.read.parquet(f"{out}/mix").collect()
+    assert all(r["dof"] == 1 for r in mix)
+    skew = spark.read.parquet(f"{out}/skew").collect()[0]
+    assert skew["hot_key"] == 99  # 'b' rows pile on one user
+    printed = capsys.readouterr().out
+    assert "hot_share=" in printed and "a: psi=" in printed
