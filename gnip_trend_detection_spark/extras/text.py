@@ -69,12 +69,21 @@ def fertility_by_lang(
     2.1 subwords per word consumes 2.1x the context budget per word,
     so token budgets and char budgets diverge by language):
 
-        fertility = BPE-ish subword tokens / whitespace words
-        bytes_per_token = chars / subword tokens
+        fertility_micro = 1e6 * BPE-ish subword tokens / words
+        bytes_per_token_micro = 1e6 * chars / subword tokens
 
     Integer sums per language (exact, merge-order-proof); the two
-    ratios rounded to 6. One scan, one #langs-group hash agg with
-    map-side combine — zero joins, zero extra shuffles.
+    ratios are emitted as integer MICRO-units computed entirely in
+    integer arithmetic — ``(2*1e6*num + den) div (2*den)`` is exact
+    half-up rounding of ``1e6*num/den`` with no float anywhere, so
+    no engine-dependent ROUND(double) boundary exists (the failure
+    class that made the 6-decimal-double form of this query
+    hash-flip on one driver environment; same discipline as
+    quality_micro below). ANSI overflow throws loudly past ~4.6e12
+    tokens per language; widen to DECIMAL(38,0) if a single language
+    ever exceeds trillions of tokens. One scan, one #langs-group
+    hash agg with map-side combine — zero joins, zero extra
+    shuffles.
     """
     lt = F.lower(F.col(text_col))
     t = docs.select(
@@ -97,16 +106,12 @@ def fertility_by_lang(
             "n_words",
             "n_bpe_tokens",
             "n_chars",
-            F.round(
-                F.col("n_bpe_tokens").cast("double")
-                / F.col("n_words").cast("double"),
-                6,
-            ).alias("fertility"),
-            F.round(
-                F.col("n_chars").cast("double")
-                / F.col("n_bpe_tokens").cast("double"),
-                6,
-            ).alias("bytes_per_token"),
+            F.expr(
+                "(2000000L * n_bpe_tokens + n_words) div (2L * n_words)"
+            ).alias("fertility_micro"),
+            F.expr(
+                "(2000000L * n_chars + n_bpe_tokens) div (2L * n_bpe_tokens)"
+            ).alias("bytes_per_token_micro"),
         )
     )
 

@@ -1789,7 +1789,9 @@ WHERE CAST(quality_micro AS DOUBLE) >= t
 """
 
     # per-language tokenizer fertility (extras/text.py:
-    # fertility_by_lang): integer sums per lang, two rounded ratios
+    # fertility_by_lang): integer sums per lang; ratio columns as
+    # integer micro-units via pure-integer half-up rounding
+    # (2*1e6*num + den) // (2*den) — no double ROUND boundary
     sql["fertility_by_lang"] = f"""
 WITH t AS (
   SELECT lang,
@@ -1804,10 +1806,12 @@ SELECT lang,
        SUM(n_words) AS n_words,
        SUM(n_bpe) AS n_bpe_tokens,
        SUM(n_chars_l) AS n_chars,
-       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE), 6)
-         AS fertility,
-       ROUND(CAST(SUM(n_chars_l) AS DOUBLE) / CAST(SUM(n_bpe) AS DOUBLE), 6)
-         AS bytes_per_token
+       CAST((2000000 * SUM(n_bpe) + SUM(n_words))
+            // (2 * SUM(n_words)) AS BIGINT)
+         AS fertility_micro,
+       CAST((2000000 * SUM(n_chars_l) + SUM(n_bpe))
+            // (2 * SUM(n_bpe)) AS BIGINT)
+         AS bytes_per_token_micro
 FROM t WHERE n_bpe > 0
 GROUP BY lang
 """

@@ -714,7 +714,8 @@ def test_fertility_by_lang_hand_computed(spark):
     assert (en["n_docs"], en["n_words"], en["n_bpe_tokens"], en["n_chars"]) == (
         2, 4, 6, 17
     )
-    assert en["fertility"] == 1.5
+    assert en["fertility_micro"] == 1500000
+    assert en["bytes_per_token_micro"] == round(17 / 6 * 1e6)
     assert got["de"]["n_docs"] == 1 and got["de"]["n_bpe_tokens"] == 3
 
 
