@@ -88,6 +88,7 @@ def weighted_data_templates(
     score_latest_only: bool = False,
     sig_round: bool = True,
     impl: str = "hof",
+    check_for_self: bool = False,
 ) -> DataFrame:
     """A3 series + library(series_id, is_trend, points) → D4 etas.
 
@@ -102,6 +103,14 @@ def weighted_data_templates(
                    summation order. SURVEY §4 calls for benchmarking
                    both — keep 'hof' for exact fold parity, 'numpy'
                    for throughput.
+
+    check_for_self — the reference's self-exclusion knob
+    (models.py:200-204): when the test series is itself drawn from
+    the library (ROC-style evaluation over library members), a
+    library row whose stored (transformed, sized) points EXACTLY
+    equal the test series gets weight 0 instead of exp(0)=1, so a
+    series never votes for itself. Equality is ordered array
+    equality, same as the reference's list ``==``.
     """
     w = Window.partitionBy("counter").orderBy(ts_col)
     hist = F.collect_list(F.col("count").cast("double")).over(
@@ -149,7 +158,9 @@ def weighted_data_templates(
     ).drop("transformed", "hist")
 
     if impl == "numpy":
-        scored = _score_numpy(hot, library, series_length, lam, distance)
+        scored = _score_numpy(
+            hot, library, series_length, lam, distance, check_for_self
+        )
         out = scored.unionByName(cold)
         eta = sig_round2(F.col("eta_raw")) if sig_round else F.col("eta_raw")
         return out.select("counter", "interval_start", "count", eta.alias("eta"))
@@ -162,6 +173,13 @@ def weighted_data_templates(
         F.col("ref_points"), F.col("test_series"), series_length, distance
     )
     weight = F.exp(-F.lit(float(lam)) * mind)
+    if check_for_self:
+        # models.py:201-204 — a library row identical to the test
+        # series contributes nothing (array == is false on length
+        # mismatch, matching list equality)
+        weight = F.when(
+            F.col("ref_points") == F.col("test_series"), F.lit(0.0)
+        ).otherwise(weight)
     scored = (
         pairs.withColumn("weight", weight)
         .groupBy("counter", "interval_start", "count")
@@ -185,7 +203,12 @@ def weighted_data_templates(
 
 
 def _score_numpy(
-    hot: DataFrame, library: DataFrame, series_length: int, lam: float, distance: str
+    hot: DataFrame,
+    library: DataFrame,
+    series_length: int,
+    lam: float,
+    distance: str,
+    check_for_self: bool = False,
 ) -> DataFrame:
     """Vectorized scoring kernel: per batch of test series, distances
     against every (library row, sub-window) pair as numpy tensor ops.
@@ -204,7 +227,7 @@ def _score_numpy(
             continue  # no sub-window -> weight exp(-inf) == 0
         mat = np.vstack([np.asarray(r["points"], dtype=np.float64) for r in rs])
         wins = np.lib.stride_tricks.sliding_window_view(mat, series_length, axis=1)
-        groups.append((wins, np.array([bool(r["is_trend"]) for r in rs])))
+        groups.append((wins, np.array([bool(r["is_trend"]) for r in rs]), mat))
 
     def score(batches):
         for pdf in batches:
@@ -212,13 +235,17 @@ def _score_numpy(
             for t in pdf["test_series"]:
                 tv = np.asarray(t, dtype=np.float64)
                 tw = nw = 0.0
-                for wins, trend in groups:
+                for wins, trend, mat in groups:
                     if distance == "l1":
                         d = np.abs(wins - tv).sum(axis=2).min(axis=1)
                     else:
                         dd = wins - tv
                         d = (dd * dd).sum(axis=2).min(axis=1)
                     w = np.exp(-lam * d)
+                    if check_for_self and mat.shape[1] == series_length:
+                        # self-exclusion (models.py:201-204): a library
+                        # row bit-equal to the test series votes 0
+                        w = np.where((mat == tv).all(axis=1), 0.0, w)
                     tw += w[trend].sum()
                     nw += w[~trend].sum()
                 etas.append(tw / (nw if nw != 0 else SMALL_NUMBER))

@@ -180,3 +180,83 @@ def test_import_pickle_library(spark):
     assert counts == {True: 496, False: 500}
     lens = lib.select(F.size("points").alias("l")).distinct().collect()
     assert {r["l"] for r in lens} == {150}
+
+
+@pytest.mark.parametrize("impl", ["hof", "numpy"])
+def test_wdt_check_for_self_excludes_library_member(spark, fixture_data, impl):
+    """Reference models.py:200-204 (`check_for_self`): when the test
+    series IS a library row (ROC-style evaluation over library
+    members), that row's weight is zeroed so a series never votes for
+    itself. We plant the engine's own transformed test series at the
+    last point as an extra TREND library row: without the knob its
+    sub-window distance is exactly 0 (weight 1); with the knob its
+    weight is 0, so eta falls back to the base-library value."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.operators import transforms
+    from gnip_trend_detection_spark.operators.models import weighted_data_templates
+
+    counts, library = fixture_data
+
+    # 1. reproduce the engine's transformed test series at the LAST
+    #    point via the same chain WDT applies internally
+    hist = [float(c) for c in counts[-REF_LEN:]]
+    hdf = spark.createDataFrame([(hist,)], "hist array<double>")
+    hdf = transforms.apply_chain(
+        hdf, "hist", "transformed", transforms.test_stages(REF_LEN, OFFSET, N_SMOOTH)
+    )
+    tv = hdf.select(
+        transforms.sizing(F.col("transformed"), SER_LEN).alias("t")
+    ).collect()[0]["t"]
+    assert len(tv) == SER_LEN
+
+    lib_rows = [(i, t, pts) for i, (t, pts) in enumerate(library)]
+    lib_rows.append((len(lib_rows), True, list(tv)))  # the "self" row
+    lib = spark.createDataFrame(
+        lib_rows, "series_id long, is_trend boolean, points array<double>"
+    )
+    ser = spark.createDataFrame(
+        [("c1", float(i * 3600), float(c)) for i, c in enumerate(counts)],
+        "counter string, e double, count double",
+    ).select("counter", F.timestamp_seconds("e").alias("bin_start"), "count")
+
+    kw = dict(
+        series_length=SER_LEN,
+        reference_length=REF_LEN,
+        lam=LAM,
+        distance="l1",
+        baseline_offset=OFFSET,
+        n_smooth=N_SMOOTH,
+        sig_round=False,
+        impl=impl,
+    )
+    last = (len(counts) - 1) * 3600.0
+    eta_with_self = {
+        r["interval_start"].timestamp(): r["eta"]
+        for r in weighted_data_templates(ser, lib, **kw).collect()
+    }[last]
+    eta_excluded = {
+        r["interval_start"].timestamp(): r["eta"]
+        for r in weighted_data_templates(
+            ser, lib, check_for_self=True, **kw
+        ).collect()
+    }[last]
+
+    # shadow eta at the last point over the BASE library (= what the
+    # reference computes when the self row is weight-zeroed)
+    base = _eta_series(counts, library, "l1")[-1]
+    assert eta_excluded == pytest.approx(base, rel=1e-9)
+    # without the knob the planted row contributes weight exp(0) = 1
+    # to the trend side; recover tw/nw from the shadow to predict it
+    tw = nw = 0.0
+    test = _transform_test([float(c) for c in counts[-REF_LEN:]])[-SER_LEN:]
+    for is_trend, ref in library:
+        best = float("inf")
+        for i in range(len(ref) - SER_LEN + 1):
+            best = min(best, _dist(ref[i : i + SER_LEN], test, "l1"))
+        w = math.exp(-LAM * best) if best != float("inf") else 0.0
+        tw, nw = (tw + w, nw) if is_trend else (tw, nw + w)
+    assert eta_with_self == pytest.approx((tw + 1.0) / (nw or 0.001), rel=1e-9)
+    assert eta_with_self > eta_excluded
