@@ -79,29 +79,76 @@ def _z_series(x: np.ndarray, window_size: int | None) -> np.ndarray:
     return out
 
 
+def norm_ppf(q: float) -> float:
+    """Standard-normal inverse CDF, scipy-free: bisection on the exact
+    CDF Phi(x) = erfc(-x/sqrt(2))/2 (libm erfc), converged to the
+    float boundary. Only evaluated once per mann_kendall call (the
+    alpha critical value), so speed is irrelevant."""
+    import math
+
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0,1), got {q}")
+    lo, hi = -10.0, 10.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if mid in (lo, hi):
+            break
+        if math.erfc(-mid / math.sqrt(2.0)) / 2.0 < q:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
 def mann_kendall(
     rebinned: DataFrame,
     window_size: int | None = None,
     ts_col: str = "bin_start",
     sig_round: bool = True,
+    with_p: bool = False,
+    alpha: float = 0.05,
 ) -> DataFrame:
-    """A3 DataFrame → D4 (counter, interval_start, count, eta=z)."""
+    """A3 DataFrame → D4 (counter, interval_start, count, eta=z).
+
+    with_p — the reference mk_test's full return tuple
+    (mk_test.py:66-75): adds ``p_value`` = 2*(1-Phi(|z|)) computed as
+    erfc(|z|/sqrt(2)) (libm-exact, matching scipy's norm.cdf to the
+    ulp — no polynomial approximation), and ``trend`` in
+    {'increasing','decreasing','no trend'} via h = |z| >
+    norm_ppf(1-alpha/2) on the UNROUNDED z, exactly the reference's
+    significance gate. eta still honors sig_round; p/trend do not."""
+    import math
+
+    z_crit = norm_ppf(1.0 - alpha / 2.0) if with_p else 0.0
+    sqrt2 = math.sqrt(2.0)
 
     def per_counter(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("interval_start")
         x = pdf["count"].to_numpy(dtype=np.float64)
-        pdf["eta"] = _z_series(x, window_size)
+        z = _z_series(x, window_size)
+        pdf["eta"] = z
+        if with_p:
+            pdf["p_value"] = [math.erfc(abs(v) / sqrt2) for v in z]
+            h = np.abs(z) > z_crit
+            pdf["trend"] = np.where(
+                (z < 0) & h,
+                "decreasing",
+                np.where((z > 0) & h, "increasing", "no trend"),
+            )
+            return pdf[
+                ["counter", "interval_start", "count", "eta", "p_value", "trend"]
+            ]
         return pdf[["counter", "interval_start", "count", "eta"]]
 
+    schema = "counter string, interval_start timestamp, count double, eta double"
+    if with_p:
+        schema += ", p_value double, trend string"
     base = rebinned.select(
         "counter",
         rebinned[ts_col].alias("interval_start"),
         rebinned["count"].cast("double").alias("count"),
     )
-    out = base.groupBy("counter").applyInPandas(
-        per_counter,
-        schema="counter string, interval_start timestamp, count double, eta double",
-    )
+    out = base.groupBy("counter").applyInPandas(per_counter, schema=schema)
     if sig_round:
         out = out.withColumn("eta", sig_round2(out["eta"]))
     return out

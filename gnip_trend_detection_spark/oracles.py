@@ -552,6 +552,24 @@ z AS (
 SELECT counter, bin_ts, count, {_sig2('z')} AS eta FROM z
 """
 
+    # --- MK trend label (reference mk_test.py:66-75): significance
+    # gate on the UNROUNDED z at alpha=0.05. The literal is the
+    # engine's norm_ppf(0.975) bit-for-bit (mann_kendall.norm_ppf
+    # bisection result), so both engines compare z against the SAME
+    # float; z itself is bit-deterministic (integer S/ties, one
+    # correctly-rounded sqrt+division). p_value is engine-only —
+    # this DuckDB has no erfc/erf — pinned by a shadow test instead.
+    _mk_final = f"SELECT counter, bin_ts, count, {_sig2('z')} AS eta FROM z"
+    assert _mk_final in sql["mann_kendall_z"]
+    sql["mann_kendall_trend"] = sql["mann_kendall_z"].replace(
+        _mk_final,
+        f"""SELECT counter, bin_ts, count, {_sig2('z')} AS eta,
+       CASE WHEN z < -1.9599639845400532 THEN 'decreasing'
+            WHEN z >  1.9599639845400532 THEN 'increasing'
+            ELSE 'no trend' END AS trend
+FROM z""",
+    )
+
     # --- Theil–Sen robust slope: median pairwise slope over the same
     # trailing-20 window; list-window + nested comprehension; + 0.0
     # canonicalizes -0.0 (tie-proof: rational slopes, see

@@ -218,6 +218,25 @@ def q_mann_kendall_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _poisson_output(out)
 
 
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MK with the reference mk_test's full labeling (mk_test.py:66-75):
+    trend in {'increasing','decreasing','no trend'} gated on the
+    UNROUNDED z at alpha=0.05 (|z| > 1.959963984540054...). The label
+    is oracle-checkable because z is bit-deterministic (exact integer
+    S / tie terms, one correctly-rounded sqrt + division); p_value is
+    engine-only (DuckDB has no erfc) and pinned by
+    tests/test_properties.py against a scalar shadow."""
+    ser = _series_ts(spark, sf_dir, 14400)
+    out = mann_kendall(ser, window_size=20, sig_round=True, with_p=True)
+    return out.select(
+        "counter",
+        _epoch_long(F.col("interval_start")).alias("bin_ts"),
+        "count",
+        "eta",
+        "trend",
+    )
+
+
 def q_detector_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consensus trending points: MK z + Theil–Sen slope + burst ratio
     fused into ONE per-counter kernel pass, blended as integer global
@@ -3397,6 +3416,7 @@ ALL: dict[str, QueryFn] = {
     "poisson_cycle_weekday": q_poisson_cycle_weekday,
     "linreg_slope": q_linreg_slope,
     "mann_kendall_z": q_mann_kendall_z,
+    "mann_kendall_trend": q_mann_kendall_trend,
     "wdt_eta": q_wdt_eta,
     "correlation_pairs": q_correlation_pairs,
     "correlation_pairs_dense": q_correlation_pairs_dense,

@@ -984,3 +984,76 @@ def test_ks_d_bounds_and_symmetry(spark_prop, a, b):
     assert d_ab == d_ba
     d_aa = ks_between(df_a, df_a).collect()[0]["ks_d"]
     assert d_aa == 0.0
+
+
+def test_mann_kendall_p_and_trend_reference_tuple(spark):
+    """The reference mk_test's full return tuple (mk_test.py:66-75):
+    p = 2*(1-Phi(|z|)) and the alpha-gated trend label. Pinned against
+    hand-computed literals (strictly monotone series: S and var_S are
+    closed-form) plus an independent scalar shadow with libm erfc —
+    DuckDB has no erfc, so this test is the p-value's correctness
+    anchor in place of an oracle pair."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.operators.models import mann_kendall
+
+    # one increasing, one decreasing, one flat counter; 20 points each
+    rows = []
+    for i in range(20):
+        rows.append(("up", float(i * 3600), float(i + 1)))
+        rows.append(("down", float(i * 3600), float(40 - 2 * i)))
+        rows.append(("flat", float(i * 3600), 7.0))
+    ser = spark.createDataFrame(
+        rows, "counter string, e double, count double"
+    ).select("counter", F.timestamp_seconds("e").alias("bin_start"), "count")
+
+    out = mann_kendall(ser, window_size=20, sig_round=False, with_p=True)
+    last = {
+        r["counter"]: r
+        for r in out.filter(F.col("interval_start") == F.timestamp_seconds(F.lit(19 * 3600.0))).collect()
+    }
+
+    # hand math: n=20, strictly monotone -> |S| = 190, no ties,
+    # var_S = 20*19*45/18 = 950, z = +-189/sqrt(950)
+    z_up = 189.0 / math.sqrt(950.0)
+    assert last["up"]["eta"] == z_up
+    assert last["down"]["eta"] == -z_up
+    assert last["flat"]["eta"] == 0.0
+    p_up = math.erfc(z_up / math.sqrt(2.0))
+    assert last["up"]["p_value"] == p_up
+    assert last["down"]["p_value"] == p_up
+    assert last["flat"]["p_value"] == 1.0
+    assert last["up"]["trend"] == "increasing"
+    assert last["down"]["trend"] == "decreasing"
+    assert last["flat"]["trend"] == "no trend"
+
+    # a weak trend below the alpha=0.05 gate must label 'no trend'
+    # even though z != 0 (h=False branch of mk_test.py:70-75)
+    # S=5 (one tied pair), n=5, tie_term for the duplicated 3.0 is
+    # 2*1*9=18, var_s=(5*4*15-18)/18, z=(S-1)/sqrt(var_s)
+    weak = [1.0, 3.0, 2.0, 4.0, 3.0]
+    wrows = [("w", float(i * 3600), c) for i, c in enumerate(weak)]
+    wser = spark.createDataFrame(
+        wrows, "counter string, e double, count double"
+    ).select("counter", F.timestamp_seconds("e").alias("bin_start"), "count")
+    wlast = mann_kendall(wser, window_size=20, sig_round=False, with_p=True).filter(
+        F.col("interval_start") == F.timestamp_seconds(F.lit(4 * 3600.0))
+    ).collect()[0]
+    z_w = 4.0 / math.sqrt((5 * 4 * 15 - 18) / 18.0)
+    assert wlast["eta"] == z_w
+    assert 0 < z_w < 1.9599639845400532
+    assert wlast["trend"] == "no trend"
+    assert wlast["p_value"] == math.erfc(z_w / math.sqrt(2.0))
+
+
+def test_norm_ppf_matches_cdf_roundtrip():
+    import math
+
+    from gnip_trend_detection_spark.operators.models.mann_kendall import norm_ppf
+
+    for q in (0.5, 0.975, 0.995, 0.05, 0.9):
+        x = norm_ppf(q)
+        assert math.erfc(-x / math.sqrt(2.0)) / 2.0 == pytest.approx(q, abs=1e-14)
+    assert norm_ppf(0.975) == 1.9599639845400532
