@@ -286,6 +286,7 @@ def lsh_eval(
     rows_per_band: int = 2,
     t_num: int = 1,
     t_den: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Quality evaluation of the banded-LSH sweep against exact ground
     truth: band recall and candidate precision at true Jaccard >=
@@ -315,6 +316,17 @@ def lsh_eval(
     lineage blocks pinned in executor storage until driver GC — in a
     long-lived session repeated calls accumulated storage and swung
     this query's wall time 6s → 19s.
+
+    max_df — the corpus-scale bound on the ground-truth join: shingles
+    whose document frequency exceeds it are dropped from the shared-
+    shingle join (a shingle in df docs contributes O(df^2) pairs, so
+    the join is bounded by max_df * n_shingle_rows instead of the
+    square of the hottest key). Doc sizes stay FULL, so the capped
+    intersection only UNDERCOUNTS: the capped true-pair set is a
+    subset of the exact one (conservative recall denominator). With
+    max_df >= the observed max doc frequency the result is exactly
+    the uncapped one, and with max_df=None the plan is untouched —
+    both pinned by tests/test_dedup.py.
     """
     spark = sigs.sparkSession
     sigs = sigs.persist()
@@ -322,6 +334,18 @@ def lsh_eval(
         "doc_id", F.array_distinct("shingles").alias("sh")
     ).withColumn("sz", F.size("sh"))
     shd = sh.select("doc_id", "sz", F.explode("sh").alias("s"))
+    if max_df is not None:
+        # drop HOT shingles (df > cap) via anti-join: the hot set is
+        # small by construction (<= n_rows/max_df keys), AQE picks the
+        # broadcast side at runtime; rare shingles — the ones that
+        # actually witness near-dup pairs — are untouched
+        hot = (
+            shd.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+        )
+        shd = shd.join(hot, "s", "left_anti")
     # Single shared-shingle equi-join + grouped count: ONE keyed
     # shuffle. A PPJoin-style doc-frequency prefix filter (Xiao et
     # al., WWW'08) was measured here and REMOVED: on this near-dup

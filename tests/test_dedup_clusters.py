@@ -282,3 +282,53 @@ def test_longest_dup_span_islands(spark):
     assert out[0]["longest_span_tokens"] == 12
     assert out[1]["longest_span_tokens"] == 12
     assert out[2]["longest_span_tokens"] == 0
+
+
+def test_lsh_eval_max_df_cap(spark):
+    """lsh_eval's corpus-scale ground-truth bound: with max_df >= the
+    observed max shingle doc-frequency the capped result is IDENTICAL
+    to the uncapped one; with a binding cap the true-pair set can only
+    shrink (capped intersection undercounts, doc sizes stay full), so
+    n_true is monotone non-increasing and the candidate count (from
+    banding, untouched by the cap) is unchanged."""
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.extras.dedup import lsh_eval, minhash_signatures
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "a completely different document about spark joins"),
+        (4, "a completely different document about spark shuffles"),
+        (5, "unrelated text with its own words entirely here now"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    sigs = minhash_signatures(docs, n_hashes=16, k=3)
+
+    # observed max doc-frequency over distinct shingles
+    max_obs = (
+        sigs.select(F.explode(F.array_distinct("shingles")).alias("s"))
+        .groupBy("s")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+
+    base = lsh_eval(sigs, rows_per_band=2).collect()[0]
+    same = lsh_eval(sigs, rows_per_band=2, max_df=max_obs).collect()[0]
+    assert base.asDict() == same.asDict()
+    assert base["n_true"] >= 1  # fixture must actually exercise pairs
+
+    tight = lsh_eval(sigs, rows_per_band=2, max_df=1).collect()[0]
+    assert tight["n_true"] <= base["n_true"]
+    assert tight["n_cand"] == base["n_cand"]
+
+    # max_df=None path is structurally untouched: no df agg in the plan
+    # (the uncapped call above already proved value equality; this
+    # pins the "plan unchanged otherwise" contract)
+    from gnip_trend_detection_spark.extras import dedup as _d
+
+    import inspect
+
+    src = inspect.getsource(_d.lsh_eval)
+    assert "if max_df is not None" in src
