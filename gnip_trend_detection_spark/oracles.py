@@ -314,6 +314,10 @@ FROM grp GROUP BY counter, g
     sql["poisson_lc_eta"] = (
         _poisson_lc_ctes() + " SELECT counter, bin_ts, count, eta FROM etas"
     )
+    # streaming replay twin (queries.q_stream_poisson_lc_replay): the
+    # micro-batched stateful fold must be bit-identical to batch, so
+    # it is held to the SAME oracle, verbatim
+    sql["stream_poisson_lc_replay"] = sql["poisson_lc_eta"]
     sql["detect_threshold"] = (
         _poisson_lc_ctes()
         + " SELECT counter, bin_ts, count, eta FROM etas WHERE eta > 1.0"

@@ -160,6 +160,26 @@ def q_poisson_lc_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _poisson_output(poisson_lc(_rebinned_2min(spark, sf_dir), alpha=0.99))
 
 
+def q_stream_poisson_lc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming poisson_lc (applyInPandasWithState, SURVEY §2.9)
+    replayed over 3 contiguous-time micro-batches and drained to a
+    memory sink (streaming/replay.py). The stateful fold crossing
+    micro-batch boundaries must reproduce the batch operator
+    BIT-FOR-BIT, so this query declares poisson_lc_eta's DuckDB
+    oracle verbatim — the first oracle-checked streaming path (the
+    other stream/batch twins are pinned by tests/test_streaming.py)."""
+    from gnip_trend_detection_spark.streaming import score_stream_poisson_lc
+    from gnip_trend_detection_spark.streaming.replay import replay_scored
+
+    ser = _rebinned_2min(spark, sf_dir).select(
+        "counter",
+        F.col("bin_start").alias("interval_start"),
+        F.col("count").cast("double").alias("count"),
+    )
+    out = replay_scored(spark, ser, lambda s: score_stream_poisson_lc(s, alpha=0.99))
+    return _poisson_output(out)
+
+
 def q_detect_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = poisson_lc(_rebinned_2min(spark, sf_dir), alpha=0.99)
     return _poisson_output(detect_threshold(scored, theta=1.0))
@@ -3417,6 +3437,7 @@ ALL: dict[str, QueryFn] = {
     "linreg_slope": q_linreg_slope,
     "mann_kendall_z": q_mann_kendall_z,
     "mann_kendall_trend": q_mann_kendall_trend,
+    "stream_poisson_lc_replay": q_stream_poisson_lc_replay,
     "wdt_eta": q_wdt_eta,
     "correlation_pairs": q_correlation_pairs,
     "correlation_pairs_dense": q_correlation_pairs_dense,

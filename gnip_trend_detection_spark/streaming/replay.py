@@ -1,0 +1,102 @@
+"""Deterministic replay harness: run a STATEFUL streaming scorer over
+a batch fixture and hand back its full output as a plain DataFrame.
+
+This is how a streaming operator earns an ORACLE-checked row instead of
+only a batch-parity unit test: the batch series is written as
+time-ordered parquet slices (one micro-batch each, strictly increasing
+mtimes so FileStreamSource's modification-time ordering is pinned),
+replayed with availableNow through the scorer into a memory sink, and
+the sink's contents — the union of every update-mode emission, which
+for the per-point scorers is exactly one row per input point — are
+returned for the same DuckDB SQL twin the batch operator declares.
+
+Scale note: the replay itself is a TEST harness (memory sink = driver
+memory, bounded fixture). Production streaming uses the same scorer
+with a real source/sink (streaming/models.py docstring); what this
+module proves is that the stateful fold crossing micro-batch
+boundaries is bit-identical to the batch window computation.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def replay_scored(
+    spark: SparkSession,
+    series: DataFrame,
+    score_fn: Callable[[DataFrame], DataFrame],
+    n_slices: int = 3,
+) -> DataFrame:
+    """series(counter, interval_start timestamp, count double) →
+    score_fn's streaming output, replayed to completion over
+    ``n_slices`` contiguous-time micro-batches."""
+    series = series.select(
+        "counter",
+        F.col("interval_start").cast("timestamp").alias("interval_start"),
+        F.col("count").cast("double").alias("count"),
+    )
+    lo, hi = series.agg(
+        F.min("interval_start").cast("double"),
+        F.max("interval_start").cast("double"),
+    ).first()
+    if lo is None:
+        # empty fixture: still run the (empty) stream for shape parity
+        edges: list[float] = []
+    else:
+        edges = [lo + (hi - lo) * i / n_slices for i in range(1, n_slices)]
+    ts = F.col("interval_start").cast("double")
+    slices = []
+    prev = None
+    for e in edges:
+        cond = ts < e if prev is None else (ts >= prev) & (ts < e)
+        slices.append(series.filter(cond))
+        prev = e
+    slices.append(series if prev is None else series.filter(ts >= prev))
+
+    flat = tempfile.mkdtemp(prefix="gtds_replay_")
+    base = tempfile.mkdtemp(prefix="gtds_replay_stage_")
+    t0 = time.time() - 600
+    try:
+        for i, sl in enumerate(slices):
+            d = os.path.join(base, f"b{i}")
+            sl.coalesce(1).write.parquet(d)
+            part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+            dst = os.path.join(flat, f"{i:03d}.parquet")
+            shutil.copy(os.path.join(d, part), dst)
+            # FileStreamSource orders by modification time; identical
+            # mtimes would make the state-fold order nondeterministic
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+        shutil.rmtree(base, ignore_errors=True)
+
+        stream_in = (
+            spark.readStream.schema(
+                "counter string, interval_start timestamp, count double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        )
+        name = f"gtds_replay_{uuid.uuid4().hex}"
+        q = (
+            score_fn(stream_in)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # memory sink rows live in driver memory — independent of the
+        # temp files, which the finally block removes
+        return spark.table(name)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(flat, ignore_errors=True)
