@@ -60,6 +60,12 @@ def _build_parser() -> argparse.ArgumentParser:
         help="per-language keep fractions, lang=frac[,lang=frac...]",
     )
     c.add_argument("--default-frac", type=float, default=0.2)
+    c.add_argument(
+        "--full-docs", action="store_true",
+        help="write the full kept documents (all corpus columns + "
+        "predicted_lang + quality_micro) instead of the id/quality "
+        "report — the shape the next pipeline stage (budget/pack) reads",
+    )
 
     ch = sub.add_parser(
         "chunk", help="split docs into fixed token windows with overlap"
@@ -654,14 +660,20 @@ def main(argv: list[str] | None = None) -> int:
             k: float(v)
             for k, v in (kv.split("=") for kv in args.keep.split(",") if kv)
         }
+        docs = read_docs(args.input)
         kept = curate(
-            read_docs(args.input),
+            docs,
             read_docs(args.benchmark),
             quality_min=args.quality_min,
             ngram_n=args.ngram,
             fractions=fractions,
             default_fraction=args.default_frac,
         )
+        if args.full_docs:
+            # doc_id equi-join carries text/source through so budget/
+            # pack can read this output directly (end-to-end chain in
+            # README "Curation quickstart")
+            kept = kept.join(docs, "doc_id")
         kept.write.mode("overwrite").parquet(args.output)
         return 0
 

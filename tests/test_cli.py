@@ -572,3 +572,89 @@ def test_cli_monitor_writes_all_reports(tmp_path, spark, capsys):
     assert skew["hot_key"] == 99  # 'b' rows pile on one user
     printed = capsys.readouterr().out
     assert "hot_share=" in printed and "a: psi=" in printed
+
+
+def test_cli_full_curation_chain(tmp_path, spark):
+    """The README "Curation quickstart" chain, end to end through the
+    CLI only: dedup --drop → curate --full-docs → budget → pack.
+    Fixture: 24 docs across 2 sources with one EXACT duplicate pair
+    (0,1), one NEAR-duplicate pair (3,4: one extra word), and one
+    benchmark-contaminated doc (2). Expected counts at every stage are
+    pinned — the same numbers quoted in README.md."""
+    import json
+
+    from gnip_trend_detection_spark.cli import main
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    def body(i):
+        # mostly-unique body (per-doc tokens) + a short common English
+        # phrase so lang-id/quality have signal WITHOUT making distinct
+        # docs near-duplicates of each other
+        uniq = " ".join(f"topic{i}w{j} item{i}x{j}" for j in range(12))
+        return f"the quick brown fox and {uniq} on the list for it"
+
+    lines = []
+    for i in range(24):
+        src = "web" if i % 2 == 0 else "books"
+        if i in (0, 1):
+            text = body(0)                               # exact pair
+        elif i == 3:
+            text = body(3)
+        elif i == 4:
+            text = body(3) + " extra"                    # near doc 3
+        elif i == 2:
+            text = body(2) + " contaminated by benchmark marker phrase here"
+        else:
+            text = body(i)
+        lines.append(json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": src}
+        ))
+    (corpus / "docs.jsonl").write_text("\n".join(lines))
+
+    # --format applies to corpus AND benchmark, and stage 2 reads the
+    # stage-1 parquet → benchmark is parquet too
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(9000, "contaminated by benchmark marker phrase plus", "en", "b")],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(bench)
+
+    deduped = str(tmp_path / "deduped")
+    curated = str(tmp_path / "curated")
+    budget_out = str(tmp_path / "budget")
+    manifest = str(tmp_path / "manifest")
+
+    # 1. near-dup sweep drops docs 1 and 4 (cluster minima 0 and 3 stay)
+    assert main(["dedup", "-i", str(corpus), "-o", deduped,
+                 "--method", "lsh", "--threshold", "0.7", "--drop"]) == 0
+    dd = spark.read.parquet(deduped)
+    assert dd.count() == 22
+    kept_ids = {r["doc_id"] for r in dd.select("doc_id").collect()}
+    assert 1 not in kept_ids and 4 not in kept_ids
+    assert {0, 3} <= kept_ids
+
+    # 2. quality gate + decontamination + language mix (keep all)
+    assert main(["curate", "-i", deduped, "--format", "parquet",
+                 "-b", bench, "-o", curated,
+                 "--quality-min", "0.0", "--keep", "en=1.0",
+                 "--default-frac", "1.0", "--full-docs"]) == 0
+    cur = spark.read.parquet(curated)
+    assert cur.count() == 21                      # doc 2 contaminated
+    assert 2 not in {r["doc_id"] for r in cur.select("doc_id").collect()}
+    assert {"text", "source", "quality_micro"} <= set(cur.columns)
+
+    # 3. UniMax token-budget plan over the curated mix
+    assert main(["budget", "-i", curated, "--format", "parquet",
+                 "--budget-tokens", "2000", "--max-epochs", "2",
+                 "-o", budget_out]) == 0
+    bud = {r["source"]: r for r in spark.read.parquet(budget_out).collect()}
+    assert set(bud) == {"web", "books"}
+    assert sum(r["alloc_tokens"] for r in bud.values()) <= 2000 + 1e-6
+
+    # 4. deterministic packing manifest over the same curated docs
+    assert main(["pack", "-i", curated, "--format", "parquet",
+                 "-o", manifest, "--block-tokens", "64", "--shards", "4"]) == 0
+    man = spark.read.parquet(manifest)
+    assert man.select("doc_id").distinct().count() == 21
+    assert man.select("shard").distinct().count() <= 4
