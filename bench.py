@@ -169,6 +169,12 @@ HEADLINE = [
     # the synthetic corpus is template-dense (~43k true pairs >= 0.9
     # on the 1-in-5 slice at sf0.1) — same eval-class carve-out as
     # lsh_recall_eval's ground truth
+    "mann_kendall_trend",
+    "embedding_simhash",
+    # the stream_*_replay queries are deliberately NOT benched: they
+    # time the test-harness file replay (slice writes + availableNow
+    # drain), not a data-proportional operator — their value is the
+    # oracle-checked correctness row, asserted in the parity suite
 ]
 
 

@@ -1094,3 +1094,79 @@ def cluster_nmi(
             ).alias("nmi"),
         )
     )
+
+
+def embedding_simhash(
+    embeddings: DataFrame,
+    n_bits: int = 16,
+    seed: int = 42,
+    quant: int = 1_000_000,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-random-projection sketch for dense vectors (Charikar 2002
+    — the embedding-space analog of extras/dedup.py:simhash64):
+    bit_j = [ sum_i floor(v_i * quant) * s_ij  >= 0 ], packed into one
+    BIGINT, plus the sketch-bucket size (vectors sharing all n_bits
+    signs are near-dup candidates — the zero-float-compare cousin of
+    lsh_bucketed_topk's bucketing).
+
+    Cross-engine exactness by construction: the projection is INTEGER
+    arithmetic end to end. floor(double * quant) is bit-deterministic
+    (one correctly-rounded IEEE product, then floor — no decimal-ROUND
+    tie semantics), and the sign matrix s_ij in {+1,-1} derives from
+    md5(f"{seed}:{j}:{i}") at PLAN-BUILD time, inlined as literal
+    arrays into both the Spark plan and the DuckDB oracle — the same
+    inlined-seeded-planes pattern as lsh_bucketed_topk, minus every
+    float fold.
+
+    Scale: one scan, n_bits fold expressions per row (codegen loops),
+    one sketch-keyed window for the bucket size — the only shuffle.
+    100 TB shape: buckets replace the all-pairs cosine sweep the same
+    way LSH bands do.
+    """
+    signs = simhash_sign_matrix(n_bits, dim, seed)
+    q = F.transform(
+        as_double(F.col(vec_col)), lambda x: F.floor(x * F.lit(float(quant)))
+    )
+    proj = [
+        F.aggregate(
+            F.zip_with(
+                q,
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda a, b: a * b.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for j in range(n_bits)
+    ]
+    sketch = proj[0] * F.lit(0)
+    for j in range(n_bits):
+        sketch = sketch + F.when(proj[j] >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    out = embeddings.select(
+        F.col(id_col).alias("vec_id"), sketch.cast("long").alias("sketch")
+    )
+    return out.select(
+        "vec_id",
+        "sketch",
+        F.count(F.lit(1)).over(Window.partitionBy("sketch")).alias("bucket_size"),
+    )
+
+
+def simhash_sign_matrix(n_bits: int, dim: int, seed: int) -> list[list[int]]:
+    """The deterministic {+1,-1} projection matrix shared verbatim by
+    embedding_simhash and its DuckDB oracle: sign = +1 iff the first
+    hex nibble of md5(f"{seed}:{bit}:{dim_index}") is < 8."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0] in "01234567"
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]

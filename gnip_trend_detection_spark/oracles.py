@@ -556,6 +556,10 @@ z AS (
 SELECT counter, bin_ts, count, {_sig2('z')} AS eta FROM z
 """
 
+    # streaming replay twin (queries.q_stream_mann_kendall_replay):
+    # held to the batch oracle verbatim, like stream_poisson_lc_replay
+    sql["stream_mann_kendall_replay"] = sql["mann_kendall_z"]
+
     # --- MK trend label (reference mk_test.py:66-75): significance
     # gate on the UNROUNDED z at alpha=0.05. The literal is the
     # engine's norm_ppf(0.975) bit-for-bit (mann_kendall.norm_ppf
@@ -3751,6 +3755,44 @@ SELECT vec_id, scale,
          (a, b) -> a + b)), 6) AS l2_err
 FROM c
 """
+    # sign-random-projection sketch twin (similarity.embedding_simhash):
+    # the +-1 matrix is recomputed here from the SAME md5 spec
+    # (seed:bit:dim, first hex nibble < 8) and inlined as literals;
+    # floor(x * 1e6) quantization keeps the whole projection in BIGINT,
+    # so sketch and bucket_size have no float boundary at all
+    import hashlib as _hashlib
+
+    _srp_bits, _srp_dim, _srp_seed = 16, 64, 42
+    _srp_signs = [
+        [
+            1
+            if _hashlib.md5(f"{_srp_seed}:{j}:{i}".encode()).hexdigest()[0]
+            in "01234567"
+            else -1
+            for i in range(_srp_dim)
+        ]
+        for j in range(_srp_bits)
+    ]
+    _srp_terms = " + ".join(
+        "CASE WHEN list_sum([q[k] * ([{signs}])[k] "
+        "for k in generate_series(1, {d})]) >= 0 THEN {w} ELSE 0 END".format(
+            signs=",".join(str(s) for s in _srp_signs[j]), d=_srp_dim, w=1 << j
+        )
+        for j in range(_srp_bits)
+    )
+    sql["embedding_simhash"] = f"""
+WITH p AS (
+  SELECT vec_id,
+         [CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+          for x in embedding] AS q
+  FROM embeddings
+),
+s AS (SELECT vec_id, CAST({_srp_terms} AS BIGINT) AS sketch FROM p)
+SELECT vec_id, sketch,
+       COUNT(*) OVER (PARTITION BY sketch) AS bucket_size
+FROM s
+"""
+
     # AQP estimator twin: same md5 key-hash sample as the samplers,
     # integer-cent sums (exact), CI sqrt under the round-6 policy with
     # identical operation order

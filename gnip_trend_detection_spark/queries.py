@@ -257,6 +257,25 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_mann_kendall_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Mann-Kendall (trailing-window buffer state) replayed
+    over 3 micro-batches — bit-identical to the batch kernel, so it
+    declares mann_kendall_z's oracle verbatim (see
+    q_stream_poisson_lc_replay for the harness contract)."""
+    from gnip_trend_detection_spark.streaming import score_stream_mann_kendall
+    from gnip_trend_detection_spark.streaming.replay import replay_scored
+
+    ser = _series_ts(spark, sf_dir, 14400).select(
+        "counter",
+        F.col("bin_start").alias("interval_start"),
+        F.col("count").cast("double").alias("count"),
+    )
+    out = replay_scored(
+        spark, ser, lambda s: score_stream_mann_kendall(s, window_size=20)
+    )
+    return _poisson_output(out)
+
+
 def q_detector_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consensus trending points: MK z + Theil–Sen slope + burst ratio
     fused into ONE per-counter kernel pass, blended as integer global
@@ -2417,6 +2436,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_arr(out, ["doc_id"], "features")
 
 
+def q_embedding_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection sketch per embedding + bucket size
+    (similarity.embedding_simhash): integer arithmetic end to end —
+    floor-quantized components times an md5-derived literal ±1 matrix
+    — so the sketch has no float compare for engines to disagree on."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_simhash(e, n_bits=16, seed=42)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 quantization audit (similarity.quantize_int8): per-vector
     scale, code occupancy, and reconstruction error — the memory-vs-
@@ -3438,6 +3466,7 @@ ALL: dict[str, QueryFn] = {
     "mann_kendall_z": q_mann_kendall_z,
     "mann_kendall_trend": q_mann_kendall_trend,
     "stream_poisson_lc_replay": q_stream_poisson_lc_replay,
+    "stream_mann_kendall_replay": q_stream_mann_kendall_replay,
     "wdt_eta": q_wdt_eta,
     "correlation_pairs": q_correlation_pairs,
     "correlation_pairs_dense": q_correlation_pairs_dense,
@@ -3590,6 +3619,7 @@ ALL: dict[str, QueryFn] = {
     "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
     "sample_estimate": q_sample_estimate,
     "embedding_quantize": q_embedding_quantize,
+    "embedding_simhash": q_embedding_simhash,
     "conversion_within_hour": q_conversion_within_hour,
     "label_centroids": q_label_centroids,
     "value_outliers": q_value_outliers,

@@ -449,3 +449,34 @@ def test_cluster_nmi_bounds_and_hand_value(spark):
     hc = -sum((v / n) * math.log(v / n) for v in mc.values())
     hl = -sum((v / n) * math.log(v / n) for v in ml.values())
     assert abs(r["nmi"] - round(mi / math.sqrt(hc * hl), 6)) < 1e-9
+
+
+def test_embedding_simhash_hand_bits_and_buckets(spark):
+    """Bit j of the sketch for e_0 (one-hot on dim 0) is exactly the
+    sign bit s_j0 of the md5-derived matrix; identical vectors share a
+    sketch (bucket_size 2); a negated vector flips every bit."""
+    from gnip_trend_detection_spark.extras.similarity import (
+        embedding_simhash,
+        simhash_sign_matrix,
+    )
+
+    dim, n_bits, seed = 8, 6, 42
+    signs = simhash_sign_matrix(n_bits, dim, seed)
+    e0 = [1.0] + [0.0] * (dim - 1)
+    neg = [-x for x in e0]
+    rows = [(1, e0), (2, list(e0)), (3, neg)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r
+        for r in embedding_simhash(
+            df, n_bits=n_bits, seed=seed, dim=dim
+        ).collect()
+    }
+    want_bits = sum((1 << j) for j in range(n_bits) if signs[j][0] > 0)
+    assert got[1]["sketch"] == want_bits
+    assert got[2]["sketch"] == want_bits
+    assert got[1]["bucket_size"] == 2
+    # negation: proj flips sign; proj==0 never happens here (|proj|=1e6)
+    flipped = sum((1 << j) for j in range(n_bits) if signs[j][0] < 0)
+    assert got[3]["sketch"] == flipped
+    assert got[3]["bucket_size"] == 1
