@@ -1104,6 +1104,7 @@ def embedding_simhash(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    impl: str = "numpy",
 ) -> DataFrame:
     """Sign-random-projection sketch for dense vectors (Charikar 2002
     — the embedding-space analog of extras/dedup.py:simhash64):
@@ -1121,33 +1122,70 @@ def embedding_simhash(
     inlined-seeded-planes pattern as lsh_bucketed_topk, minus every
     float fold.
 
-    Scale: one scan, n_bits fold expressions per row (codegen loops),
-    one sketch-keyed window for the bucket size — the only shuffle.
-    100 TB shape: buckets replace the all-pairs cosine sweep the same
-    way LSH bands do.
+    Scale: one scan, one sketch-keyed window for the bucket size —
+    the only shuffle. 100 TB shape: buckets replace the all-pairs
+    cosine sweep the same way LSH bands do.
+
+    impl='numpy' (default) — one Arrow-batched integer matmul
+    (floor(V*quant) @ S.T) per batch; bit-identical to the HOF fold
+    because EVERY op after the one IEEE multiply is int64 arithmetic
+    (asserted impl-vs-impl in tests). 'sql' keeps the pure relational
+    fold the oracle mirrors term by term (measured 1.48s → numpy
+    ~0.2s at sf0.1: 16 interpreted HOF folds x 64 dims dominated).
     """
     signs = simhash_sign_matrix(n_bits, dim, seed)
-    q = F.transform(
-        as_double(F.col(vec_col)), lambda x: F.floor(x * F.lit(float(quant)))
-    )
-    proj = [
-        F.aggregate(
-            F.zip_with(
-                q,
-                F.array(*[F.lit(s) for s in signs[j]]),
-                lambda a, b: a * b.cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+    if impl == "numpy":
+        import numpy as np
+        import pandas as pd
+
+        smat = np.asarray(signs, dtype=np.int64)  # (n_bits, dim)
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        fquant = float(quant)
+
+        def kernel(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({"vec_id": [], "sketch": []})
+                    continue
+                v = np.vstack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+                )
+                q = np.floor(v * fquant).astype(np.int64)
+                proj = q @ smat.T  # (n, n_bits) int64 — exact
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf[id_col].to_numpy(),
+                        "sketch": ((proj >= 0) @ weights).astype(np.int64),
+                    }
+                )
+
+        out = embeddings.select(id_col, vec_col).mapInPandas(
+            kernel, "vec_id long, sketch long"
         )
-        for j in range(n_bits)
-    ]
-    sketch = proj[0] * F.lit(0)
-    for j in range(n_bits):
-        sketch = sketch + F.when(proj[j] >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    out = embeddings.select(
-        F.col(id_col).alias("vec_id"), sketch.cast("long").alias("sketch")
-    )
+    else:
+        q = F.transform(
+            as_double(F.col(vec_col)), lambda x: F.floor(x * F.lit(float(quant)))
+        )
+        proj = [
+            F.aggregate(
+                F.zip_with(
+                    q,
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda a, b: a * b.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for j in range(n_bits)
+        ]
+        sketch = proj[0] * F.lit(0)
+        for j in range(n_bits):
+            sketch = sketch + F.when(proj[j] >= 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+        out = embeddings.select(
+            F.col(id_col).alias("vec_id"), sketch.cast("long").alias("sketch")
+        )
     return out.select(
         "vec_id",
         "sketch",

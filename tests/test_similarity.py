@@ -480,3 +480,29 @@ def test_embedding_simhash_hand_bits_and_buckets(spark):
     flipped = sum((1 << j) for j in range(n_bits) if signs[j][0] < 0)
     assert got[3]["sketch"] == flipped
     assert got[3]["bucket_size"] == 1
+
+
+def test_embedding_simhash_impl_bit_identity(spark):
+    """numpy kernel vs relational HOF fold: every op after the one
+    IEEE multiply is int64, so the two impls must agree EXACTLY on
+    every sketch and bucket size."""
+    import random
+
+    from gnip_trend_detection_spark.extras.similarity import embedding_simhash
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(60)
+    ] + [(100, [0.0] * 16), (101, [0.0] * 16)]  # shared-bucket pair
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(n_bits=12, seed=42, dim=16)
+    a = {
+        r["vec_id"]: (r["sketch"], r["bucket_size"])
+        for r in embedding_simhash(df, impl="numpy", **kw).collect()
+    }
+    b = {
+        r["vec_id"]: (r["sketch"], r["bucket_size"])
+        for r in embedding_simhash(df, impl="sql", **kw).collect()
+    }
+    assert a == b
+    assert a[100] == a[101] and a[100][1] >= 2
