@@ -171,6 +171,7 @@ HEADLINE = [
     # lsh_recall_eval's ground truth
     "mann_kendall_trend",
     "embedding_simhash",
+    "benchmark_leakage",
     # the stream_*_replay queries are deliberately NOT benched: they
     # time the test-harness file replay (slice writes + availableNow
     # drain), not a data-proportional operator — their value is the

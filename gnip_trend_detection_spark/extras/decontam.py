@@ -321,3 +321,70 @@ def decontaminate_fuzzy(
             (F.coalesce("n_bench_matches", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def benchmark_leakage(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """The REVERSE decontamination view: per BENCHMARK item, how much
+    of it already occurs in the training corpus — the report an eval
+    owner reads to decide which benchmark rows are burned (a corpus
+    owner reads `decontaminate`; both use the same gram definition so
+    the two reports reconcile).
+
+    Output per benchmark doc: (bench_id, n_grams, n_hit, leak_frac,
+    is_leaked), where n_hit counts the item's DISTINCT n-grams that
+    occur anywhere in the corpus. Sub-n-token items emit n_grams = 0,
+    unleaked.
+
+    100 TB shape (corpus is the BIG side here): the benchmark's
+    distinct gram set is broadcast into a semi-join against ONE
+    corpus scan — only grams that exist in the benchmark survive the
+    scan, so the aggregated hit set is bounded by the benchmark's own
+    gram count, then broadcast back onto the per-item gram table. No
+    corpus-sized shuffle anywhere.
+    """
+    bg = benchmark.withColumn("toks", tokens(F.col(text_col))).select(
+        F.col("doc_id").alias("bench_id"),
+        F.when(
+            F.size("toks") >= n, F.array_distinct(shingles(F.col("toks"), n))
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    per_item = bg.select(
+        "bench_id", F.posexplode_outer("grams").alias("idx", "gram")
+    )
+    bset = per_item.select("gram").where(F.col("gram").isNotNull()).distinct()
+    ctoks = corpus.withColumn("toks", tokens(F.col(text_col)))
+    cgrams = ctoks.filter(F.size("toks") >= n).select(
+        F.explode(F.array_distinct(shingles(F.col("toks"), n))).alias("gram")
+    )
+    hit = (
+        cgrams.join(F.broadcast(bset), "gram", "left_semi")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        per_item.join(F.broadcast(hit), "gram", "left")
+        .groupBy("bench_id")
+        .agg(
+            F.count("idx").cast("long").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "bench_id",
+            "n_grams",
+            "n_hit",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("leak_frac"),
+            (F.col("n_hit") > 0).alias("is_leaked"),
+        )
+    )

@@ -2101,6 +2101,36 @@ LEFT JOIN hit h USING (doc_id)
     # the decontaminate SQL verbatim
     sql["decontaminate_bloom"] = sql["decontaminate"]
 
+    # reverse view (extras/decontam.py:benchmark_leakage): per
+    # benchmark item, distinct 4-grams already present in the corpus
+    sql["benchmark_leakage"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 4 THEN list_distinct(
+           [array_to_string(list_slice(toks, i, i + 3), ' ')
+            for i in generate_series(1, len(toks) - 3)])
+         ELSE [] END AS grams
+  FROM t
+),
+bi AS (SELECT doc_id AS bench_id, unnest(grams) AS gram
+       FROM g WHERE doc_id % 20 = 0),
+cg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0),
+hit AS (
+  SELECT bi.bench_id, COUNT(*) AS n_grams, COUNT(cg.gram) AS n_hit
+  FROM bi LEFT JOIN cg USING (gram) GROUP BY 1
+)
+SELECT b.doc_id AS bench_id,
+       CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CASE WHEN COALESCE(h.n_grams, 0) > 0
+            THEN ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / h.n_grams, 6)
+            ELSE 0.0 END AS leak_frac,
+       COALESCE(h.n_hit, 0) > 0 AS is_leaked
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) b
+LEFT JOIN hit h ON h.bench_id = b.doc_id
+"""
+
     # Okapi BM25 (extras/text.py:bm25_scores): per-term contributions
     # summed in the same sorted-term left-to-right order as the Spark
     # aggregate fold; tf/dl/df/N are exact integers, so the only

@@ -1206,6 +1206,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.decontaminate(corpus, bench, n=4)
 
 
+def q_benchmark_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse decontamination (extras/decontam.py:benchmark_leakage):
+    per benchmark item (every 20th doc), the fraction of its 4-grams
+    already present in the training corpus — which eval rows are
+    burned. Same split convention as q_decontaminate so the two
+    reports reconcile."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return decontam.benchmark_leakage(corpus, bench, n=4)
+
+
 def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (MinHash-banded) benchmark decontamination (extras/
     decontam.py:decontaminate_fuzzy): every 20th doc plays the
@@ -3551,6 +3563,7 @@ ALL: dict[str, QueryFn] = {
     "doc_fingerprint": q_doc_fingerprint,
     "bm25_search": q_bm25_search,
     "decontaminate": q_decontaminate,
+    "benchmark_leakage": q_benchmark_leakage,
     "decontaminate_bloom": q_decontaminate_bloom,
     "stratified_sample": q_stratified_sample,
     "chunk_documents": q_chunk_documents,

@@ -477,3 +477,43 @@ def test_decontaminate_fuzzy_catches_truncated_leak(spark):
     # truncation at 45/60 tokens -> shingle containment 43/58 ≈ 0.74
     assert out[1]["best_jaccard"] > 0.5
     assert not out[2]["contaminated"] and out[2]["best_jaccard"] is None
+
+
+def test_benchmark_leakage_reverse_view(spark):
+    """Per-benchmark-item leak report: item fully contained in a
+    corpus doc leaks 100%; item sharing half its grams leaks that
+    fraction; sub-n items emit n_grams=0 unleaked; reconciles with
+    decontaminate (any corpus hit <-> some bench item leaked)."""
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.extras.decontam import (
+        benchmark_leakage,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four unrelated words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta"),           # 1 gram, in doc 1
+            (101, "alpha beta gamma delta mystery"),   # grams: [a b g d], [b g d m]
+            (102, "nope never seen anywhere at all"),  # 0 hits
+            (103, "too short"),                        # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["bench_id"]: r for r in benchmark_leakage(corpus, bench, n=4).collect()
+    }
+    assert (got[100]["n_grams"], got[100]["n_hit"], got[100]["leak_frac"]) == (1, 1, 1.0)
+    assert (got[101]["n_grams"], got[101]["n_hit"], got[101]["leak_frac"]) == (2, 1, 0.5)
+    assert got[102]["n_hit"] == 0 and not got[102]["is_leaked"]
+    assert got[103]["n_grams"] == 0 and not got[103]["is_leaked"]
+    # reconciliation: the forward report flags doc 1 (hit by items 100/101)
+    fwd = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=4).collect()}
+    assert fwd[1]["is_contaminated"] and not fwd[2]["is_contaminated"]
