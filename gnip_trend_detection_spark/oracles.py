@@ -559,6 +559,7 @@ SELECT counter, bin_ts, count, {_sig2('z')} AS eta FROM z
     # streaming replay twin (queries.q_stream_mann_kendall_replay):
     # held to the batch oracle verbatim, like stream_poisson_lc_replay
     sql["stream_mann_kendall_replay"] = sql["mann_kendall_z"]
+    sql["stream_poisson_cycle_replay"] = sql["poisson_cycle_eta"]
 
     # --- MK trend label (reference mk_test.py:66-75): significance
     # gate on the UNROUNDED z at alpha=0.05. The literal is the

@@ -257,6 +257,29 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_poisson_cycle_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cycle-corrected Poisson (per-period-key running-mean
+    state) replayed over 3 micro-batches with the batch query's
+    ci_nu_floor CI — bit-identical to q_poisson_cycle_eta, so it
+    declares that oracle verbatim."""
+    from gnip_trend_detection_spark.streaming import score_stream_poisson_cycle
+    from gnip_trend_detection_spark.streaming.replay import replay_scored
+
+    ser = _series_ts(spark, sf_dir, 60).select(
+        "counter",
+        F.col("bin_start").alias("interval_start"),
+        F.col("count").cast("double").alias("count"),
+    )
+    out = replay_scored(
+        spark,
+        ser,
+        lambda s: score_stream_poisson_cycle(
+            s, period_list="hour", alpha=0.99, ci_nu_floor=True
+        ),
+    )
+    return _poisson_output(out)
+
+
 def q_stream_mann_kendall_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Mann-Kendall (trailing-window buffer state) replayed
     over 3 micro-batches — bit-identical to the batch kernel, so it
@@ -3479,6 +3502,7 @@ ALL: dict[str, QueryFn] = {
     "mann_kendall_trend": q_mann_kendall_trend,
     "stream_poisson_lc_replay": q_stream_poisson_lc_replay,
     "stream_mann_kendall_replay": q_stream_mann_kendall_replay,
+    "stream_poisson_cycle_replay": q_stream_poisson_cycle_replay,
     "wdt_eta": q_wdt_eta,
     "correlation_pairs": q_correlation_pairs,
     "correlation_pairs_dense": q_correlation_pairs_dense,

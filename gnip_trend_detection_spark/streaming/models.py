@@ -148,10 +148,15 @@ def _period_key(epoch_sec: int, period_list: list[str]) -> str:
 
 
 def score_stream_poisson_cycle(
-    stream: DataFrame, period_list: list[str] | str = "hour", alpha: float = 0.99
+    stream: DataFrame,
+    period_list: list[str] | str = "hour",
+    alpha: float = 0.99,
+    ci_nu_floor: bool = False,
 ) -> DataFrame:
     """Streaming twin of operators.models.poisson_cycle (self-inclusive
-    running mean per period key)."""
+    running mean per period key). ci_nu_floor mirrors the batch
+    option: the CI lookup uses floor(nu) (the oracle-checkable
+    integer-indexed CI) while eta's numerator keeps the exact nu."""
     if isinstance(period_list, str):
         period_list = [p.strip() for p in period_list.split(",")]
     state_schema = T.StructType(
@@ -176,7 +181,21 @@ def score_stream_poisson_cycle(
             num, denom = acc.get(pkey, (0.0, 0.0))
             num, denom = num + c, denom + 1.0
             acc[pkey] = [num, denom]
-            etas.append(_eta_poisson(c, num / denom, alpha))
+            nu = num / denom
+            if ci_nu_floor:
+                nu_ci = float(math.floor(nu))
+                if nu == 0 or nu_ci <= 0:
+                    etas.append(0.0)
+                else:
+                    lo, hi = poisson_interval(alpha, nu_ci)
+                    width = float(hi) - float(lo)
+                    etas.append(
+                        abs(c - nu) / width
+                        if width != 0 and math.isfinite(width)
+                        else 0.0
+                    )
+            else:
+                etas.append(_eta_poisson(c, nu, alpha))
         ks = list(acc)
         state.update((ks, [acc[k][0] for k in ks], [acc[k][1] for k in ks]))
         yield _emit(counter, pdf, etas)

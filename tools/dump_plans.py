@@ -60,6 +60,9 @@ SHOWCASE = [
     ("ks_drift", "distinct-value collapse, group-partitioned cumulative windows"),
     ("vocab_growth", "two-phase quantile thresholds checkpointed to 10 rows, inequality BNLJ over bounded build"),
     ("decontaminate_fuzzy", "corpus bands probe BROADCAST bench bands; exact verify only on candidates"),
+    ("embedding_simhash", "Arrow int64-matmul sketch kernel + one sketch-keyed window"),
+    ("benchmark_leakage", "bench gram set broadcast-semi-joined against one corpus scan"),
+    ("mann_kendall_trend", "one counter-keyed applyInPandas pass emits z, p, and label together"),
 ]
 
 
