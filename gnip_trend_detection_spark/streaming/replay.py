@@ -93,7 +93,13 @@ def replay_scored(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        if not finished:
+            # never hand back a partially-drained sink as if it were
+            # the full replay — that would silently fail row-count
+            # parity downstream instead of failing loudly here
+            q.stop()
+            raise TimeoutError("streaming replay did not finish in 300s")
         # memory sink rows live in driver memory — independent of the
         # temp files, which the finally block removes
         return spark.table(name)
