@@ -39,7 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     already-green keys follow. Pure reordering — the key->callable
     mapping is identical to gnip_trend_detection_spark.queries.ALL —
     so over successive rounds the driver's sample sweeps the whole
-    182-query surface instead of re-checking the same prefix."""
+    registry instead of re-checking the same prefix."""
     import glob
     import json
     import os

@@ -326,7 +326,7 @@ def lsh_eval(
     subset of the exact one (conservative recall denominator). With
     max_df >= the observed max doc frequency the result is exactly
     the uncapped one, and with max_df=None the plan is untouched —
-    both pinned by tests/test_dedup.py.
+    both pinned by tests/test_dedup_clusters.py::test_lsh_eval_max_df_cap.
     """
     spark = sigs.sparkSession
     sigs = sigs.persist()
