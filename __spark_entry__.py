@@ -34,28 +34,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, rotated: the driver checks a fixed-size prefix of
-    this dict in order, so keys never yet sampled in a committed
-    CORRECTNESS_r*.json go FIRST (stable relative order) and
-    already-green keys follow. Pure reordering — the key->callable
-    mapping is identical to gnip_trend_detection_spark.queries.ALL —
-    so over successive rounds the driver's sample sweeps the whole
-    registry instead of re-checking the same prefix."""
+    this dict in order, so ordering is (1) keys whose LATEST committed
+    CORRECTNESS_r*.json record is red — a known failure must be
+    re-verified immediately, never parked; (2) keys never yet
+    sampled; (3) already-green keys. Stable relative order within
+    each group; pure reordering — the key->callable mapping is
+    identical to gnip_trend_detection_spark.queries.ALL — so over
+    successive rounds the driver's sample sweeps the whole registry
+    instead of re-checking the same prefix."""
     import glob
     import json
     import os
 
     base = dict(_queries.ALL)
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    green: set[str] = set()
+    red: set[str] = set()
     for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(f) as fh:
-                seen |= set(json.load(fh))
+                records = json.load(fh)
         except (OSError, ValueError):
             continue
-    fresh = {k: v for k, v in base.items() if k not in seen}
-    rest = {k: v for k, v in base.items() if k in seen}
-    return {**fresh, **rest}
+        for k, v in records.items():
+            ok = (
+                isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match") is not False
+                and not v.get("err")
+            )
+            # latest round wins: a later green clears an earlier red
+            (green if ok else red).add(k)
+            (red if ok else green).discard(k)
+    failed = {k: v for k, v in base.items() if k in red}
+    fresh = {k: v for k, v in base.items() if k not in red and k not in green}
+    rest = {k: v for k, v in base.items() if k in green and k not in red}
+    return {**failed, **fresh, **rest}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -335,9 +335,13 @@ def benchmark_leakage(
     owner reads `decontaminate`; both use the same gram definition so
     the two reports reconcile).
 
-    Output per benchmark doc: (bench_id, n_grams, n_hit, leak_frac,
-    is_leaked), where n_hit counts the item's DISTINCT n-grams that
-    occur anywhere in the corpus. Sub-n-token items emit n_grams = 0,
+    Output per benchmark doc: (bench_id, n_grams, n_hit,
+    leak_frac_micro, is_leaked), where n_hit counts the item's
+    DISTINCT n-grams that occur anywhere in the corpus and
+    leak_frac_micro is the hit fraction in integer micro-units via
+    pure-integer half-up rounding — the same no-ROUND(double)
+    discipline as fertility_by_lang, applied from day one instead of
+    after a driver-red row. Sub-n-token items emit n_grams = 0,
     unleaked.
 
     100 TB shape (corpus is the BIG side here): the benchmark's
@@ -381,10 +385,10 @@ def benchmark_leakage(
             "n_hit",
             F.when(
                 F.col("n_grams") > 0,
-                F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6),
+                F.expr("(2000000L * n_hit + n_grams) div (2L * n_grams)"),
             )
-            .otherwise(F.lit(0.0))
-            .alias("leak_frac"),
+            .otherwise(F.lit(0).cast("long"))
+            .alias("leak_frac_micro"),
             (F.col("n_hit") > 0).alias("is_leaked"),
         )
     )

@@ -1183,6 +1183,16 @@ def embedding_simhash(
             sketch = sketch + F.when(proj[j] >= 0, F.lit(1 << j)).otherwise(
                 F.lit(0)
             )
+        # loud dim guard inside the projected column (so pruning can't
+        # drop it): zip_with pads a short vector with NULLs, which
+        # would silently fold every proj to NULL and collapse all rows
+        # into one NULL-sketch bucket — the numpy path raises a shape
+        # error on the same input, so make this path fail loudly too
+        sketch = F.when(F.size(F.col(vec_col)) == dim, sketch).otherwise(
+            F.raise_error(
+                F.lit(f"embedding_simhash: vector length != dim={dim}")
+            ).cast("long")
+        )
         out = embeddings.select(
             F.col(id_col).alias("vec_id"), sketch.cast("long").alias("sketch")
         )

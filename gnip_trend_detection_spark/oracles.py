@@ -2124,9 +2124,10 @@ hit AS (
 SELECT b.doc_id AS bench_id,
        CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
        CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
-       CASE WHEN COALESCE(h.n_grams, 0) > 0
-            THEN ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / h.n_grams, 6)
-            ELSE 0.0 END AS leak_frac,
+       CAST(CASE WHEN COALESCE(h.n_grams, 0) > 0
+            THEN (2000000 * COALESCE(h.n_hit, 0) + h.n_grams)
+                 // (2 * h.n_grams)
+            ELSE 0 END AS BIGINT) AS leak_frac_micro,
        COALESCE(h.n_hit, 0) > 0 AS is_leaked
 FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) b
 LEFT JOIN hit h ON h.bench_id = b.doc_id

@@ -43,7 +43,7 @@ def replay_scored(
         "counter",
         F.col("interval_start").cast("timestamp").alias("interval_start"),
         F.col("count").cast("double").alias("count"),
-    )
+    ).persist()  # read once for the span agg + once per slice write
     lo, hi = series.agg(
         F.min("interval_start").cast("double"),
         F.max("interval_start").cast("double"),
@@ -100,9 +100,15 @@ def replay_scored(
             # parity downstream instead of failing loudly here
             q.stop()
             raise TimeoutError("streaming replay did not finish in 300s")
-        # memory sink rows live in driver memory — independent of the
-        # temp files, which the finally block removes
-        return spark.table(name)
+        # materialize the sink rows and DROP the memory table: a
+        # long-lived session replaying repeatedly (the correctness
+        # driver, bench sweeps) must not accumulate uuid-named tables
+        # of full replay output in driver memory
+        sink = spark.table(name)
+        rows, schema = sink.collect(), sink.schema
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, schema)
     finally:
+        series.unpersist()
         shutil.rmtree(base, ignore_errors=True)
         shutil.rmtree(flat, ignore_errors=True)

@@ -510,8 +510,8 @@ def test_benchmark_leakage_reverse_view(spark):
     got = {
         r["bench_id"]: r for r in benchmark_leakage(corpus, bench, n=4).collect()
     }
-    assert (got[100]["n_grams"], got[100]["n_hit"], got[100]["leak_frac"]) == (1, 1, 1.0)
-    assert (got[101]["n_grams"], got[101]["n_hit"], got[101]["leak_frac"]) == (2, 1, 0.5)
+    assert (got[100]["n_grams"], got[100]["n_hit"], got[100]["leak_frac_micro"]) == (1, 1, 1000000)
+    assert (got[101]["n_grams"], got[101]["n_hit"], got[101]["leak_frac_micro"]) == (2, 1, 500000)
     assert got[102]["n_hit"] == 0 and not got[102]["is_leaked"]
     assert got[103]["n_grams"] == 0 and not got[103]["is_leaked"]
     # reconciliation: the forward report flags doc 1 (hit by items 100/101)

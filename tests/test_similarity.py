@@ -506,3 +506,19 @@ def test_embedding_simhash_impl_bit_identity(spark):
     }
     assert a == b
     assert a[100] == a[101] and a[100][1] >= 2
+
+
+def test_embedding_simhash_sql_impl_rejects_dim_mismatch(spark):
+    """The 'sql' impl must fail LOUDLY on a vector whose length
+    differs from dim (zip_with would otherwise NULL-fold every
+    projection and silently collapse all rows into one bucket)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from gnip_trend_detection_spark.extras.similarity import embedding_simhash
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 8)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises((Py4JJavaError, Exception)):
+        embedding_simhash(df, n_bits=4, seed=42, dim=16, impl="sql").collect()
