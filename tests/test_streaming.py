@@ -1133,3 +1133,22 @@ def test_streaming_ks_matches_between_on_bin_atomic_data(spark):
     assert final["n_cur"] == want["n_cur"]
     assert final["ks_d"] == want["ks_d"]
     shutil.rmtree(flat, ignore_errors=True)
+
+
+def test_replay_scored_empty_series(spark):
+    """replay_scored on an empty series must drain cleanly and return
+    an empty frame with the scorer's schema (the sf-smoke path where a
+    filter leaves zero rows), and must not leave its memory-sink view
+    registered."""
+    from gnip_trend_detection_spark.streaming import score_stream_poisson_lc
+    from gnip_trend_detection_spark.streaming.replay import replay_scored
+
+    empty = spark.createDataFrame(
+        [], "counter string, interval_start timestamp, count double"
+    )
+    before = {t.name for t in spark.catalog.listTables()}
+    out = replay_scored(spark, empty, lambda s: score_stream_poisson_lc(s))
+    assert out.count() == 0
+    assert set(out.columns) == {"counter", "interval_start", "count", "eta"}
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not {t for t in after - before if t.startswith("gtds_replay_")}
