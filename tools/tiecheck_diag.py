@@ -122,3 +122,41 @@ for k, v in spark_rows.items():
             print(f"  post-round diff at {k}: spark={v!r} duck={dv!r}")
         nd += 1
 print(f"chain post-round(py) diffs: {nd}")
+
+
+# ---- fertility_by_lang micro-unit columns (round-5) ----
+# These are PURE-integer columns — (2*1e6*num + den) div (2*den) on
+# both engines — so there is no float boundary at all. The margin
+# that matters is rounding-RULE distance: how far the exact rational
+# 1e6*num/den sits from a .5 half-way point, measured as
+# |(2*1e6*num) mod (2*den) - den| in units of 1/(2*den). A value of 0
+# means the true ratio is EXACTLY x.5 and only the shared half-up
+# rule keeps engines identical; anything > 0 is rule-independent.
+print("\nfertility_by_lang micro-unit margin report:")
+fer_s = {
+    r["lang"]: r
+    for r in entrymod.queries()["fertility_by_lang"](spark, sf_dir).collect()
+}
+fer_d = {
+    r[0]: r
+    for r in con.sql(entrymod.oracle_sql()["fertility_by_lang"]).fetchall()
+}
+assert set(fer_s) == set(fer_d)
+n_mismatch = 0
+for lang, s in sorted(fer_s.items()):
+    d = fer_d[lang]
+    # columns: lang, n_docs, n_words, n_bpe_tokens, n_chars, f_micro, bpt_micro
+    same = (s["fertility_micro"], s["bytes_per_token_micro"]) == (d[5], d[6])
+    n_mismatch += 0 if same else 1
+    for num, den, col in (
+        (s["n_bpe_tokens"], s["n_words"], "fertility_micro"),
+        (s["n_chars"], s["n_bpe_tokens"], "bytes_per_token_micro"),
+    ):
+        rem = (2 * 1_000_000 * num) % (2 * den)
+        margin = abs(rem - den)  # 0 == exact .5 tie
+        print(
+            f"  {lang} {col}: value={s[col]} engines_equal={same} "
+            f"half-tie margin={margin}/{2*den} "
+            f"({margin/(2*den):.3e} of one micro-unit)"
+        )
+print(f"fertility mismatched langs: {n_mismatch}")
