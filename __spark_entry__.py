@@ -45,12 +45,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import glob
     import json
     import os
+    import re
 
     base = dict(_queries.ALL)
     here = os.path.dirname(os.path.abspath(__file__))
     green: set[str] = set()
     red: set[str] = set()
-    for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+
+    def _round_no(path: str) -> int:
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    # numeric sort so r100 doesn't sort before r99 ("latest wins")
+    for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+                    key=_round_no):
         try:
             with open(f) as fh:
                 records = json.load(fh)

@@ -235,7 +235,7 @@ def brute_force_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(F.col("rk") <= k)
 
 
 def kmeans_centroids(
@@ -487,7 +487,7 @@ def ivf_topk(
             F.col("n_id").alias("neighbor_id"),
             F.round(cos, round_digits).alias("cosine"),
         )
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
 
@@ -572,7 +572,7 @@ def lsh_bucketed_topk(
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(F.col("rk") <= k)
 
 
 def knn_classify(
@@ -833,7 +833,7 @@ def mine_hard_negatives(
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cosine"), F.asc("negative_id")
     )
-    return cands.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return cands.withColumn("rk", F.row_number().over(w).cast("long")).filter(F.col("rk") <= k)
 
 
 def kmeans_silhouette(

@@ -34,8 +34,8 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return t.select(
         "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
         F.round(chars / n, 4).alias("avg_token_len"),
     )
 
@@ -55,8 +55,8 @@ def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_bpe = F.size("bpe")
     return t.filter(n_bpe > 0).select(
         "doc_id",
-        F.size(tokens(F.col("lt"))).alias("n_words"),
-        n_bpe.alias("n_bpe_tokens"),
+        F.size(tokens(F.col("lt"))).cast("long").alias("n_words"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
         F.round(F.length("lt").cast("double") / n_bpe, 4).alias("bytes_per_token"),
     )
 

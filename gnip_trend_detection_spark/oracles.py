@@ -668,7 +668,8 @@ per_series AS (
 ),
 sweep AS (
   SELECT p.*, t.theta FROM per_series p
-  CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 1.0, 1.5, 2.0]) AS theta) t
+  CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75, 1.0, 1.5, 2.0]) AS DOUBLE)
+                AS theta) t
 ),
 conf AS (
   SELECT theta,
@@ -1408,10 +1409,11 @@ FROM allp p LEFT JOIN inter i USING (source_a, source_b)
     sql["doc_fingerprint"] = """
 WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents)
 SELECT doc_id,
-       list_aggregate(
+       CAST(list_aggregate(
          [list_reduce([ascii(substr(lt, i + j, 1)) for j in generate_series(0, 7)],
                       (a, c) -> (CAST(a AS BIGINT) * 257 + c) % 2147483647)
-          for i in generate_series(1, length(lt) - 7)], 'min') AS fingerprint
+          for i in generate_series(1, length(lt) - 7)], 'min')
+            AS BIGINT) AS fingerprint
 FROM t WHERE length(lt) >= 8
 """
 
@@ -1433,7 +1435,7 @@ sel AS (
                         for i in generate_series(1, len(hs) - 3)]) AS fps
   FROM h
 )
-SELECT doc_id, unnest(fps) AS fingerprint FROM sel
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM sel
 """
 
     # within-doc n-gram repetition (extras/text.py:repetition_stats)
@@ -1830,9 +1832,9 @@ WITH t AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_words) AS n_words,
-       SUM(n_bpe) AS n_bpe_tokens,
-       SUM(n_chars_l) AS n_chars,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(n_chars_l) AS BIGINT) AS n_chars,
        CAST((2000000 * SUM(n_bpe) + SUM(n_words))
             // (2 * SUM(n_words)) AS BIGINT)
          AS fertility_micro,
@@ -1865,7 +1867,7 @@ tot AS (
   FROM lm
 )
 SELECT doc_id,
-       SUM(tf) AS n_tokens,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
        ROUND(SUM(CAST(tf AS DOUBLE) *
                  (LN((CAST(c_t AS DOUBLE) + 1.0) / (n_t + v))
                   - LN((CAST(c_r AS DOUBLE) + 1.0) / (n_r + v))))
@@ -1879,7 +1881,7 @@ GROUP BY doc_id
 WITH base AS (
   SELECT source,
          COUNT(*) AS n_docs,
-         SUM(n_chars) AS total_chars,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          COUNT(DISTINCT md5(text)) AS distinct_texts
   FROM documents GROUP BY source
 ),
@@ -2644,7 +2646,7 @@ WITH big AS (
 )
 SELECT c_name, c_custkey, o_orderkey,
        CAST(o_orderdate AS VARCHAR) AS o_orderdate_str, o_totalprice,
-       SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
 FROM lineitem
 JOIN big USING (l_orderkey)
 JOIN orders ON l_orderkey = o_orderkey
@@ -3103,10 +3105,10 @@ WHERE vc * 2000 > tc
     sql["tpch_q12_late_priority"] = """
 SELECT CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) > 90
             THEN 'LATE' ELSE 'ON-TIME' END AS ship_bucket,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -3176,7 +3178,7 @@ j AS (
 )
 SELECT COALESCE(touch_type, 'none') AS touch_bucket,
        COUNT(*) AS n_purchases,
-       SUM(t - asof_time) AS total_lag_sec,
+       CAST(SUM(t - asof_time) AS BIGINT) AS total_lag_sec,
        CAST(ROUND(CAST(SUM(t - asof_time) AS DOUBLE) * 1000000.0
                   / COUNT(CASE WHEN asof_time IS NOT NULL THEN 1 END))
             AS BIGINT) AS mean_lag_micro
@@ -3311,7 +3313,7 @@ s AS (
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
   FROM x
 )
-SELECT user_id, sess AS session_idx, COUNT(*) AS n_events,
+SELECT user_id, CAST(sess AS BIGINT) AS session_idx, COUNT(*) AS n_events,
        CAST(FLOOR(MIN(e)) AS BIGINT) AS session_start
 FROM s GROUP BY 1, 2
 """
@@ -3331,7 +3333,7 @@ WITH e AS (
   FROM events
 )
 SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
-       SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
        ROUND(CAST(SUM(k) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE), 6) AS avg_k
 FROM e GROUP BY 1
 """
@@ -3408,7 +3410,7 @@ FROM m
     # so the final product+round sees identical inputs
     sql["mix_temperature"] = f"""
 WITH t AS (SELECT source, len({toks}) AS n FROM documents),
-per_src AS (SELECT source, SUM(n) AS tokens FROM t GROUP BY source),
+per_src AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tokens FROM t GROUP BY source),
 weighted AS (
   SELECT source, tokens, POWER(CAST(tokens AS DOUBLE), 0.5) AS w FROM per_src
 ),
@@ -3680,20 +3682,22 @@ f AS (
   FROM events e JOIN stats s ON e.event_type = s.event_type
 )
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CASE WHEN ABS(z) > 3.0 THEN 1 ELSE 0 END) AS n_outliers,
+       CAST(SUM(CASE WHEN ABS(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
        MAX(ABS(z)) AS max_abs_z
 FROM f GROUP BY event_type
 """
     sql["dq_audit"] = """
 SELECT 'lineitem.orderkey_complete' AS check,
-       COALESCE(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0)
-         AS n_violations
+       CAST(COALESCE(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_violations
 FROM lineitem
 UNION ALL
 SELECT 'lineitem.pk_unique',
-       COALESCE((SELECT SUM(c - 1) FROM (
+       CAST(COALESCE((SELECT SUM(c - 1) FROM (
           SELECT COUNT(*) AS c FROM lineitem
           GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)), 0)
+            AS BIGINT)
 UNION ALL
 SELECT 'lineitem.orderkey_in_orders',
        (SELECT COUNT(*) FROM lineitem l
@@ -3701,12 +3705,13 @@ SELECT 'lineitem.orderkey_in_orders',
                           WHERE o.o_orderkey = l.l_orderkey))
 UNION ALL
 SELECT 'lineitem.discount_in_range',
-       COALESCE(SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
-                         THEN 1 ELSE 0 END), 0)
+       CAST(COALESCE(SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+                         THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT 'lineitem.quantity_positive',
-       COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0)
+       CAST(COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT)
 FROM lineitem
 """
     sql["hashed_tf_features"] = f"""
@@ -3757,8 +3762,8 @@ m AS (
   GROUP BY 1, 2
 )
 SELECT user_id, COUNT(*) AS n_signups,
-       SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS n_converted,
-       SUM(n) AS total_followups
+       CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(SUM(n) AS BIGINT) AS total_followups
 FROM m GROUP BY user_id
 """
     # int8 quantization twin: same op order (x/scale rounds half away

@@ -1036,7 +1036,9 @@ def q_range_burst_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("t").alias("t0"))
         .select(
             "counter",
-            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("iv_id"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(9).cast("long"))
+            ).alias("iv_id"),
             "t0",
         )
         .select(
@@ -2394,7 +2396,9 @@ def q_top_users_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("salt", "srk")
     )
     w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
-    return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    return cand.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= 3
+    )
 
 
 def q_props_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2423,7 +2427,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
-        F.length("text").alias("n_chars_measured"),
+        F.length("text").cast("long").alias("n_chars_measured"),
         F.sha2(F.col("text").cast("binary"), 256).alias("content_sha"),
     )
 
@@ -2578,7 +2582,11 @@ def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     frames = multimodal.sample_frames(media, frame_bytes=32, every_n=2)
-    return frames.select("doc_id", "frame_idx", F.md5("frame_payload").alias("frame_md5"))
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.md5("frame_payload").alias("frame_md5"),
+    )
 
 
 def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2598,7 +2606,9 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
         .select(
-            "n_name", F.year("o_orderdate").alias("o_year"), cents.alias("__c")
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents.alias("__c"),
         )
     )
     return joined.rollup("n_name", "o_year").agg(
@@ -3336,7 +3346,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gnip_trend_detection_spark.extras.sample import pack_sequences
 
     docs = _docs(spark, sf_dir).select(
-        "doc_id", F.size(text.tokens(F.col("text"))).alias("n_tokens")
+        "doc_id", F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
     return pack_sequences(
         docs, n_tokens_col="n_tokens", seed=7, n_shards=8, block_tokens=512

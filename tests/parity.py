@@ -65,6 +65,28 @@ def _canon(v):
     return v
 
 
+# DuckDB types that pandas widens to a dtype Spark never produces
+# (HUGEINT -> object/float128-ish). The driver hashes pandas frames
+# dtype-sensitively, so any of these in an oracle output is a
+# guaranteed driver hash-mismatch even when every value is equal —
+# the whole r05 red class (5 rows, 7 latent). Fail pre-driver.
+_FORBIDDEN_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def assert_duck_types_hashable(duck, name=""):
+    bad = [
+        (c, str(t))
+        for c, t in zip(duck.columns, duck.types)
+        if str(t) in _FORBIDDEN_DUCK_TYPES
+    ]
+    assert not bad, (
+        f"{name}: oracle emits pandas-widening DuckDB types {bad}; "
+        "wrap the aggregate in CAST(... AS BIGINT) — the driver's "
+        "pandas value-hash is dtype-sensitive and will go red even "
+        "with equal values"
+    )
+
+
 def compare(spark_df, con, sql, name=""):
     spark_cols = sorted(spark_df.columns)
     collected = spark_df.collect()
@@ -80,6 +102,7 @@ def compare(spark_df, con, sql, name=""):
     if len(pdf):
         pdf.sort_values(by=list(pdf.columns))
     duck = con.sql(sql)
+    assert_duck_types_hashable(duck, name)
     duck_cols_raw = list(duck.columns)
     duck_cols = sorted(duck_cols_raw)
     idx = [duck_cols_raw.index(c) for c in duck_cols]
