@@ -672,8 +672,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.full_docs:
             # doc_id equi-join carries text/source through so budget/
             # pack can read this output directly (end-to-end chain in
-            # README "Curation quickstart")
-            kept = kept.join(docs, "doc_id")
+            # README "Curation quickstart"). curate()'s derived columns
+            # (predicted_lang, quality_micro, ...) win over any
+            # same-named input column — otherwise the join emits
+            # duplicate names and the parquet write fails ambiguous
+            collide = [
+                c for c in docs.columns if c != "doc_id" and c in kept.columns
+            ]
+            kept = kept.join(docs.drop(*collide), "doc_id")
         kept.write.mode("overwrite").parquet(args.output)
         return 0
 

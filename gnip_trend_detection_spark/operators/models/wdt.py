@@ -244,8 +244,13 @@ def _score_numpy(
                     w = np.exp(-lam * d)
                     if check_for_self and mat.shape[1] == series_length:
                         # self-exclusion (models.py:201-204): a library
-                        # row bit-equal to the test series votes 0
-                        w = np.where((mat == tv).all(axis=1), 0.0, w)
+                        # row bit-equal to the test series votes 0.
+                        # NaN-aware so both impls agree: Spark's array
+                        # equality treats NaN = NaN as true, while raw
+                        # numpy == would exclude NaN points from the
+                        # match and keep a NaN-bearing self row
+                        eq = (mat == tv) | (np.isnan(mat) & np.isnan(tv))
+                        w = np.where(eq.all(axis=1), 0.0, w)
                     tw += w[trend].sum()
                     nw += w[~trend].sum()
                 etas.append(tw / (nw if nw != 0 else SMALL_NUMBER))

@@ -459,6 +459,11 @@ SELECT counter, bin_ts, count, ewma,
 FROM e
 """
 
+    # streaming replay twin (queries.q_stream_ewma_replay): held to
+    # the batch oracle verbatim, like stream_poisson_lc_replay — the
+    # dyadic EWMA fold is bit-exact across the micro-batch boundary
+    sql["stream_ewma_replay"] = sql["ewma_burst"]
+
     # --- CUSUM change-point chart (engine extension) ---
     # prefix-sum-minus-running-min identity; the per-counter mean is
     # FLOOR-quantized to 1/64 so every running-sum summand is dyadic
@@ -2015,6 +2020,31 @@ SELECT d.counter,
 FROM dev d JOIN mad a USING (counter)
 WHERE a.mad > 0
   AND ABS(ROUND((d.cnt - d.med) / (1.4826 * a.mad), 6)) >= 3.0
+"""
+
+    # sketch accuracy contract (queries.q_value_quantiles_approx):
+    # the bracket quantiles are exact quantile_cont values verified
+    # by hash; the booleans are the CONTRACT — the Spark side computes
+    # "sketch inside its +-5%-rank exact bracket", the oracle declares
+    # TRUE, so an out-of-bound sketch goes red instead of hiding
+    # behind the old rows-only check (VERDICT r05 item 5)
+    sql["value_quantiles_approx"] = """
+WITH g AS (
+  SELECT event_type, COUNT(*) AS n,
+         quantile_cont(value, [0.45, 0.55, 0.85, 0.95, 0.985, 0.995]) AS vs
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(vs[1], 6) + 0.0 AS p45,
+       ROUND(vs[2], 6) + 0.0 AS p55,
+       ROUND(vs[3], 6) + 0.0 AS p85,
+       ROUND(vs[4], 6) + 0.0 AS p95,
+       ROUND(vs[5], 6) + 0.0 AS p985,
+       ROUND(vs[6], 6) + 0.0 AS p995,
+       TRUE AS p50_in_bounds,
+       TRUE AS p90_in_bounds,
+       TRUE AS p99_in_bounds
+FROM g
 """
 
     # per-group exact quantile ladder (operators/quantile.py:

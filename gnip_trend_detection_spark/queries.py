@@ -1073,16 +1073,60 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of value_quantiles: approx_percentile's
     t-digest is mergeable (map-side combine, one narrow shuffle, no
-    per-group sort). No DuckDB oracle — sketch results are not
-    bit-reproducible across engines — so the driver records the
-    weaker rows-only check; the exact twin carries the value hash."""
+    per-group sort). Sketch values are not bit-reproducible across
+    engines, so the hashable output is the sketch's ACCURACY CONTRACT
+    instead: exact two-phase bracket quantiles at ranks +-5% around
+    each sketch target (cross-engine-deterministic, hash-verified) and
+    one boolean per target asserting the sketch landed inside its
+    bracket — the oracle declares those booleans TRUE, so a sketch
+    drifting out of its error bound goes driver-red instead of hiding
+    behind a rows-only check. Rank slack (+-0.05) is 500x the sketch's
+    1/accuracy rank-error bound."""
+    from gnip_trend_detection_spark.operators.quantile import exact_quantiles_by
+
     ev = load_table(spark, sf_dir, "events")
     q = F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")
-    return ev.groupBy("event_type").agg(
+    sk = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(q[0], 6).alias("p50"),
-        F.round(q[1], 6).alias("p90"),
-        F.round(q[2], 6).alias("p99"),
+        q[0].alias("_s50"),
+        q[1].alias("_s90"),
+        q[2].alias("_s99"),
+    )
+    brackets = [0.45, 0.55, 0.85, 0.95, 0.985, 0.995]
+    br = exact_quantiles_by(ev, "value", brackets, by="event_type")
+
+    def _at(frac: float):
+        return F.max(
+            F.when(F.col("q") == F.lit(frac), F.col("quantile_value"))
+        )
+
+    bw = br.groupBy("event_type").agg(
+        _at(0.45).alias("p45"),
+        _at(0.55).alias("p55"),
+        _at(0.85).alias("p85"),
+        _at(0.95).alias("p95"),
+        _at(0.985).alias("p985"),
+        _at(0.995).alias("p995"),
+    )
+
+    def _ok(sketch: str, lo: str, hi: str):
+        eps = F.lit(1e-6)
+        return (F.col(sketch) >= F.col(lo) - eps) & (
+            F.col(sketch) <= F.col(hi) + eps
+        )
+
+    return sk.join(bw, "event_type").select(
+        "event_type",
+        "n",
+        "p45",
+        "p55",
+        "p85",
+        "p95",
+        "p985",
+        "p995",
+        _ok("_s50", "p45", "p55").alias("p50_in_bounds"),
+        _ok("_s90", "p85", "p95").alias("p90_in_bounds"),
+        _ok("_s99", "p985", "p995").alias("p99_in_bounds"),
     )
 
 
@@ -3148,6 +3192,33 @@ def q_ewma_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_chart(_events_series(spark, sf_dir, 3600))
 
 
+def q_stream_ewma_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA control chart (streaming/controlchart.py:
+    score_stream_ewma, applyInPandasWithState) replayed over 3
+    contiguous-time micro-batches (streaming/replay.py). Every EWMA
+    term is an exact dyadic sum divided once (controlchart.py module
+    docstring), so the stateful fold crossing micro-batch boundaries
+    is bit-identical to the batch window expression and this query
+    declares ewma_burst's DuckDB oracle verbatim — the fourth
+    oracle-checked streaming path."""
+    from gnip_trend_detection_spark.streaming import score_stream_ewma
+    from gnip_trend_detection_spark.streaming.replay import replay_scored
+
+    ser = _events_series(spark, sf_dir, 3600).select(
+        "counter",
+        F.timestamp_seconds("bin_ts").alias("interval_start"),
+        F.col("count").cast("double").alias("count"),
+    )
+    out = replay_scored(spark, ser, score_stream_ewma)
+    return out.select(
+        "counter",
+        _epoch_long(F.col("interval_start")).alias("bin_ts"),
+        "count",
+        "ewma",
+        "burst",
+    )
+
+
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change-point chart on the hourly series, the
     recursion rewritten as prefix-sum minus running-min (two ordered
@@ -3513,6 +3584,7 @@ ALL: dict[str, QueryFn] = {
     "stream_poisson_lc_replay": q_stream_poisson_lc_replay,
     "stream_mann_kendall_replay": q_stream_mann_kendall_replay,
     "stream_poisson_cycle_replay": q_stream_poisson_cycle_replay,
+    "stream_ewma_replay": q_stream_ewma_replay,
     "wdt_eta": q_wdt_eta,
     "correlation_pairs": q_correlation_pairs,
     "correlation_pairs_dense": q_correlation_pairs_dense,

@@ -44,6 +44,16 @@ def replay_scored(
         F.col("interval_start").cast("timestamp").alias("interval_start"),
         F.col("count").cast("double").alias("count"),
     ).persist()  # read once for the span agg + once per slice write
+    # NULL timestamps would evaluate every slice predicate to NULL and
+    # silently vanish from the replay (losing rows vs the batch
+    # operator without failing row-count parity) — reject them loudly
+    n_null_ts = series.filter(F.col("interval_start").isNull()).count()
+    if n_null_ts:
+        series.unpersist()
+        raise ValueError(
+            f"replay fixture has {n_null_ts} NULL interval_start rows; "
+            "time-slice replay cannot place them in a micro-batch"
+        )
     lo, hi = series.agg(
         F.min("interval_start").cast("double"),
         F.max("interval_start").cast("double"),
@@ -69,9 +79,21 @@ def replay_scored(
         for i, sl in enumerate(slices):
             d = os.path.join(base, f"b{i}")
             sl.coalesce(1).write.parquet(d)
-            part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+            parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            if len(parts) != 1:
+                # current Spark writes exactly one part for an empty
+                # coalesced slice (pinned by
+                # test_replay_scored_empty_series); if a future version
+                # writes zero, fail with a diagnosis instead of
+                # IndexError
+                raise RuntimeError(
+                    f"slice {i}: expected exactly one parquet part in "
+                    f"{d}, found {parts} — Spark's empty-slice write "
+                    "behavior changed; emit a schema-only empty part "
+                    "for this slice instead"
+                )
             dst = os.path.join(flat, f"{i:03d}.parquet")
-            shutil.copy(os.path.join(d, part), dst)
+            shutil.copy(os.path.join(d, parts[0]), dst)
             # FileStreamSource orders by modification time; identical
             # mtimes would make the state-fold order nondeterministic
             os.utime(dst, (t0 + i * 10, t0 + i * 10))

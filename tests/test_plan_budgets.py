@@ -113,6 +113,11 @@ EXCHANGE_CEILING = {
     # marginals + total); the static plan still counts each branch's
     # exchange — all are contingency-cell-sized (k x labels rows)
     "cluster_nmi": 11,
+    # sketch agg (one keyed exchange) + the grouped two-phase exact
+    # bracket machinery (histogram agg, range repartition, bounded
+    # offsets, target join-back) + the final group equi-join — every
+    # exchange keyed; the bracket relation is (#groups x 6) rows
+    "value_quantiles_approx": 8,
     "semantic_dedup": 8,
     "tfidf_top_terms": 7,
     "ann_ivf_topk": 7,
