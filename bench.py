@@ -46,6 +46,7 @@ HEADLINE = [
     "events_rollup",
     "asof_enrich",
     "value_quantiles",
+    "value_quantiles_approx",
     "value_histogram",
     "range_burst_count",
     "text_bpe_tokens",

@@ -244,6 +244,7 @@ def kmeans_centroids(
     n_iter: int = 5,
     seed: int = 42,
     round_digits: int | None = None,
+    _unit: DataFrame | None = None,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's) over the embedding column, fitted
     with DataFrame ops — the production centroid fit for ivf_topk's
@@ -279,14 +280,29 @@ def kmeans_centroids(
     this package uses.
 
     Returns (centroid_id long, cv array<double>) unit vectors.
+
+    ``_unit``: internal — a precomputed/persisted (vec_id, v) unit
+    relation whose lifecycle the CALLER manages (kmeans_fit_predict
+    shares one across fit + final probe). When None, this function
+    persists its own: every Lloyd round's collect() re-executes the
+    source otherwise, re-reading and re-normalizing the corpus from
+    parquet n_iter+1 times — the canonical iterative-ML cache (what
+    MLlib's KMeans does), MEMORY_AND_DISK so a corpus bigger than
+    executor memory spills instead of OOMing.
     """
     n = _normed(embeddings).withColumn(
         "u", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
     )
+    spark = embeddings.sparkSession
+    own_cache = _unit is None
+    if own_cache:
+        unit = n.select("vec_id", F.col("u").alias("v")).persist()
+    else:
+        unit = _unit
     init = (
-        n.select(
+        unit.select(
             "vec_id",
-            "u",
+            "v",
             F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{seed}"))).alias(
                 "__r"
             ),
@@ -295,10 +311,8 @@ def kmeans_centroids(
         .limit(n_centroids)
     )
     cents = [
-        (i, list(r["u"])) for i, r in enumerate(init.collect())
+        (i, list(r["v"])) for i, r in enumerate(init.collect())
     ]
-    spark = embeddings.sparkSession
-    unit = n.select("vec_id", F.col("u").alias("v"))
     import numpy as np
 
     for _ in range(n_iter):
@@ -366,6 +380,8 @@ def kmeans_centroids(
             )
         )
         cents = [(r["centroid_id"], list(r["cv"])) for r in means.collect()]
+    if own_cache:
+        unit.unpersist()
     return spark.createDataFrame(cents, "centroid_id long, cv array<double>")
 
 
@@ -389,20 +405,30 @@ def kmeans_fit_predict(
     one (centroid, dim) agg; the only collected relation is the
     k-row centroid set (bounded by construction).
     """
+    n = _normed(embeddings).withColumn(
+        "u", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    )
+    # one persisted unit relation serves every Lloyd round AND the
+    # final probe — without it each round's collect() re-reads and
+    # re-normalizes the corpus from parquet (see kmeans_centroids)
+    shared = n.select("vec_id", F.col("u").alias("v")).persist()
     cents = kmeans_centroids(
         embeddings,
         n_centroids=n_centroids,
         n_iter=n_iter,
         seed=seed,
         round_digits=round_digits,
+        _unit=shared,
     ).withColumn("cnrm", F.lit(1.0))
-    n = _normed(embeddings).withColumn(
-        "u", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
-    )
-    unit = n.select("vec_id", F.col("u").alias("v"), F.lit(1.0).alias("nrm"))
+    unit = shared.withColumn("nrm", F.lit(1.0))
     import numpy as np  # noqa: F401  (centroid_probes dependency)
 
     assigned = centroid_probes(unit, cents, 1, round_digits=round_digits)
+    # free the fit-time cache now: the returned probe is lazy, so its
+    # execution recomputes the unit relation once from source (exactly
+    # the pre-cache cost) instead of pinning corpus-sized blocks past
+    # this call's lifetime in a long-lived session
+    shared.unpersist()
     dot = F.aggregate(
         F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a * b),
         F.lit(0.0),

@@ -494,6 +494,11 @@ SELECT counter, bin_ts, count, p - rm AS cusum,
 FROM r
 """
 
+    # streaming replay twin (queries.q_stream_cusum_replay): batch
+    # oracle verbatim — the quantized-dyadic CUSUM fold equals the
+    # prefix-sum-minus-running-min identity bit-for-bit
+    sql["stream_cusum_replay"] = sql["cusum_changepoint"]
+
     # --- Seasonal decomposition (engine extension) ---
     # trend = exact integer window sum / count; detrended values
     # floor-quantized to 2^-14 before the per-phase mean so the hash

@@ -3219,6 +3219,42 @@ def q_stream_ewma_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM (streaming/controlchart.py:score_stream_cusum)
+    replayed over 3 micro-batches, calibrated offline with the batch
+    run's floor-quantized per-counter means (one bounded #counters-row
+    collect — the documented production calibration contract, see
+    streaming/controlchart.py). The quantized-dyadic fold makes the
+    stream bit-equal to the batch prefix-sum-minus-running-min
+    identity, so this declares cusum_changepoint's oracle verbatim —
+    the fifth oracle-checked streaming path."""
+    import math
+
+    from gnip_trend_detection_spark.streaming import score_stream_cusum
+    from gnip_trend_detection_spark.streaming.replay import replay_scored
+
+    ser = _events_series(spark, sf_dir, 3600)
+    mu_rows = (
+        ser.groupBy("counter")
+        .agg((F.sum("count") / F.count(F.lit(1))).alias("mu"))
+        .collect()
+    )
+    mu_q = {r["counter"]: math.floor(r["mu"] * 64) / 64.0 for r in mu_rows}
+    ser_ts = ser.select(
+        "counter",
+        F.timestamp_seconds("bin_ts").alias("interval_start"),
+        F.col("count").cast("double").alias("count"),
+    )
+    out = replay_scored(spark, ser_ts, lambda s: score_stream_cusum(s, mu_q))
+    return out.select(
+        "counter",
+        _epoch_long(F.col("interval_start")).alias("bin_ts"),
+        "count",
+        "cusum",
+        "alarm",
+    )
+
+
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change-point chart on the hourly series, the
     recursion rewritten as prefix-sum minus running-min (two ordered
@@ -3585,6 +3621,7 @@ ALL: dict[str, QueryFn] = {
     "stream_mann_kendall_replay": q_stream_mann_kendall_replay,
     "stream_poisson_cycle_replay": q_stream_poisson_cycle_replay,
     "stream_ewma_replay": q_stream_ewma_replay,
+    "stream_cusum_replay": q_stream_cusum_replay,
     "wdt_eta": q_wdt_eta,
     "correlation_pairs": q_correlation_pairs,
     "correlation_pairs_dense": q_correlation_pairs_dense,
