@@ -2438,6 +2438,34 @@ JOIN m ma ON ma.i = s.i
 JOIN m mb ON mb.i = s.j
 """
 
+    # PCA spectral contract (queries.q_pca_invariants): trace in exact
+    # integer micro-units from the same rounded per-dim variances the
+    # green embedding_covariance oracle pins; booleans declare the
+    # eigh contract (orthonormal, sorted, PSD, trace identity)
+    sql["pca_invariants"] = """
+WITH e AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+), x AS (
+  SELECT vec_id, i, v[i] AS xi
+  FROM (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM e)
+), s AS (
+  SELECT i - 1 AS i, SUM(xi * xi) AS s2, SUM(xi) AS si FROM x GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+diag AS (
+  SELECT CAST(ROUND(ROUND(s.s2 / n.n - (s.si / n.n) * (s.si / n.n), 6)
+              * 1000000.0) AS BIGINT) AS dm
+  FROM s CROSS JOIN n
+),
+dim AS (SELECT CAST(MAX(len(v)) AS BIGINT) AS d FROM e)
+SELECT dim.d AS d, dim.d AS k,
+       (SELECT CAST(SUM(dm) AS BIGINT) FROM diag) AS trace_micro,
+       TRUE AS orthonormal_ok,
+       TRUE AS eig_sorted_ok,
+       TRUE AS eig_nonneg_ok,
+       TRUE AS trace_ok
+FROM dim
+"""
+
     # --- similarity search over embeddings ---
     vec = "[CAST(x AS DOUBLE) for x in embedding]"
     sql["cosine_neardup_pairs"] = f"""
@@ -2743,6 +2771,15 @@ GROUP BY o_orderpriority
 """
     sql["distinct_users"] = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+    # HLL contract oracle (queries.q_distinct_users_approx): the exact
+    # distinct count is the hash content; the boolean is the sketch's
+    # accuracy contract (|approx - exact| <= 10x rsd), declared TRUE
+    sql["distinct_users_approx"] = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS approx_in_bounds
 FROM events GROUP BY event_type
 """
     # PMI ratio evaluated in the same operation order as the Spark

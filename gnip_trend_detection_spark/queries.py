@@ -1449,6 +1449,54 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca.pca_project(embs, mean, comps)
 
 
+def q_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable spectral contract for the PCA operator
+    (embedding_pca itself stays rows-only: eigenvectors aren't
+    SQL-expressible). Hash content: the covariance TRACE in exact
+    integer micro-units — per-dim variances rounded to 6 exactly like
+    the green embedding_covariance oracle, so the integer sum is
+    bit-deterministic cross-engine. Booleans pin the eigh output the
+    projection actually uses: orthonormal basis, eigenvalues sorted
+    descending and PSD-nonnegative, and the trace identity
+    sum(eigenvalues) = trace(C) within d micro-units (rounding slack)
+    — the oracle declares them TRUE, so a broken decomposition goes
+    driver-red."""
+    import numpy as np
+
+    from gnip_trend_detection_spark.extras import pca
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    mean, comps, ev = pca.pca_components(embs, k=10**9)  # full spectrum
+    d, k = comps.shape
+    G = comps.T @ comps
+    orthonormal_ok = bool(np.abs(G - np.eye(k)).max() < 1e-9)
+    eig_sorted_ok = bool(np.all(np.diff(ev) <= 1e-12))
+    eig_nonneg_ok = bool(float(ev.min()) > -1e-9)
+    trace_micro = (
+        pca.covariance(embs)
+        .filter(F.col("i") == F.col("j"))
+        .agg(F.sum(F.round(F.col("cov") * 1e6).cast("long")).alias("t"))
+        .first()["t"]
+    )
+    trace_ok = bool(abs(float(ev.sum()) * 1e6 - trace_micro) <= d + 1.0)
+    row = [
+        (
+            int(d),
+            int(d),
+            int(trace_micro),
+            orthonormal_ok,
+            eig_sorted_ok,
+            eig_nonneg_ok,
+            trace_ok,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "d long, k long, trace_micro long, orthonormal_ok boolean, "
+        "eig_sorted_ok boolean, eig_nonneg_ok boolean, trace_ok boolean",
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation flow as ONE dataflow — what a
     practitioner actually runs before pretraining: exact-dedup to a
@@ -1774,12 +1822,34 @@ def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact pair-dedup shuffle is the bottleneck: the HLL sketch is
     a fixed-size mergeable accumulator, so the shuffle carries one
     sketch per (partition, group) regardless of cardinality.
-    Rows-only oracle by design: sketch estimates aren't cross-engine
-    reproducible (same contract as `value_quantiles_approx`)."""
+
+    Sketch estimates aren't cross-engine reproducible, so (same
+    contract-oracle shape as value_quantiles_approx) the hashable
+    output is the exact distinct count (verified cross-engine via the
+    two-phase pair-dedup agg) plus a boolean asserting the HLL
+    estimate landed within 10x its configured rsd of the exact answer
+    — the oracle pins that boolean TRUE, turning an out-of-contract
+    sketch into a driver-red row instead of a rows-only shrug."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users_exact"))
+    )
+    slack = F.col("n_users_exact").cast("double") * F.lit(0.2)
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        "n_events",
+        "n_users_exact",
+        (
+            F.abs(F.col("_approx").cast("double") - F.col("n_users_exact"))
+            <= slack
+        ).alias("approx_in_bounds"),
     )
 
 
@@ -3713,6 +3783,7 @@ ALL: dict[str, QueryFn] = {
     "mix_sources": q_mix_sources,
     "embedding_covariance": q_embedding_covariance,
     "embedding_pca": q_embedding_pca,
+    "pca_invariants": q_pca_invariants,
     "dataset_split": q_dataset_split,
     "heavy_hitter_terms": q_heavy_hitter_terms,
     "sample_per_group": q_sample_per_group,
