@@ -32,38 +32,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return detect_topk(scored, 50)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry, rotated: the driver checks a fixed-size prefix of
-    this dict in order, so ordering is (1) keys whose LATEST committed
-    CORRECTNESS_r*.json record is red — a known failure must be
-    re-verified immediately, never parked; (2) keys never yet
-    sampled; (3) already-green keys. Stable relative order within
-    each group; pure reordering — the key->callable mapping is
-    identical to gnip_trend_detection_spark.queries.ALL — so over
-    successive rounds the driver's sample sweeps the whole registry
-    instead of re-checking the same prefix."""
-    import glob
-    import json
-    import os
-    import re
-
-    base = dict(_queries.ALL)
-    here = os.path.dirname(os.path.abspath(__file__))
+def _rotation_order(base_keys, record_maps):
+    """Pure rotation core (unit-tested in tests/test_rotation.py):
+    ``record_maps`` is the per-round CORRECTNESS dicts in ASCENDING
+    round order; later rounds override earlier verdicts per key.
+    Returns base_keys reordered (red, never-sampled, green), stable
+    within each group."""
     green: set[str] = set()
     red: set[str] = set()
-
-    def _round_no(path: str) -> int:
-        m = re.search(r"_r(\d+)", os.path.basename(path))
-        return int(m.group(1)) if m else -1
-
-    # numeric sort so r100 doesn't sort before r99 ("latest wins")
-    for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
-                    key=_round_no):
-        try:
-            with open(f) as fh:
-                records = json.load(fh)
-        except (OSError, ValueError):
-            continue
+    for records in record_maps:
         for k, v in records.items():
             ok = (
                 isinstance(v, dict)
@@ -75,10 +52,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # latest round wins: a later green clears an earlier red
             (green if ok else red).add(k)
             (red if ok else green).discard(k)
-    failed = {k: v for k, v in base.items() if k in red}
-    fresh = {k: v for k, v in base.items() if k not in red and k not in green}
-    rest = {k: v for k, v in base.items() if k in green and k not in red}
-    return {**failed, **fresh, **rest}
+    failed = [k for k in base_keys if k in red]
+    fresh = [k for k in base_keys if k not in red and k not in green]
+    rest = [k for k in base_keys if k in green and k not in red]
+    return failed + fresh + rest
+
+
+def _load_round_records(here: str):
+    """CORRECTNESS_r*.json contents in ascending NUMERIC round order —
+    plain sorted() would put r100 before r99 and let a stale verdict
+    win."""
+    import glob
+    import json
+    import os
+    import re
+
+    def _round_no(path: str) -> int:
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    out = []
+    for f in sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")), key=_round_no
+    ):
+        try:
+            with open(f) as fh:
+                out.append(json.load(fh))
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry, rotated: the driver checks a fixed-size prefix of
+    this dict in order, so ordering is (1) keys whose LATEST committed
+    CORRECTNESS_r*.json record is red — a known failure must be
+    re-verified immediately, never parked; (2) keys never yet
+    sampled; (3) already-green keys. Stable relative order within
+    each group; pure reordering — the key->callable mapping is
+    identical to gnip_trend_detection_spark.queries.ALL — so over
+    successive rounds the driver's sample sweeps the whole registry
+    instead of re-checking the same prefix."""
+    import os
+
+    base = dict(_queries.ALL)
+    here = os.path.dirname(os.path.abspath(__file__))
+    order = _rotation_order(list(base), _load_round_records(here))
+    return {k: base[k] for k in order}
 
 
 def oracle_sql() -> dict[str, str]:
