@@ -57,6 +57,8 @@ HEADLINE = [
     "mix_sources",
     "dataset_split",
     "heavy_hitter_terms",
+    "heavy_hitters_cms",
+    "k_anonymity",
     "sample_per_group",
     "curation_pipeline",
     "pack_shards",
@@ -65,13 +67,16 @@ HEADLINE = [
     "knn_label",
     "embedding_covariance",
     "embedding_pca",
+    "pca_invariants",
     "multimodal_decode",
     "tpch_q1_pricing",
     "tpch_q4_priority",
     "tpch_q6_revenue",
     "distinct_users",
+    "distinct_users_approx",
     "pmi_collocations",
     "logreg_quality",
+    "logreg_invariants",
     "latest_event_per_user",
     "series_features",
     "event_funnel",

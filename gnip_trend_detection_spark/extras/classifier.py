@@ -111,7 +111,8 @@ def logreg_train_newton(
     label_col: str = "y",
     n_iter: int = 8,
     ridge: float = 1e-6,
-) -> tuple[np.ndarray, float]:
+    with_grad: bool = False,
+) -> tuple[np.ndarray, float] | tuple[np.ndarray, float, float]:
     """Fit logistic regression by Newton / IRLS — the production
     solver: quadratic convergence gets to machine-precision optimum in
     ~6-8 passes where GD takes 30+, and each pass is still ONE map
@@ -134,13 +135,20 @@ def logreg_train_newton(
     first = feats.first()
     if first is None:
         feats.unpersist()
+        if with_grad:
+            return np.zeros(0), 0.0, 0.0
         return np.zeros(0), 0.0
     d = len(first["_x"])
     da = d + 1
     n_flat = da * da + da
 
     w = np.zeros(da, dtype=np.float64)  # [weights..., bias]
-    for _ in range(n_iter):
+    # with_grad: one extra partial pass AT the returned w (no update)
+    # — the convergence certificate ||grad||_inf the invariants query
+    # pins; the in-loop gradient is at the PREVIOUS iterate, not the
+    # returned optimum
+    grad_norm = float("nan")
+    for it in range(n_iter + (1 if with_grad else 0)):
         w_c = w.copy()
 
         def partials(batches, w_c=w_c):
@@ -168,8 +176,13 @@ def logreg_train_newton(
             flat += np.asarray(row["g"], dtype=np.float64)
         H = flat[: da * da].reshape(da, da) + ridge * np.eye(da)
         g = flat[da * da :]
+        if it == n_iter:  # the with_grad certificate pass
+            grad_norm = float(np.abs(g).max())
+            break
         w = w - np.linalg.solve(H, g)
     feats.unpersist()
+    if with_grad:
+        return w[:d], float(w[d]), grad_norm
     return w[:d], float(w[d])
 
 

@@ -81,3 +81,60 @@ def heavy_hitters(
         .filter(F.col("cnt") * k > F.col("n"))
         .select("item", "cnt")
     )
+
+
+def cms_heavy_hitters_contract(
+    df: DataFrame,
+    col: str,
+    k: int = 100,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-Min-Sketch accuracy contract over the exact heavy
+    hitters — the sketch-side twin of :func:`heavy_hitters`, shaped
+    like value_quantiles_approx's bracket oracle: the hashable output
+    is the EXACT (item, cnt) relation (cross-engine verifiable), plus
+    two booleans per item pinning the CMS one-sided error guarantee
+
+        cnt <= estimate <= cnt + eps * N
+
+    CMS is the mergeable frequency sketch a 100 TB pipeline keeps
+    instead of a vocabulary-sized exact histogram: each partition's
+    sketch is a fixed (depth x width) counter grid, merge is
+    element-wise addition (order-invariant, so the estimate is
+    DETERMINISTIC for a given dataset and seed — the booleans are
+    stable, not flaky), and the driver collects one sketch, never the
+    vocabulary. Spark's built-in ``count_min_sketch`` aggregate does
+    the distributed part; the bounded driver-side step just queries
+    the returned sketch for the |heavy hitters| candidate items.
+    """
+    spark = df.sparkSession
+    hh = heavy_hitters(df, col, k=k)
+    n_total = df.count()
+    sk_row = df.agg(
+        F.expr(
+            f"count_min_sketch({col}, CAST({eps} AS DOUBLE), "
+            f"CAST({confidence} AS DOUBLE), {seed})"
+        ).alias("sk")
+    ).first()
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk_row["sk"]))
+    )
+    slack = int(eps * n_total) + 1
+    rows = []
+    for r in hh.collect():
+        est = int(cms.estimateCount(r["item"]))
+        rows.append(
+            (
+                r["item"],
+                int(r["cnt"]),
+                est >= r["cnt"],
+                est <= r["cnt"] + slack,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "item string, cnt long, cms_lower_ok boolean, cms_upper_ok boolean",
+    )

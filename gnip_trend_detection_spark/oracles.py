@@ -2397,6 +2397,52 @@ GROUP BY item, n.n
 HAVING COUNT(*) * 100 > n.n
 """
 
+    # Newton-logreg convergence contract (queries.q_logreg_invariants):
+    # exact class balance is the hash content; the booleans declare the
+    # solver certificate (gradient ~0 at the returned weights, finite)
+    sql["logreg_invariants"] = """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN label = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+       TRUE AS converged,
+       TRUE AS weights_finite
+FROM embeddings
+"""
+
+    # k-anonymity metadata audit (extras/privacy.py:
+    # k_anonymity_report via queries.q_k_anonymity, k=5) — exact
+    # integer counts; sums CAST outside the aggregate (HUGEINT rule)
+    sql["k_anonymity"] = """
+WITH cls AS (
+  SELECT source, lang,
+         CAST(FLOOR(length(text) / 100) AS BIGINT) AS len_bucket,
+         COUNT(*) AS n
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT source,
+       COUNT(*) AS n_classes,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_classes,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS n_risky_rows,
+       CAST(MIN(n) AS BIGINT) AS min_class_size
+FROM cls GROUP BY source
+"""
+
+    # CMS contract twin (queries.q_heavy_hitters_cms): exact heavy
+    # hitters are the hash content; the booleans declare the sketch's
+    # one-sided guarantee cnt <= est <= cnt + eps*N
+    sql["heavy_hitters_cms"] = f"""
+WITH tok AS (
+  SELECT unnest({toks}) AS item FROM documents
+), n AS (SELECT COUNT(*) AS n FROM tok)
+SELECT item, COUNT(*) AS cnt,
+       TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+FROM tok CROSS JOIN n
+GROUP BY item, n.n
+HAVING COUNT(*) * 100 > n.n
+"""
+
     # leakage-safe dataset split (extras/sample.py:split_dataset):
     # cumulative thresholds over alphabetically-ordered split names
     # (test 0.125 | train 0.75 | val 0.125 — dyadic, exact literals)

@@ -1413,6 +1413,43 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "tok", k=100)
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata re-identifiability audit (extras/privacy.py:
+    k_anonymity_report, k=5): per source, how many (lang,
+    length-bucket) equivalence classes exist, how many hold fewer
+    than k documents, how many documents sit in those risky classes,
+    and the corpus's effective anonymity level (min class size).
+    Two hash aggregates, all-integer output."""
+    from gnip_trend_detection_spark.extras.privacy import k_anonymity_report
+
+    docs = _docs(spark, sf_dir)
+    len_bucket = (F.floor(F.length("text") / 100)).cast("long").alias(
+        "len_bucket"
+    )
+    return k_anonymity_report(
+        docs.select("source", "lang", len_bucket),
+        quasi_identifiers=["lang", "len_bucket"],
+        group_by="source",
+        k=5,
+    )
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch twin of heavy_hitter_terms: exact (item, cnt)
+    as hash content + the CMS one-sided error contract as booleans the
+    oracle pins TRUE (extras/sketch.py:cms_heavy_hitters_contract).
+    The sketch estimate is deterministic (fixed seed, order-invariant
+    counter merge), so the booleans are stable, not flaky."""
+    from gnip_trend_detection_spark.extras.sketch import (
+        cms_heavy_hitters_contract,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    return cms_heavy_hitters_contract(toks, "tok", k=100)
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split keyed on SOURCE (all docs of
     a domain land together, so near-dups can't straddle train/test).
@@ -1875,6 +1912,39 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w, b = classifier.logreg_train_newton(e, label_col="y", n_iter=8)
     return classifier.logreg_score(e, w, b)
+
+
+def q_logreg_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable convergence contract for the Newton logistic
+    head (logreg_quality itself stays rows-only: per-row probabilities
+    wobble in the last ulp across partitionings). Hash content: the
+    exact class balance. Booleans: the solver's certificate — one
+    extra gradient pass AT the returned weights must show
+    ||grad||_inf <= 1e-8 * n (Newton reaches ~1e-14 here; the bound
+    leaves 6 orders of margin), plus a finite-weights check. The
+    oracle pins both TRUE, so a diverged or NaN fit goes driver-red."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        similarity.as_double(F.col("embedding")).alias("embedding"),
+        (F.col("label") == 0).cast("double").alias("y"),
+    )
+    w, b, grad_norm = classifier.logreg_train_newton(
+        e, label_col="y", n_iter=8, with_grad=True
+    )
+    counts = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("long")).alias("n_pos"),
+    ).first()
+    n, n_pos = int(counts["n"]), int(counts["n_pos"])
+    converged = bool(grad_norm <= 1e-8 * max(n, 1))
+    finite = bool(np.isfinite(w).all() and np.isfinite(b))
+    return spark.createDataFrame(
+        [(n, n_pos, n - n_pos, converged, finite)],
+        "n long, n_pos long, n_neg long, converged boolean, "
+        "weights_finite boolean",
+    )
 
 
 def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3786,6 +3856,8 @@ ALL: dict[str, QueryFn] = {
     "pca_invariants": q_pca_invariants,
     "dataset_split": q_dataset_split,
     "heavy_hitter_terms": q_heavy_hitter_terms,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
+    "k_anonymity": q_k_anonymity,
     "sample_per_group": q_sample_per_group,
     "bpe_vocab": q_bpe_vocab,
     "curation_pipeline": q_curation_pipeline,
@@ -3803,6 +3875,7 @@ ALL: dict[str, QueryFn] = {
     "distinct_users_approx": q_distinct_users_approx,
     "pmi_collocations": q_pmi_collocations,
     "logreg_quality": q_logreg_quality,
+    "logreg_invariants": q_logreg_invariants,
     "latest_event_per_user": q_latest_event_per_user,
     "series_features": q_series_features,
     "event_funnel": q_event_funnel,
