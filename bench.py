@@ -60,6 +60,7 @@ HEADLINE = [
     "heavy_hitters_cms",
     "k_anonymity",
     "sample_per_group",
+    "weighted_sample",
     "curation_pipeline",
     "pack_shards",
     "cosine_neardup_blocked",

@@ -411,3 +411,65 @@ def materialize_budget(
         .filter(F.col("n_copies") >= 1)
         .select("doc_id", F.col(group_col).alias("source"), "n_copies")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling without replacement, per group — the
+    Efraimidis-Spirakis one-pass scheme (2006): each row draws a
+    deterministic uniform u from its key hash and ranks by
+    ln(u) / w (monotone in the classic u^(1/w) priority), top-k per
+    group. A row with twice the weight is twice as likely to rank
+    first — the "sample proportionally to quality/length" primitive
+    curation mixes need, reproducible across any partitioning because
+    the randomness is the key hash, not an RNG.
+
+    Scale shape: identical to :func:`sample_per_group` — rank-by-score
+    inside each group triggers WindowGroupLimit pushdown (per-reducer
+    state O(k), hot groups never fully sort). The score is rounded to
+    6 (libm-log round-6 policy); rank ties break on the key, so the
+    selection is total-order deterministic cross-engine.
+
+    Rows with non-positive weight are excluded (zero weight = never
+    sampled, matching the limit of the E-S distribution).
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # (h + 1) / 2^32 in (0, 1] — open at 0 so ln() is finite
+    u = (h + F.lit(1)).cast("double") / F.lit(HASH_DENOM)
+    score = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__score"), F.col(key_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__score", score)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            group_col,
+            key_col,
+            F.col(weight_col).alias("weight"),
+            F.col("__score").alias("score"),
+            F.col("__rn").cast("long").alias("rk"),
+        )
+    )

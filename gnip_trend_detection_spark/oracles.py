@@ -2409,6 +2409,25 @@ SELECT COUNT(*) AS n,
 FROM embeddings
 """
 
+    # Efraimidis-Spirakis weighted sample (extras/sample.py:
+    # weighted_sample_per_group via queries.q_weighted_sample): same
+    # md5 draw as sample_per_group shifted into (0,1], ln(u)/w score
+    # rounded to 6 (libm-log round-6 policy), doc_id tiebreak
+    sql["weighted_sample"] = """
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         ROUND(LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                          1, 8)) AS BIGINT) + 1) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 6) + 0.0 AS score
+  FROM documents WHERE n_chars > 0
+)
+SELECT source, doc_id, n_chars AS weight, score, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+  FROM d
+) WHERE rk <= 20
+"""
+
     # k-anonymity metadata audit (extras/privacy.py:
     # k_anonymity_report via queries.q_k_anonymity, k=5) — exact
     # integer counts; sums CAST outside the aggregate (HUGEINT rule)

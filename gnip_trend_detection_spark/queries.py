@@ -1413,6 +1413,22 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "tok", k=100)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted per-source sampling (extras/sample.py:
+    weighted_sample_per_group, Efraimidis-Spirakis priorities from
+    the deterministic md5 draw): 20 docs per source, selection
+    probability proportional to n_chars — the token-weighted
+    inspection/eval sample a curation pipeline pulls."""
+    from gnip_trend_detection_spark.extras.sample import (
+        weighted_sample_per_group,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return weighted_sample_per_group(
+        docs, group_col="source", k=20, weight_col="n_chars"
+    )
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata re-identifiability audit (extras/privacy.py:
     k_anonymity_report, k=5): per source, how many (lang,
@@ -3858,6 +3874,7 @@ ALL: dict[str, QueryFn] = {
     "heavy_hitter_terms": q_heavy_hitter_terms,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "k_anonymity": q_k_anonymity,
+    "weighted_sample": q_weighted_sample,
     "sample_per_group": q_sample_per_group,
     "bpe_vocab": q_bpe_vocab,
     "curation_pipeline": q_curation_pipeline,

@@ -72,3 +72,38 @@ def test_cms_estimate_is_merge_order_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    """E-S priorities: 100 weight-1000 rows vs 100 weight-1 rows,
+    k=50 — the heavy half wins every slot (deterministic draw, margin
+    is ~3 orders of magnitude on the ln(u)/w score)."""
+    from gnip_trend_detection_spark.extras.sample import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, "g", 1000 if i < 100 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = weighted_sample_per_group(df, "source", 50, "n_chars").collect()
+    assert len(out) == 50
+    assert all(r["doc_id"] < 100 for r in out)
+
+
+def test_weighted_sample_excludes_nonpositive_and_is_partition_invariant(spark):
+    from gnip_trend_detection_spark.extras.sample import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, "g", (i % 5) - 1) for i in range(50)]  # weights -1..3
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    a = sorted(map(tuple, weighted_sample_per_group(df, "source", 10, "n_chars").collect()))
+    b = sorted(
+        map(
+            tuple,
+            weighted_sample_per_group(
+                df.repartition(7), "source", 10, "n_chars"
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert all(r[2] > 0 for r in a)  # weight column position
