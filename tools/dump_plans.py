@@ -63,6 +63,9 @@ SHOWCASE = [
     ("embedding_simhash", "Arrow int64-matmul sketch kernel + one sketch-keyed window"),
     ("benchmark_leakage", "bench gram set broadcast-semi-joined against one corpus scan"),
     ("mann_kendall_trend", "one counter-keyed applyInPandas pass emits z, p, and label together"),
+    ("value_quantiles_approx", "mergeable t-digest agg + exact two-phase bracket quantiles, group equi-join"),
+    ("weighted_sample", "E-S hash-draw priorities, WindowGroupLimit top-k per group (O(k) reducer state)"),
+    ("k_anonymity", "two map-side-combined hash aggs, all-integer governance report"),
 ]
 
 
