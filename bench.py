@@ -87,6 +87,7 @@ HEADLINE = [
     "fuzzy_vocab_pairs",
     "sample_estimate",
     "embedding_quantize",
+    "pq_codes",
     "conversion_within_hour",
     "label_centroids",
     "value_outliers",

@@ -3906,6 +3906,76 @@ FROM m GROUP BY user_id
     # int8 quantization twin: same op order (x/scale rounds half away
     # from zero on both engines; the err fold is a left fold with an
     # exact 0+t1 head); only the l2 sqrt needs round-6
+    # product quantization (extras/pq.py:pq_fit_encode via
+    # queries.q_pq_codes; m=4 subspaces x k=16 centroids, 1 Lloyd
+    # round, seed 11): same deterministic pinning as the spherical
+    # k-means oracle — md5-ordered init, ROUND-6 distances with cid
+    # tiebreak, ROUND-6 per-dim means — generated per subspace
+    def _pq_dist(sv: str, cv: str, sub: int) -> str:
+        return (
+            f"ROUND(list_reduce([({sv}[i] - {cv}[i]) * ({sv}[i] - {cv}[i]) "
+            f"FOR i IN generate_series(1, {sub})], (a, b) -> a + b), 6)"
+        )
+
+    def _pq_sql(m: int = 4, k: int = 16, seed: int = 11) -> str:
+        sub_expr = "len(v) // " + str(m)
+        # fixtures are d=64; slices are computed with literal bounds
+        # per subspace from the known dim — assert at runtime instead
+        # of a dynamic-dim SQL monster
+        d, sub = 64, 64 // m
+        ctes = [
+            "e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding]"
+            " AS v FROM embeddings)",
+            "init AS (SELECT ROW_NUMBER() OVER (ORDER BY"
+            f" md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id) - 1 AS cid,"
+            " v FROM e ORDER BY"
+            f" md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id LIMIT {k})",
+        ]
+        for j in range(m):
+            a, b = j * sub + 1, (j + 1) * sub
+            dist0 = _pq_dist("s.sv", "c.cv", sub)
+            ctes += [
+                f"c{j}0 AS (SELECT cid, list_slice(v, {a}, {b}) AS cv"
+                " FROM init)",
+                f"sv{j} AS (SELECT vec_id, list_slice(v, {a}, {b}) AS sv"
+                " FROM e)",
+                f"""a{j} AS (
+  SELECT vec_id, sv, cid FROM (
+    SELECT s.vec_id, s.sv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY {dist0}, c.cid) AS rk
+    FROM sv{j} s CROSS JOIN c{j}0 c
+  ) WHERE rk = 1
+)""",
+                f"""m{j} AS (
+  SELECT cid, i, ROUND(AVG(sv[i]), 6) AS mvd
+  FROM a{j}, unnest(generate_series(1, {sub})) AS t(i) GROUP BY 1, 2
+)""",
+                f"c{j}1 AS (SELECT cid, list(mvd ORDER BY i) AS cv"
+                f" FROM m{j} GROUP BY cid)",
+                f"""f{j} AS (
+  SELECT vec_id, cid AS code_{j}, dd AS d{j} FROM (
+    SELECT s.vec_id, c.cid, {dist0} AS dd,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY {dist0}, c.cid) AS rk
+    FROM sv{j} s CROSS JOIN c{j}1 c
+  ) WHERE rk = 1
+)""",
+            ]
+        codes = ", ".join(
+            f"CAST(code_{j} AS BIGINT) AS code_{j}" for j in range(m)
+        )
+        err = " + ".join(f"d{j}" for j in range(m))
+        joins = " ".join(f"JOIN f{j} USING (vec_id)" for j in range(1, m))
+        return (
+            "WITH " + ",\n".join(ctes) + f"""
+SELECT f0.vec_id, {codes}, ROUND({err}, 6) + 0.0 AS err_r
+FROM f0 {joins}
+"""
+        )
+
+    sql["pq_codes"] = _pq_sql()
+
     sql["embedding_quantize"] = """
 WITH e AS (
   SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings

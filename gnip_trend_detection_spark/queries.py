@@ -1413,6 +1413,18 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "tok", k=100)
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization fit + encode (extras/pq.py:pq_fit_encode;
+    m=4 x k=16, 1 Lloyd round, seeded md5 init): every vector's 4
+    subspace codes and total squared reconstruction error — the
+    codebook-compression path that makes a 100 TB embedding corpus
+    ADC-scannable. Parity-pinned end-to-end like embedding_kmeans."""
+    from gnip_trend_detection_spark.extras.pq import pq_fit_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_fit_encode(emb, m=4, k=16, n_iter=1, seed=11)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted per-source sampling (extras/sample.py:
     weighted_sample_per_group, Efraimidis-Spirakis priorities from
@@ -3875,6 +3887,7 @@ ALL: dict[str, QueryFn] = {
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "k_anonymity": q_k_anonymity,
     "weighted_sample": q_weighted_sample,
+    "pq_codes": q_pq_codes,
     "sample_per_group": q_sample_per_group,
     "bpe_vocab": q_bpe_vocab,
     "curation_pipeline": q_curation_pipeline,

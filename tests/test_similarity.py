@@ -522,3 +522,39 @@ def test_embedding_simhash_sql_impl_rejects_dim_mismatch(spark):
     )
     with _pytest.raises((Py4JJavaError, Exception)):
         embedding_simhash(df, n_bits=4, seed=42, dim=16, impl="sql").collect()
+
+
+def test_pq_perfectly_codable_corpus_has_zero_error(spark):
+    """16 distinct vectors, one copy each, k=16: init picks all of
+    them, every vector is its own centroid, reconstruction error 0."""
+    import numpy as np
+
+    from gnip_trend_detection_spark.extras.pq import pq_fit_encode
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).round(3).tolist()) for i in range(16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_fit_encode(df, m=2, k=16, n_iter=1, seed=11).collect()
+    assert len(out) == 16
+    assert all(r["err_r"] == 0.0 for r in out)
+    # distinct vectors must get distinct (code_0, code_1) pairs
+    assert len({(r["code_0"], r["code_1"]) for r in out}) == 16
+
+
+def test_pq_codes_partition_invariant_and_bounded(spark):
+    import numpy as np
+
+    from gnip_trend_detection_spark.extras.pq import pq_fit_encode
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(8).round(3).tolist()) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, pq_fit_encode(df, m=2, k=4, seed=11).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pq_fit_encode(df.repartition(9), m=2, k=4, seed=11).collect(),
+        )
+    )
+    assert a == b
+    assert all(0 <= r[1] < 4 and 0 <= r[2] < 4 and r[3] >= 0.0 for r in a)
