@@ -88,6 +88,7 @@ HEADLINE = [
     "sample_estimate",
     "embedding_quantize",
     "pq_codes",
+    "bpe_contract",
     "conversion_within_hour",
     "label_centroids",
     "value_outliers",

@@ -499,6 +499,31 @@ FROM r
     # prefix-sum-minus-running-min identity bit-for-bit
     sql["stream_cusum_replay"] = sql["cusum_changepoint"]
 
+    # streaming windowed-AGGREGATION twin (queries.q_stream_rebin_replay):
+    # the epoch-grid proportional-split rebin that streaming_rebin
+    # computes — 80s intervals into 120s bins, overlap/duration weights
+    # (exact multiples of 0.5, so double sums are order-independent),
+    # no zero-fill (an open stream has no closed span). The batch
+    # rebin oracles (rebin_ctes) anchor at per-counter min(start);
+    # this one is epoch-anchored by design — see streaming/rebin.py.
+    sql["stream_rebin_replay"] = f"""
+WITH counts AS ({_events_counts(80)}),
+alloc0 AS (
+  SELECT counter, CAST(s_epoch AS DOUBLE) AS s,
+         CAST(s_epoch AS DOUBLE) + dur AS e, cnt,
+         unnest(generate_series(
+             CAST(FLOOR(s_epoch / 120) AS BIGINT),
+             GREATEST(
+                 CAST(CEIL((CAST(s_epoch AS DOUBLE) + dur) / 120.0) - 1 AS BIGINT),
+                 CAST(FLOOR(s_epoch / 120) AS BIGINT)))) AS bin
+  FROM counts
+)
+SELECT counter, CAST(bin * 120 AS BIGINT) AS bin_ts,
+       SUM(cnt * (LEAST(e, (bin + 1) * 120.0) - GREATEST(s, bin * 120.0))
+           / (e - s)) AS count
+FROM alloc0 GROUP BY 1, 2
+"""
+
     # --- Seasonal decomposition (engine extension) ---
     # trend = exact integer window sum / count; detrended values
     # floor-quantized to 2^-14 before the per-phase mean so the hash
@@ -1206,6 +1231,42 @@ SELECT doc_id,
        n_bpe AS n_bpe_tokens,
        ROUND(CAST(length(lt) AS DOUBLE) / n_bpe, 4) AS bytes_per_token
 FROM t WHERE n_bpe > 0
+"""
+
+    # BPE training contract (queries.q_bpe_contract): the oracle
+    # recomputes the SQL-derivable half — vocab stats and the FIRST
+    # merge (argmax adjacent char pair, count DESC then lexicographic,
+    # overlapping pairs counted like the zip_with tail pairing) — and
+    # asserts the iterative invariants as TRUE literals. All sums cast
+    # to BIGINT (DuckDB SUM(int) is HUGEINT — the r05 red class).
+    sql["bpe_contract"] = f"""
+WITH t0 AS (SELECT unnest({toks}) AS word FROM documents),
+w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM t0 GROUP BY 1),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS corpus_words,
+         CAST(SUM(n) AS BIGINT) AS corpus_tokens,
+         CAST(SUM((length(word) - 1) * n) AS BIGINT) AS pair_mass
+  FROM w
+),
+ab AS (
+  SELECT CAST(COUNT(DISTINCT ch) AS BIGINT) AS alphabet_size
+  FROM (SELECT unnest(string_split(word, '')) AS ch FROM w)
+),
+cs AS (SELECT n, string_split(word, '') AS c FROM w),
+pairs AS (
+  SELECT c[i] AS l, c[i + 1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (SELECT n, c, unnest(generate_series(1, len(c) - 1)) AS i FROM cs)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT l AS rank0_left, r AS rank0_right, cnt AS rank0_count
+  FROM pairs ORDER BY cnt DESC, l, r LIMIT 1
+)
+SELECT stats.corpus_words, stats.corpus_tokens, stats.pair_mass,
+       ab.alphabet_size, top.rank0_left, top.rank0_right, top.rank0_count,
+       TRUE AS n_merges_full, TRUE AS counts_nonincreasing,
+       TRUE AS merged_is_concat
+FROM stats, ab, top
 """
 
     stop_en = "'the','a','of','and','to','in','is','on','for','with'"

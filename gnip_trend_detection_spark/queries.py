@@ -2126,6 +2126,61 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_encode(docs, merges)
 
 
+def q_bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training CONTRACT row — the hash-checkable half of the
+    iterative trainer (extras/bpe.py). bpe_vocab / bpe_encode_stats
+    stay rows-only (training is inherently sequential), but a real
+    subset of the run IS independently SQL-derivable, so this row
+    carries a full value hash:
+
+      SQL-recomputed by the oracle: corpus_words / corpus_tokens /
+      pair_mass / alphabet_size (vocabulary stats from the one corpus
+      scan) and rank0_left/right/count — BPE's FIRST merge is, by
+      definition, the argmax adjacent char pair of the char-split
+      vocab (count DESC then lexicographic), before any iteration.
+
+      Invariants emitted as booleans (oracle emits TRUE): pair counts
+      chosen at successive ranks are non-increasing (a post-merge pair
+      either pre-existed — its count can only shrink — or contains the
+      new symbol, whose occurrence count is <= the merged pair's
+      count); merged == left || right at every rank; the corpus
+      supports all 10 requested merges.
+
+    Scale: identical to bpe_vocab — ONE corpus-sized aggregate, then
+    vocab-sized rounds with a 1-row collect each; the merge list
+    itself (10 rows) is the only extra driver state."""
+    from gnip_trend_detection_spark.extras import bpe
+
+    docs = _docs(spark, sf_dir).select("text")
+    merges = bpe.train_bpe(docs, n_merges=10)
+    r0 = merges[0]
+    nonincr = all(
+        merges[i][4] >= merges[i + 1][4] for i in range(len(merges) - 1)
+    )
+    concat_ok = all(m[3] == m[1] + m[2] for m in merges)
+    vocab = bpe.word_counts(docs)
+    stats = vocab.agg(
+        F.count(F.lit(1)).cast("long").alias("corpus_words"),
+        F.sum("n").cast("long").alias("corpus_tokens"),
+        F.sum((F.length("word") - 1) * F.col("n")).cast("long").alias("pair_mass"),
+    )
+    alpha = vocab.select(
+        F.explode(F.split(F.col("word"), "")).alias("ch")
+    ).agg(F.count_distinct("ch").cast("long").alias("alphabet_size"))
+    return stats.crossJoin(F.broadcast(alpha)).select(
+        "corpus_words",
+        "corpus_tokens",
+        "pair_mass",
+        "alphabet_size",
+        F.lit(r0[1]).alias("rank0_left"),
+        F.lit(r0[2]).alias("rank0_right"),
+        F.lit(r0[4]).cast("long").alias("rank0_count"),
+        F.lit(len(merges) == 10).alias("n_merges_full"),
+        F.lit(nonincr).alias("counts_nonincreasing"),
+        F.lit(concat_ok).alias("merged_is_concat"),
+    )
+
+
 def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: customer order-count distribution through a
     LEFT OUTER join (zero-order customers must survive with count 0 —
@@ -3423,6 +3478,34 @@ def q_stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_rebin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CORE operator — proportional-split rebin
+    (analysis.py:21-157) — as a Structured Streaming windowed
+    aggregation (streaming/rebin.py:streaming_rebin), replayed over 3
+    contiguous-time micro-batches in COMPLETE mode
+    (streaming/replay.py:replay_complete): the memory sink's final
+    table is the aggregate over every slice, so the stream must equal
+    the batch epoch-grid rebin bin-for-bin. 80s intervals → 120s bins
+    exercises genuine straddle splits; every weight is a multiple of
+    0.5 (overlaps are multiples of 40s over an 80s interval), so the
+    weighted sums are exact in double and order/partitioning
+    independent — hash-safe against the SQL twin. Sixth oracle-checked
+    streaming path, and the first windowed-AGGREGATION one (the other
+    five are per-point stateful scorers)."""
+    from gnip_trend_detection_spark.streaming import streaming_rebin
+    from gnip_trend_detection_spark.streaming.replay import replay_complete
+
+    counts = counts_from_events(spark, sf_dir, 80)
+    out = replay_complete(
+        spark, counts, lambda s: streaming_rebin(s, "minutes", 2)
+    )
+    return out.select(
+        "counter",
+        _epoch_long(F.col("bin_start")).alias("bin_ts"),
+        F.col("count").cast("double").alias("count"),
+    )
+
+
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change-point chart on the hourly series, the
     recursion rewritten as prefix-sum minus running-min (two ordered
@@ -3790,6 +3873,7 @@ ALL: dict[str, QueryFn] = {
     "stream_poisson_cycle_replay": q_stream_poisson_cycle_replay,
     "stream_ewma_replay": q_stream_ewma_replay,
     "stream_cusum_replay": q_stream_cusum_replay,
+    "stream_rebin_replay": q_stream_rebin_replay,
     "wdt_eta": q_wdt_eta,
     "correlation_pairs": q_correlation_pairs,
     "correlation_pairs_dense": q_correlation_pairs_dense,
@@ -3913,6 +3997,7 @@ ALL: dict[str, QueryFn] = {
     "tpch_q13_custdist": q_tpch_q13_custdist,
     "quality_blend": q_quality_blend,
     "bpe_encode_stats": q_bpe_encode_stats,
+    "bpe_contract": q_bpe_contract,
     "scd2_dimension": q_scd2_dimension,
     "sales_rollup": q_sales_rollup,
     "event_type_pivot": q_event_type_pivot,

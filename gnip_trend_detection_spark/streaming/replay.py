@@ -6,15 +6,22 @@ only a batch-parity unit test: the batch series is written as
 time-ordered parquet slices (one micro-batch each, strictly increasing
 mtimes so FileStreamSource's modification-time ordering is pinned),
 replayed with availableNow through the scorer into a memory sink, and
-the sink's contents — the union of every update-mode emission, which
-for the per-point scorers is exactly one row per input point — are
-returned for the same DuckDB SQL twin the batch operator declares.
+the sink's contents are returned for the same DuckDB SQL twin the
+batch operator declares. Two drain shapes:
+
+- ``replay_scored`` (update mode): for per-point stateful scorers
+  (applyInPandasWithState) — the union of every update emission is
+  exactly one row per input point.
+- ``replay_complete`` (complete mode): for windowed AGGREGATIONS
+  (streaming_rebin) — the memory sink holds the full re-emitted result
+  table of the LAST micro-batch, i.e. the final aggregate after every
+  slice has folded in, which is what the batch twin computes.
 
 Scale note: the replay itself is a TEST harness (memory sink = driver
 memory, bounded fixture). Production streaming uses the same scorer
 with a real source/sink (streaming/models.py docstring); what this
 module proves is that the stateful fold crossing micro-batch
-boundaries is bit-identical to the batch window computation.
+boundaries is bit-identical to the batch computation.
 """
 
 from __future__ import annotations
@@ -30,40 +37,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def replay_scored(
-    spark: SparkSession,
-    series: DataFrame,
-    score_fn: Callable[[DataFrame], DataFrame],
-    n_slices: int = 3,
-) -> DataFrame:
-    """series(counter, interval_start timestamp, count double) →
-    score_fn's streaming output, replayed to completion over
-    ``n_slices`` contiguous-time micro-batches."""
-    series = series.select(
-        "counter",
-        F.col("interval_start").cast("timestamp").alias("interval_start"),
-        F.col("count").cast("double").alias("count"),
-    ).persist()  # read once for the span agg + once per slice write
+def _stage_time_slices(series: DataFrame, n_slices: int, time_col: str) -> str:
+    """Write ``series`` as ``n_slices`` contiguous-time parquet files
+    (one micro-batch each) under a temp dir and return its path.
+
+    The caller owns both the persist() lifetime of ``series`` and the
+    eventual rmtree of the returned dir.
+    """
     # NULL timestamps would evaluate every slice predicate to NULL and
     # silently vanish from the replay (losing rows vs the batch
     # operator without failing row-count parity) — reject them loudly
-    n_null_ts = series.filter(F.col("interval_start").isNull()).count()
+    n_null_ts = series.filter(F.col(time_col).isNull()).count()
     if n_null_ts:
-        series.unpersist()
         raise ValueError(
-            f"replay fixture has {n_null_ts} NULL interval_start rows; "
+            f"replay fixture has {n_null_ts} NULL {time_col} rows; "
             "time-slice replay cannot place them in a micro-batch"
         )
     lo, hi = series.agg(
-        F.min("interval_start").cast("double"),
-        F.max("interval_start").cast("double"),
+        F.min(time_col).cast("double"),
+        F.max(time_col).cast("double"),
     ).first()
     if lo is None:
         # empty fixture: still run the (empty) stream for shape parity
         edges: list[float] = []
     else:
         edges = [lo + (hi - lo) * i / n_slices for i in range(1, n_slices)]
-    ts = F.col("interval_start").cast("double")
+    ts = F.col(time_col).cast("double")
     slices = []
     prev = None
     for e in edges:
@@ -97,40 +96,119 @@ def replay_scored(
             # FileStreamSource orders by modification time; identical
             # mtimes would make the state-fold order nondeterministic
             os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    except BaseException:
+        shutil.rmtree(flat, ignore_errors=True)
+        raise
+    finally:
         shutil.rmtree(base, ignore_errors=True)
+    return flat
 
-        stream_in = (
-            spark.readStream.schema(
-                "counter string, interval_start timestamp, count double"
+
+def _drain_to_memory(
+    spark: SparkSession,
+    flat: str,
+    schema_ddl: str,
+    transform: Callable[[DataFrame], DataFrame],
+    output_mode: str,
+) -> DataFrame:
+    """availableNow-replay the staged slices through ``transform`` into
+    a memory sink; return the sink contents as a plain DataFrame."""
+    stream_in = (
+        spark.readStream.schema(schema_ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    name = f"gtds_replay_{uuid.uuid4().hex}"
+    q = (
+        transform(stream_in)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        # never hand back a partially-drained sink as if it were
+        # the full replay — that would silently fail row-count
+        # parity downstream instead of failing loudly here
+        q.stop()
+        raise TimeoutError("streaming replay did not finish in 300s")
+    # materialize the sink rows and DROP the memory table: a
+    # long-lived session replaying repeatedly (the correctness
+    # driver, bench sweeps) must not accumulate uuid-named tables
+    # of full replay output in driver memory
+    sink = spark.table(name)
+    rows, schema = sink.collect(), sink.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
+
+
+def replay_scored(
+    spark: SparkSession,
+    series: DataFrame,
+    score_fn: Callable[[DataFrame], DataFrame],
+    n_slices: int = 3,
+) -> DataFrame:
+    """series(counter, interval_start timestamp, count double) →
+    score_fn's streaming output, replayed to completion over
+    ``n_slices`` contiguous-time micro-batches (update mode: one
+    emission per input point for the per-point stateful scorers)."""
+    series = series.select(
+        "counter",
+        F.col("interval_start").cast("timestamp").alias("interval_start"),
+        F.col("count").cast("double").alias("count"),
+    ).persist()  # read once for the span agg + once per slice write
+    try:
+        flat = _stage_time_slices(series, n_slices, "interval_start")
+        try:
+            return _drain_to_memory(
+                spark,
+                flat,
+                "counter string, interval_start timestamp, count double",
+                score_fn,
+                "update",
             )
-            .option("maxFilesPerTrigger", 1)
-            .parquet(flat)
-        )
-        name = f"gtds_replay_{uuid.uuid4().hex}"
-        q = (
-            score_fn(stream_in)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        finished = q.awaitTermination(300)
-        if not finished:
-            # never hand back a partially-drained sink as if it were
-            # the full replay — that would silently fail row-count
-            # parity downstream instead of failing loudly here
-            q.stop()
-            raise TimeoutError("streaming replay did not finish in 300s")
-        # materialize the sink rows and DROP the memory table: a
-        # long-lived session replaying repeatedly (the correctness
-        # driver, bench sweeps) must not accumulate uuid-named tables
-        # of full replay output in driver memory
-        sink = spark.table(name)
-        rows, schema = sink.collect(), sink.schema
-        spark.catalog.dropTempView(name)
-        return spark.createDataFrame(rows, schema)
+        finally:
+            shutil.rmtree(flat, ignore_errors=True)
     finally:
         series.unpersist()
-        shutil.rmtree(base, ignore_errors=True)
-        shutil.rmtree(flat, ignore_errors=True)
+
+
+def replay_complete(
+    spark: SparkSession,
+    counts: DataFrame,
+    agg_fn: Callable[[DataFrame], DataFrame],
+    n_slices: int = 3,
+) -> DataFrame:
+    """counts(counter, interval_start timestamp, duration_sec double,
+    count double) — the D1 interval-count stream shape — replayed
+    through a windowed streaming AGGREGATION in complete mode.
+
+    Complete mode re-emits the whole result table each micro-batch and
+    the memory sink REPLACES its contents, so after the final slice the
+    sink holds exactly the aggregate over every input row — the same
+    relation the batch operator computes. That (plus deterministic
+    slice order) is what lets a streaming aggregation declare the batch
+    DuckDB oracle verbatim."""
+    counts = counts.select(
+        "counter",
+        F.col("interval_start").cast("timestamp").alias("interval_start"),
+        F.col("duration_sec").cast("double").alias("duration_sec"),
+        F.col("count").cast("double").alias("count"),
+    ).persist()
+    try:
+        flat = _stage_time_slices(counts, n_slices, "interval_start")
+        try:
+            return _drain_to_memory(
+                spark,
+                flat,
+                "counter string, interval_start timestamp, "
+                "duration_sec double, count double",
+                agg_fn,
+                "complete",
+            )
+        finally:
+            shutil.rmtree(flat, ignore_errors=True)
+    finally:
+        counts.unpersist()

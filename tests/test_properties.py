@@ -327,6 +327,34 @@ def test_bpe_encode_applies_merges_in_rank_order(spark):
     )
 
 
+def test_bpe_contract_hand_computed(spark, tmp_path):
+    """q_bpe_contract on a tiny hand-checkable corpus: vocab stats and
+    the first merge must equal manual counts, invariants must hold."""
+    import __spark_entry__ as entrymod
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab abc", "s", "en", 1.0)] * 1,
+        "doc_id long, text string, source string, lang string, quality double",
+    )
+    d = str(tmp_path / "docs")
+    docs.write.parquet(d)
+    # point _docs at the tmp fixture by writing the expected layout
+    import shutil
+
+    shutil.move(d, str(tmp_path / "documents.parquet"))
+    row = entrymod.queries()["bpe_contract"](spark, str(tmp_path)).first()
+    # words: ab(x2), abc(x1) -> corpus_words=2 distinct, tokens=3
+    assert row["corpus_words"] == 2
+    assert row["corpus_tokens"] == 3
+    # pair mass: ab has 1 adjacent pair x2 occurrences, abc has 2
+    assert row["pair_mass"] == 1 * 2 + 2 * 1
+    assert row["alphabet_size"] == 3
+    # (a,b) count 3 beats (b,c) count 1 -> first merge
+    assert (row["rank0_left"], row["rank0_right"]) == ("a", "b")
+    assert row["rank0_count"] == 3
+    assert row["counts_nonincreasing"] and row["merged_is_concat"]
+
+
 def test_fuzzy_vocab_pairs_deletion_neighborhood(spark):
     from gnip_trend_detection_spark.extras.text import fuzzy_vocab_pairs
 

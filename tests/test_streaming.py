@@ -109,6 +109,32 @@ def test_streaming_rebin_matches_batch(spark, replay_dir):
         assert got[k] == pytest.approx(v, rel=1e-12), k
 
 
+def test_replay_complete_rebin_exact_vs_batch(spark):
+    """replay_complete (the complete-mode oracle-replay harness) must
+    hand back EXACTLY the batch streaming_rebin relation — bit-equal
+    counts, not approx: 80s intervals into 120s bins make every weight
+    a multiple of 0.5, so the sums are order-independent doubles.
+    This is the harness q_stream_rebin_replay rides."""
+    from gnip_trend_detection_spark.sources.tables import counts_from_events
+    from gnip_trend_detection_spark.streaming import streaming_rebin
+    from gnip_trend_detection_spark.streaming.replay import replay_complete
+
+    counts = counts_from_events(spark, SF, 80)
+    got = _rows_map(
+        replay_complete(
+            spark, counts, lambda s: streaming_rebin(s, "minutes", 2)
+        ).collect(),
+        ("counter", "bin_start"),
+        "count",
+    )
+    want = _rows_map(
+        streaming_rebin(counts, "minutes", 2).collect(),
+        ("counter", "bin_start"),
+        "count",
+    )
+    assert got == want  # exact equality, including the straddle halves
+
+
 LINREG_KW = {"min_points": 5, "averaging_window_size": 3, "regression_window_size": 12}
 
 
