@@ -524,6 +524,56 @@ SELECT counter, CAST(bin * 120 AS BIGINT) AS bin_ts,
 FROM alloc0 GROUP BY 1, 2
 """
 
+    # session-window streaming twin (queries.q_stream_sessionize_replay):
+    # islands-and-gaps per user in exact integer MICROS. Boundary rules
+    # probed against Spark's session_window (see the query docstring):
+    # merge at diff <= gap (break strictly >), closed iff session_end
+    # (last event + gap) <= the global max event time (the final 0s
+    # watermark). sid is window-internal only, so its HUGEINT SUM never
+    # reaches the output schema.
+    sql["stream_sessionize_replay"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+d AS (
+  SELECT user_id, t,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT user_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+),
+g AS (
+  SELECT user_id, CAST(MIN(t) AS BIGINT) AS session_start_us,
+         CAST(MAX(t) + 1800000000 AS BIGINT) AS session_end_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM g
+WHERE session_end_us <= (SELECT MAX(epoch_us(ts)) FROM events)
+"""
+
+    # hourly continuous-aggregate streaming twin
+    # (queries.q_stream_rollup_replay): epoch-aligned hour counts,
+    # closed-window predicate hour_end <= max event time - 7200s (the
+    # final 2h watermark; end == watermark emits — probed). Weight 1.0
+    # -> integer-valued double sums, order-independent.
+    sql["stream_rollup_replay"] = """
+WITH e AS (SELECT event_type AS counter, epoch(ts) AS t FROM events),
+wm AS (SELECT MAX(t) - 7200.0 AS w FROM e),
+g AS (
+  SELECT counter, CAST(FLOOR(t / 3600) * 3600 AS BIGINT) AS hour_ts,
+         CAST(COUNT(*) AS DOUBLE) AS count
+  FROM e GROUP BY 1, 2
+)
+SELECT g.counter, g.hour_ts, g.count
+FROM g, wm WHERE g.hour_ts + 3600 <= wm.w
+"""
+
     # --- Seasonal decomposition (engine extension) ---
     # trend = exact integer window sum / count; detrended values
     # floor-quantized to 2^-14 before the per-phase mean so the hash

@@ -3506,6 +3506,69 @@ def q_stream_rebin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (streaming/sessionize.py, session_window
+    + watermark) replayed over 3 event-time micro-batches in APPEND
+    mode (streaming/replay.py:replay_relation): the sink holds every
+    session the advancing watermark closed. Probed-and-pinned boundary
+    semantics (tests/test_streaming.py::test_session_window_boundaries):
+    two events exactly `gap` apart MERGE (Spark's merge rule is
+    diff <= gap, the docs' strict-< reading is wrong at the boundary),
+    and a session whose end equals the final watermark IS emitted —
+    the SQL twin breaks on diff > gap and keeps session_end <= max
+    event time. Micros-integer session bounds keep the hash exact.
+    Seventh oracle-checked streaming path, and the first session-window
+    (merging-state) one."""
+    from gnip_trend_detection_spark.streaming import sessionize_stream
+    from gnip_trend_detection_spark.streaming.replay import replay_relation
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    out = replay_relation(
+        spark,
+        ev,
+        lambda s: sessionize_stream(s, gap="30 minutes"),
+        time_col="ts",
+        output_mode="append",
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def q_stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable continuous-aggregate's fine level — the hourly
+    tumbling-window rollup (streaming/rollup.py:hourly_rollup_stream)
+    — replayed over 3 event-time micro-batches in APPEND mode: each
+    hour row reaches the sink exactly once, when the watermark (max
+    event time − 2h delay) closes it, so the sink is the set of CLOSED
+    hours. Probed boundary (tests/test_streaming.py::
+    test_tumbling_window_closure_boundary): a window whose end equals
+    the watermark IS emitted — the SQL twin keeps hour_end <= max(ts)
+    − 7200. Weight 1.0 makes every sum an exact integer-valued double
+    (order-independent, hash-safe). Eighth oracle-checked streaming
+    path."""
+    from gnip_trend_detection_spark.streaming.rollup import (
+        hourly_rollup_stream,
+    )
+    from gnip_trend_detection_spark.streaming.replay import replay_relation
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("counter"),
+        "ts",
+        F.lit(1.0).alias("weight"),
+    )
+    return replay_relation(
+        spark,
+        ev,
+        hourly_rollup_stream,
+        time_col="ts",
+        output_mode="append",
+    )
+
+
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change-point chart on the hourly series, the
     recursion rewritten as prefix-sum minus running-min (two ordered
@@ -3874,6 +3937,8 @@ ALL: dict[str, QueryFn] = {
     "stream_ewma_replay": q_stream_ewma_replay,
     "stream_cusum_replay": q_stream_cusum_replay,
     "stream_rebin_replay": q_stream_rebin_replay,
+    "stream_sessionize_replay": q_stream_sessionize_replay,
+    "stream_rollup_replay": q_stream_rollup_replay,
     "wdt_eta": q_wdt_eta,
     "correlation_pairs": q_correlation_pairs,
     "correlation_pairs_dense": q_correlation_pairs_dense,

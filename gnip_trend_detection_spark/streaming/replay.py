@@ -107,14 +107,14 @@ def _stage_time_slices(series: DataFrame, n_slices: int, time_col: str) -> str:
 def _drain_to_memory(
     spark: SparkSession,
     flat: str,
-    schema_ddl: str,
+    schema,  # DDL string or StructType — readStream.schema takes both
     transform: Callable[[DataFrame], DataFrame],
     output_mode: str,
 ) -> DataFrame:
     """availableNow-replay the staged slices through ``transform`` into
     a memory sink; return the sink contents as a plain DataFrame."""
     stream_in = (
-        spark.readStream.schema(schema_ddl)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(flat)
     )
@@ -173,6 +173,35 @@ def replay_scored(
             shutil.rmtree(flat, ignore_errors=True)
     finally:
         series.unpersist()
+
+
+def replay_relation(
+    spark: SparkSession,
+    df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    time_col: str,
+    output_mode: str,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Generic replay for an arbitrary relation: slice by ``time_col``,
+    restream under the relation's own schema, drain in ``output_mode``.
+
+    This is the shape session-window replays need (events keyed by
+    user, append mode: the sink holds every session the advancing
+    watermark CLOSED — sessions still open at end-of-stream are append
+    mode's documented remainder, so the SQL twin must carry the same
+    closure predicate, session_end <= max event time)."""
+    df = df.persist()
+    try:
+        flat = _stage_time_slices(df, n_slices, time_col)
+        try:
+            return _drain_to_memory(
+                spark, flat, df.schema, transform, output_mode
+            )
+        finally:
+            shutil.rmtree(flat, ignore_errors=True)
+    finally:
+        df.unpersist()
 
 
 def replay_complete(

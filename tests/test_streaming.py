@@ -135,6 +135,112 @@ def test_replay_complete_rebin_exact_vs_batch(spark):
     assert got == want  # exact equality, including the straddle halves
 
 
+def test_session_window_boundaries(spark):
+    """Pin the two boundary rules q_stream_sessionize_replay's SQL twin
+    encodes, probed empirically against Spark's session_window:
+    (1) two events exactly `gap` apart MERGE into one session (the
+    merge rule is diff <= gap — the docs' strict-< reading is wrong at
+    the boundary); (2) in append mode a session whose end equals the
+    final watermark IS emitted (closure is end <= watermark)."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.streaming import sessionize_stream
+
+    # (1) merge rule, batch path: events at t=1000 and t=1060, gap 60s
+    df = spark.createDataFrame(
+        [(1, 1000), (1, 1060)], "user_id long, ts_epoch long"
+    ).select("user_id", F.timestamp_seconds("ts_epoch").alias("ts"))
+    got = [
+        (r["user_id"], int(r["session_start"].timestamp()),
+         int(r["session_end"].timestamp()), r["n_events"])
+        for r in sessionize_stream(df, gap="60 seconds").collect()
+    ]
+    assert got == [(1, 1000, 1120, 2)], got  # ONE merged session
+
+    # (2) closure rule, streaming path: user 1's session ends at 1060,
+    # exactly the final watermark (user 2's max event) — must emit
+    ev = spark.createDataFrame(
+        [(1, 1000), (2, 1060)], "user_id long, ts_epoch long"
+    ).select("user_id", F.timestamp_seconds("ts_epoch").alias("ts"))
+    flat = tempfile.mkdtemp(prefix="stream_sess_edge_")
+    t0 = _time.time() - 600
+    for i in (1, 2):
+        d = f"{flat}/b{i}"
+        ev.filter(F.col("user_id") == i).coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.move(f"{d}/{part}", dst)
+        shutil.rmtree(d)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    stream_in = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    _run_to_completion(
+        sessionize_stream(stream_in, gap="60 seconds"), "append", "sess_edge"
+    )
+    emitted = [
+        (r["user_id"], int(r["session_end"].timestamp()))
+        for r in spark.sql("select * from sess_edge").collect()
+    ]
+    shutil.rmtree(flat, ignore_errors=True)
+    assert emitted == [(1, 1060)], emitted  # end == watermark emits
+
+
+def test_tumbling_window_closure_boundary(spark):
+    """Pin the tumbling-window closure rule q_stream_rollup_replay's
+    SQL twin encodes: a window whose end EQUALS the final watermark is
+    emitted (end <= watermark), one ending after it is not."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from gnip_trend_detection_spark.streaming.rollup import (
+        hourly_rollup_stream,
+    )
+
+    # counter a: event at t=3600 -> hour [3600, 7200); counter b:
+    # event at t=14400 (max) -> final watermark = 14400 - 7200 = 7200
+    ev = spark.createDataFrame(
+        [("a", 3600), ("b", 14400)], "counter string, t long"
+    ).select(
+        "counter",
+        F.timestamp_seconds("t").alias("ts"),
+        F.lit(1.0).alias("weight"),
+    )
+    flat = tempfile.mkdtemp(prefix="stream_roll_edge_")
+    t0 = _time.time() - 600
+    for i, c in enumerate(["a", "b"]):
+        d = f"{flat}/b{i}"
+        ev.filter(F.col("counter") == c).coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.move(f"{d}/{part}", dst)
+        shutil.rmtree(d)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    stream_in = (
+        spark.readStream.schema(
+            "counter string, ts timestamp, weight double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    _run_to_completion(
+        hourly_rollup_stream(stream_in), "append", "roll_edge"
+    )
+    emitted = sorted(
+        (r["counter"], r["hour_ts"], r["count"])
+        for r in spark.sql("select * from roll_edge").collect()
+    )
+    shutil.rmtree(flat, ignore_errors=True)
+    assert emitted == [("a", 3600, 1.0)], emitted
+
+
 LINREG_KW = {"min_points": 5, "averaging_window_size": 3, "regression_window_size": 12}
 
 
