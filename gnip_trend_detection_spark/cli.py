@@ -167,6 +167,24 @@ def _build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--shards", type=int, default=8)
     pk.add_argument("--seed", type=int, default=42)
 
+    wd = sub.add_parser(
+        "wds",
+        help="export multimodal samples as WebDataset-style tar shards "
+        "(key-pure shard assignment, bit-reproducible tars + manifest)",
+    )
+    wd.add_argument(
+        "-i", "--input", required=True,
+        help="parquet with (doc_id, media_type, payload binary, *meta); "
+        "or a documents table with --synthesize",
+    )
+    wd.add_argument("-o", "--output", required=True, help="shard dir")
+    wd.add_argument("--shards", type=int, default=8)
+    wd.add_argument(
+        "--synthesize", action="store_true",
+        help="treat input as a documents table and synthesize "
+        "deterministic media payloads from doc_id (test corpora)",
+    )
+
     bg = sub.add_parser(
         "budget",
         help="UniMax epoch-capped token-budget allocation across "
@@ -466,6 +484,29 @@ def main(argv: list[str] | None = None) -> int:
         # manifest — the same partitionBy-write shape the packing
         # order was computed in
         out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
+        return 0
+
+    if args.cmd == "wds":
+        from gnip_trend_detection_spark.extras.webdataset import (
+            write_webdataset,
+        )
+
+        src = spark.read.parquet(args.input)
+        if args.synthesize:
+            from gnip_trend_detection_spark.extras.multimodal import (
+                synthesize_media,
+            )
+
+            src = synthesize_media(src.select("doc_id"))
+        manifest = write_webdataset(src, args.output, n_shards=args.shards)
+        rows = manifest.collect()  # bounded: one row per shard
+        for r in sorted(rows, key=lambda r: r["shard"]):
+            print(
+                f"shard {r['shard']:06d}: {r['n_samples']} samples, "
+                f"{r['n_bytes']} bytes, sha256 {r['sha256'][:12]}…"
+            )
+        print(f"wds: {sum(r['n_samples'] for r in rows)} samples in "
+              f"{len(rows)} shard(s) -> {args.output}")
         return 0
 
     if args.cmd == "budget":

@@ -658,3 +658,24 @@ def test_cli_full_curation_chain(tmp_path, spark):
     man = spark.read.parquet(manifest)
     assert man.select("doc_id").distinct().count() == 21
     assert man.select("shard").distinct().count() <= 4
+
+
+def test_cli_wds_exports_shards(tmp_path, spark, capsys):
+    """wds verb: synthesize media from a documents parquet and export
+    WebDataset tar shards + a printed manifest."""
+    from gnip_trend_detection_spark.cli import main
+    from gnip_trend_detection_spark.extras.webdataset import read_webdataset
+
+    docs = spark.range(30).withColumnRenamed("id", "doc_id")
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "wds")
+    rc = main(["wds", "-i", src, "-o", out, "--shards", "3", "--synthesize"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "wds: 30 samples" in text
+    back = read_webdataset(spark, out)
+    assert back.count() == 30
+    assert set(back.select("media_type").distinct().toPandas()["media_type"]) == {
+        "image", "audio",
+    }
