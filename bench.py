@@ -89,6 +89,7 @@ HEADLINE = [
     "embedding_quantize",
     "pq_codes",
     "bpe_contract",
+    "kn_logppl",
     "conversion_within_hour",
     "label_centroids",
     "value_outliers",

@@ -575,6 +575,78 @@ def bigram_logppl(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def kneser_ney_logppl(
+    docs: DataFrame, text_col: str = "text", discount: float = 0.75
+) -> DataFrame:
+    """Per-document log-perplexity under an interpolated KNESER-NEY
+    bigram LM trained on the corpus itself — the actual smoothing the
+    KenLM quality filters use (CCNet-style curation), one rung above
+    ``bigram_logppl``'s add-one: instead of pretending every unseen
+    successor is equally likely, mass discounted from observed bigrams
+    is re-spent on the CONTINUATION distribution (how many distinct
+    contexts a word completes), so "francisco" stops looking probable
+    outside "san francisco".
+
+      p_KN(w2|w1) = (c12 − D)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/N1+(··)
+
+    with D = ``discount`` (0.75, Chen & Goodman's fixed estimate; a
+    dyadic constant so the arithmetic is exactly reproducible),
+    c12/c1 the bigram/prefix counts, N1+(w1·) distinct successors of
+    w1, N1+(·w2) distinct predecessors of w2, N1+(··) total distinct
+    bigram types. Every held-in bigram has c12 ≥ 1 > D, so p > 0 with
+    no extra floor. log_ppl_kn(d) = −(1/|bigrams_d|)·Σ tf·ln p; docs
+    with < 2 tokens are dropped; 6-decimal rounding per the file-wide
+    parity policy.
+
+    Scale shape — identical to bigram_logppl plus two more vocab-sized
+    roll-ups of the SAME (w1, w2, c12) relation (successor counts per
+    w1 ride the existing prefix agg; predecessor counts per w2 and the
+    1-row type total are one agg each): explode scan → (doc, w1, w2)
+    hash agg → three LM roll-ups → keyed joins (AQE broadcasts the LM
+    sides when they fit) → per-doc re-aggregation. No windows, no
+    all-pairs, nothing single-partition.
+    """
+    t = docs.select("doc_id", tokens(F.col(text_col)).alias("toks")).filter(
+        F.size("toks") > 1
+    )
+    pairs = t.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(toks, 1, size(toks) - 1)"),
+                F.expr("slice(toks, 2, size(toks) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    tf = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    lm = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    pre = lm.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_succ")
+    )
+    cont = lm.groupBy("w2").agg(F.count(F.lit(1)).alias("n_pred"))
+    tot = lm.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    d = F.lit(float(discount))
+    p_kn = (F.col("c12").cast("double") - d) / F.col("c1").cast("double") + (
+        d * F.col("n_succ").cast("double") / F.col("c1").cast("double")
+    ) * (F.col("n_pred").cast("double") / F.col("n_types"))
+    return (
+        tf.join(lm, ["w1", "w2"])
+        .join(pre, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            (
+                -F.sum(F.col("tf").cast("double") * F.log(p_kn))
+                / F.sum("tf").cast("double")
+            ).alias("raw"),
+        )
+        .select("doc_id", "n_bigrams", F.round("raw", 6).alias("log_ppl_kn"))
+    )
+
+
 def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document character-unigram Shannon entropy (bits/char) —
     the compressibility stand-in quality signal: keyboard mash,

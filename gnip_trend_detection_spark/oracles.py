@@ -1639,6 +1639,37 @@ FROM tf JOIN lm USING (w1, w2) JOIN pre USING (w1) CROSS JOIN v
 GROUP BY doc_id
 """
 
+    # interpolated Kneser-Ney bigram log-perplexity (extras/text.py:
+    # kneser_ney_logppl, D = 0.75): same CTE ladder as bigram_logppl
+    # plus distinct-successor / distinct-predecessor / total-type
+    # roll-ups of the one (w1, w2, c12) relation.
+    sql["kn_logppl"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+t2 AS (SELECT * FROM t WHERE len(toks) > 1),
+pairs AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t2, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+),
+tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+lm AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1, 2),
+pre AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n_succ
+        FROM lm GROUP BY 1),
+cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_pred FROM lm GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_types FROM lm)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND(-SUM(CAST(tf AS DOUBLE)
+                  * LN((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+                       + (0.75 * CAST(n_succ AS DOUBLE)
+                          / CAST(c1 AS DOUBLE))
+                         * (CAST(n_pred AS DOUBLE) / n_types)))
+             / CAST(SUM(tf) AS DOUBLE), 6) AS log_ppl_kn
+FROM tf JOIN lm USING (w1, w2) JOIN pre USING (w1) JOIN cont USING (w2)
+CROSS JOIN tot
+GROUP BY doc_id
+"""
+
     # per-doc character-unigram Shannon entropy (extras/text.py:
     # char_entropy): same -sum(p*log2 p) form as Spark, doc-total via
     # the same partition window

@@ -803,6 +803,14 @@ def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logppl(_docs(spark, sf_dir))
 
 
+def q_kn_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc log-perplexity under an interpolated KNESER-NEY bigram
+    LM (extras/text.py:kneser_ney_logppl, D=0.75) — the smoothing the
+    KenLM curation filters actually use; discounted mass is re-spent
+    on the continuation distribution instead of a uniform prior."""
+    return text.kneser_ney_logppl(_docs(spark, sf_dir))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint selection over the corpus
     (extras/text.py:winnow_fingerprints, k=8, w=4) — the
@@ -3974,6 +3982,7 @@ ALL: dict[str, QueryFn] = {
     "semantic_dedup": q_semantic_dedup,
     "unigram_logppl": q_unigram_logppl,
     "bigram_logppl": q_bigram_logppl,
+    "kn_logppl": q_kn_logppl,
     "char_entropy": q_char_entropy,
     "fertility_by_lang": q_fertility_by_lang,
     "winnow_fingerprints": q_winnow_fingerprints,

@@ -71,6 +71,9 @@ BNLJ_OK = {
     "cluster_nmi",         # broadcast 1-row total + k/label-row
                            # marginals onto the contingency cells
     "ks_drift",            # broadcast 1-row (tmin, tmax) period bounds
+    "kn_logppl",           # broadcast 1-row distinct-bigram-type total
+    "bpe_contract",        # broadcast 1-row alphabet size onto the
+                           # 1-row vocab-stats contract row
 }
 
 # measured (2026-08, Spark 4.1) + 2 slack; unlisted queries get DEFAULT
@@ -98,6 +101,11 @@ EXCHANGE_CEILING = {
     # one arity up from unigram_logppl: (doc, w1, w2) tf agg + the
     # lm and prefix roll-ups + two term joins, all keyed
     "bigram_logppl": 11,
+    # bigram_logppl's ladder + the KN continuation roll-ups (distinct
+    # successors ride the prefix agg; distinct predecessors and the
+    # 1-row type total are one keyed agg each off the same lm
+    # relation, whose exchange is reused at runtime); measured 11
+    "kn_logppl": 13,
     # three signal sub-plans (logppl alone carries 4) + two doc_id
     # joins + the batched competition_ranks machinery: the static
     # count shows an SMJ exchange pair per rank-column join, but the

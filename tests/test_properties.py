@@ -327,6 +327,57 @@ def test_bpe_encode_applies_merges_in_rank_order(spark):
     )
 
 
+def test_kneser_ney_logppl_matches_brute_force(spark):
+    """kneser_ney_logppl against a pure-Python KN reference on a tiny
+    corpus (repeated bigrams, shared continuations, a singleton doc)."""
+    from collections import Counter
+
+    from gnip_trend_detection_spark.extras.text import kneser_ney_logppl
+
+    texts = {
+        0: "a b a b c",
+        1: "b c b a",
+        2: "c c c a",
+        3: "solo",  # single token: no bigram support, must be dropped
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in kneser_ney_logppl(df).collect()}
+    assert 3 not in got
+
+    # brute-force KN
+    D = 0.75
+    bigrams = Counter()
+    per_doc: dict[int, Counter] = {}
+    for i, t in texts.items():
+        ws = t.split()
+        if len(ws) < 2:
+            continue
+        c = Counter(zip(ws, ws[1:]))
+        per_doc[i] = c
+        bigrams.update(c)
+    c1 = Counter()
+    n_succ = Counter()
+    n_pred = Counter()
+    for (w1, w2), c in bigrams.items():
+        c1[w1] += c
+        n_succ[w1] += 1
+        n_pred[w2] += 1
+    n_types = len(bigrams)
+    for i, c in per_doc.items():
+        n = sum(c.values())
+        s = 0.0
+        for (w1, w2), tf in c.items():
+            p = (bigrams[(w1, w2)] - D) / c1[w1] + (
+                D * n_succ[w1] / c1[w1]
+            ) * (n_pred[w2] / n_types)
+            s -= tf * math.log(p)
+        want = s / n
+        assert got[i]["n_bigrams"] == n
+        assert abs(got[i]["log_ppl_kn"] - want) < 1e-6, (i, want)
+
+
 def test_bpe_contract_hand_computed(spark, tmp_path):
     """q_bpe_contract on a tiny hand-checkable corpus: vocab stats and
     the first merge must equal manual counts, invariants must hold."""

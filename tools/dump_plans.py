@@ -66,6 +66,8 @@ SHOWCASE = [
     ("value_quantiles_approx", "mergeable t-digest agg + exact two-phase bracket quantiles, group equi-join"),
     ("weighted_sample", "E-S hash-draw priorities, WindowGroupLimit top-k per group (O(k) reducer state)"),
     ("k_anonymity", "two map-side-combined hash aggs, all-integer governance report"),
+    ("kn_logppl", "Kneser-Ney ladder: one explode scan, three vocab-sized LM roll-ups, keyed joins"),
+    ("bpe_contract", "one corpus agg + vocab-sized argmax; contract row is a 1-row broadcast cross"),
 ]
 
 
