@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gnip_trend_detection_spark.extras.text import tokens
+from gnip_trend_detection_spark.functions.parallel import ensure_map_parallelism
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -149,6 +150,9 @@ def minhash_signatures(
     dominate the relational path) and sql for xxhash64."""
     if impl == "auto":
         impl = "numpy" if hash_impl == "md5" else "sql"
+    # local small-file scans arrive as 1-2 splits, serializing the
+    # tokenize+hash map work below; no-op on well-split inputs
+    docs = ensure_map_parallelism(docs)
     if impl == "numpy":
         if hash_impl != "md5":
             raise ValueError("impl='numpy' supports hash_impl='md5' only")
@@ -371,8 +375,26 @@ def lsh_eval(
     truep = inter.filter(
         F.lit(t_den) * F.col("i") >= F.lit(t_num) * (F.col("sa") + F.col("sb") - F.col("i"))
     ).select(F.col("da").alias("pa"), F.col("db").alias("pb"))
-    cand = lsh_candidate_pairs(sigs, rows_per_band).select(
-        F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb")
+    # candidate branch: band collisions only. n_cand/n_hit count
+    # PRE-verify pairs, so lsh_candidate_pairs' verified-Jaccard join
+    # (two sigs-side hash joins + an array_intersect per pair) would
+    # compute columns this query immediately discards — and an inner
+    # join's multiplicity can't be pruned by the optimizer, so those
+    # joins stay in the plan unless we skip them at build time
+    # (guide §1.2 step 1: don't compute things you throw away).
+    # Same bucketing by construction: identical band_rows input.
+    _ba, _bb = band_rows(sigs, rows_per_band).alias("a"), band_rows(
+        sigs, rows_per_band
+    ).alias("bb")
+    cand = (
+        _ba.join(
+            _bb,
+            (F.col("a.b") == F.col("bb.b"))
+            & (F.col("a.band_val") == F.col("bb.band_val"))
+            & (F.col("a.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("pa"), F.col("bb.doc_id").alias("pb"))
+        .distinct()
     )
     tagged = truep.select(
         "pa", "pb", F.lit(1).alias("__t"), F.lit(0).alias("__c")
