@@ -37,9 +37,11 @@ def _normed(embeddings: DataFrame) -> DataFrame:
 
 def centroid_probes(
     df: DataFrame,
-    cents: DataFrame,
+    cents: DataFrame | None,
     keep: int = 1,
     round_digits: int | None = 6,
+    cents_rows: list[tuple[int, list[float], float]] | None = None,
+    score_col: str | None = None,
 ) -> DataFrame:
     """Attach each row's ``keep`` nearest centroids WITHOUT shuffling.
 
@@ -64,26 +66,52 @@ def centroid_probes(
     ``df`` must carry ``v`` and ``nrm``; ``cents`` must carry
     (centroid_id, cv, cnrm). Adds ``centroid_id`` (and ``crk`` when
     keep > 1); all df columns pass through.
+
+    ``cents_rows``: pre-collected ``(cid, cv, cnrm)`` triples — when
+    the caller already holds the centroid set driver-side (every
+    k-means consumer does: the Lloyd loop collects it each round),
+    passing it here skips a createDataFrame + collect round-trip
+    (one whole Spark job of pure overhead per query). ``cents`` may
+    then be None.
+
+    ``score_col``: when set, the kernel also emits the ROUNDED score
+    it ranked by under this name — the same value the old
+    join-back-and-refold formulation recomputed with a broadcast hash
+    join plus a per-row JVM fold, i.e. a full extra pass over the
+    output that this flag deletes (verified value-identical: rounding
+    HALF-UP to ``round_digits`` reconciles BLAS-vs-fold summation
+    order on the fixtures, the same argument the ranking already
+    relies on). Requires ``round_digits``.
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
-    crows = cents.select(
-        F.col("centroid_id").cast("long").alias("cid"), "cv", "cnrm"
-    ).collect()
-    ids = np.array([r["cid"] for r in crows], dtype=np.int64)
+    if cents_rows is None:
+        crows = cents.select(
+            F.col("centroid_id").cast("long").alias("cid"), "cv", "cnrm"
+        ).collect()
+        cents_rows = [(r["cid"], r["cv"], r["cnrm"]) for r in crows]
+    ids = np.array([c for c, _, _ in cents_rows], dtype=np.int64)
     C = (
-        np.stack([np.asarray(r["cv"], dtype=np.float64) for r in crows])
-        if crows
+        np.stack([np.asarray(v, dtype=np.float64) for _, v, _ in cents_rows])
+        if cents_rows
         else np.zeros((0, 1))
     )
-    cnrm = np.array([r["cnrm"] for r in crows], dtype=np.float64)
-    kk = min(keep, len(crows))
+    cnrm = np.array([n for _, _, n in cents_rows], dtype=np.float64)
+    kk = min(keep, len(cents_rows))
 
     fields = list(df.schema.fields) + [StructField("centroid_id", LongType())]
     if keep > 1:
         fields.append(StructField("crk", IntegerType()))
+    if score_col is not None:
+        fields.append(StructField(score_col, DoubleType()))
     out_schema = StructType(fields)
     cols = df.columns
 
@@ -107,6 +135,8 @@ def centroid_probes(
             out["centroid_id"] = ids[sel].ravel()
             if keep > 1:
                 out["crk"] = np.tile(np.arange(1, kk + 1, dtype=np.int32), n_rows)
+            if score_col is not None:
+                out[score_col] = np.take_along_axis(S, sel, axis=1).ravel()
             yield out
 
     return df.mapInPandas(probe, out_schema)
@@ -290,10 +320,40 @@ def kmeans_centroids(
     MLlib's KMeans does), MEMORY_AND_DISK so a corpus bigger than
     executor memory spills instead of OOMing.
     """
+    spark = embeddings.sparkSession
+    cents = _kmeans_fit_rows(
+        embeddings,
+        n_centroids=n_centroids,
+        n_iter=n_iter,
+        seed=seed,
+        round_digits=round_digits,
+        _unit=_unit,
+    )
+    return spark.createDataFrame(cents, "centroid_id long, cv array<double>")
+
+
+def _kmeans_fit_rows(
+    embeddings: DataFrame,
+    n_centroids: int,
+    n_iter: int,
+    seed: int,
+    round_digits: int | None,
+    _unit: DataFrame | None = None,
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd loop of :func:`kmeans_centroids`, returning the final
+    centroid set as the driver-side row list it already holds after
+    the last round's collect. Callers that immediately probe with the
+    centroids (fit_predict, silhouette, purity/nmi) use this form +
+    ``centroid_probes(cents_rows=...)`` to skip a createDataFrame and
+    a collect-it-back job per query; ``kmeans_centroids`` wraps it for
+    the DataFrame contract (ivf_topk's ``centroids=`` plug-in point).
+    Per round the Arrow transfer ships ONLY ``v`` — vec_id is not
+    referenced by the partials kernel, so projecting it out halves the
+    non-payload bytes crossing the Python boundary (guide §4.1).
+    """
     n = _normed(embeddings).withColumn(
         "u", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
     )
-    spark = embeddings.sparkSession
     own_cache = _unit is None
     if own_cache:
         unit = n.select("vec_id", F.col("u").alias("v")).persist()
@@ -343,7 +403,7 @@ def kmeans_centroids(
                     rows, columns=["centroid_id", "cnt", "sums"]
                 )
 
-        part = unit.mapInPandas(
+        part = unit.select("v").mapInPandas(
             partials, "centroid_id long, cnt long, sums array<double>"
         )
         zero = F.array_repeat(F.lit(0.0), d)
@@ -382,7 +442,7 @@ def kmeans_centroids(
         cents = [(r["centroid_id"], list(r["cv"])) for r in means.collect()]
     if own_cache:
         unit.unpersist()
-    return spark.createDataFrame(cents, "centroid_id long, cv array<double>")
+    return cents
 
 
 def kmeans_fit_predict(
@@ -391,6 +451,8 @@ def kmeans_fit_predict(
     n_iter: int = 2,
     seed: int = 7,
     round_digits: int = 6,
+    carry: tuple[str, ...] = (),
+    with_score: bool = True,
 ) -> DataFrame:
     """Fit the parity-pinned spherical k-means and return every
     vector's final assignment — the curation-clustering view (cluster
@@ -403,7 +465,12 @@ def kmeans_fit_predict(
     reproducible bit-for-bit against a sequential-fold reference
     implementation. Scale shape: per round one broadcast map pass +
     one (centroid, dim) agg; the only collected relation is the
-    k-row centroid set (bounded by construction).
+    k-row centroid set (bounded by construction). The final probe is
+    ZERO-join: the kernel emits the rounded cosine it ranked by, and
+    ``carry`` columns (e.g. a label for external cluster evals) pass
+    through the kernel instead of being joined back on vec_id.
+    ``with_score=False`` drops cos_r for consumers that only need the
+    assignment.
     """
     n = _normed(embeddings).withColumn(
         "u", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
@@ -412,36 +479,48 @@ def kmeans_fit_predict(
     # final probe — without it each round's collect() re-reads and
     # re-normalizes the corpus from parquet (see kmeans_centroids)
     shared = n.select("vec_id", F.col("u").alias("v")).persist()
-    cents = kmeans_centroids(
+    cents = _kmeans_fit_rows(
         embeddings,
         n_centroids=n_centroids,
         n_iter=n_iter,
         seed=seed,
         round_digits=round_digits,
         _unit=shared,
-    ).withColumn("cnrm", F.lit(1.0))
-    unit = shared.withColumn("nrm", F.lit(1.0))
-    import numpy as np  # noqa: F401  (centroid_probes dependency)
-
-    assigned = centroid_probes(unit, cents, 1, round_digits=round_digits)
+    )
+    # the probe recomputes the unit relation from source (carry joins
+    # ride along for free: extra passthrough columns, not a shuffle) —
+    # unit vectors have cnrm = nrm = 1 so the kernel's score IS the
+    # pinned cosine; emitting it from the kernel replaces the old
+    # broadcast-join-back + per-row JVM refold of the same dot product
+    unit = (
+        embeddings.select(
+            "vec_id", *carry, as_double(F.col("embedding")).alias("v")
+        )
+        .withColumn("nrm", norm(F.col("v")))
+        .select(
+            "vec_id",
+            *carry,
+            F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("v"),
+            F.lit(1.0).alias("nrm"),
+        )
+    )
+    assigned = centroid_probes(
+        unit,
+        None,
+        1,
+        round_digits=round_digits,
+        cents_rows=[(cid, cv, 1.0) for cid, cv in cents],
+        score_col="cos_r" if with_score else None,
+    )
     # free the fit-time cache now: the returned probe is lazy, so its
     # execution recomputes the unit relation once from source (exactly
     # the pre-cache cost) instead of pinning corpus-sized blocks past
     # this call's lifetime in a long-lived session
     shared.unpersist()
-    dot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        assigned.join(F.broadcast(cents.select("centroid_id", "cv")), "centroid_id")
-        .select(
-            "vec_id",
-            F.col("centroid_id").alias("cluster"),
-            F.round(dot, round_digits).alias("cos_r"),
-        )
-    )
+    keep_cols = ["vec_id", *carry, F.col("centroid_id").alias("cluster")]
+    if with_score:
+        keep_cols.append("cos_r")
+    return assigned.select(*keep_cols)
 
 
 def ivf_topk(
@@ -889,42 +968,69 @@ def kmeans_silhouette(
 
     Returns (cluster, n_vecs, mean_silhouette).
     """
-    cents = kmeans_centroids(
+    import numpy as np
+
+    cents = _kmeans_fit_rows(
         embeddings,
         n_centroids=n_centroids,
         n_iter=n_iter,
         seed=seed,
         round_digits=round_digits,
-    ).withColumn("cnrm", F.lit(1.0))
+    )
+    ids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = (
+        np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
+        if cents
+        else np.zeros((0, 1))
+    )
     n = _normed(embeddings).withColumn(
         "u", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
     )
-    unit = n.select("vec_id", F.col("u").alias("v"), F.lit(1.0).alias("nrm"))
-    probes = centroid_probes(unit, cents, 2, round_digits=round_digits)
-    dot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = probes.join(
-        F.broadcast(cents.select("centroid_id", "cv")), "centroid_id"
-    ).select(
-        "vec_id",
-        "crk",
-        "centroid_id",
-        F.round(dot, round_digits).alias("c"),
-    )
-    per_vec = scored.groupBy("vec_id").agg(
-        F.max(F.when(F.col("crk") == 1, F.col("centroid_id"))).alias("cluster"),
-        F.max(F.when(F.col("crk") == 1, F.col("c"))).alias("c1"),
-        F.max(F.when(F.col("crk") == 2, F.col("c"))).alias("c2"),
-    )
-    sil = F.when(F.col("c1") == F.col("c2"), F.lit(0.0)).otherwise(
-        (F.col("c1") - F.col("c2")) / (F.lit(1.0) - F.col("c2"))
-    )
-    return per_vec.groupBy("cluster").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        (F.round(F.avg(sil), 6) + F.lit(0.0)).alias("mean_silhouette"),
+    unit = n.select(F.col("u").alias("v"))
+    p = 10.0**round_digits
+
+    # One fused map pass replaces the old probe→broadcast-join→refold→
+    # groupBy(vec_id) pivot pipeline: the kernel already holds the full
+    # rounded score row, so it takes c1/c2 directly (same lexsort rank
+    # rule) and pre-aggregates per-cluster (count, sum sil) partials —
+    # the shuffle drops from 2 rows per corpus vector to batches × k
+    # partial rows, the same map-side-combine shape as the Lloyd fit.
+    def sil_partials(batches, ids=ids, C=C):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not len(ids):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            S = X @ C.T
+            S = np.sign(S) * np.floor(np.abs(S) * p + 0.5) / p
+            sel = np.lexsort((np.broadcast_to(ids, S.shape), -S), axis=1)[:, :2]
+            top = np.take_along_axis(S, sel, axis=1)
+            own = sel[:, 0]
+            if top.shape[1] > 1:
+                c1, c2 = top[:, 0], top[:, 1]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sil = np.where(c1 == c2, 0.0, (c1 - c2) / (1.0 - c2))
+            else:
+                sil = None  # single centroid: no "nearest other" → NULL
+            rows = []
+            for j in np.unique(own):
+                m = own == j
+                rows.append(
+                    (
+                        int(ids[j]),
+                        int(m.sum()),
+                        float(sil[m].sum()) if sil is not None else None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["cluster", "cnt", "s"])
+
+    part = unit.mapInPandas(sil_partials, "cluster long, cnt long, s double")
+    return part.groupBy("cluster").agg(
+        F.sum("cnt").cast("long").alias("n_vecs"),
+        (F.round(F.sum("s") / F.sum("cnt"), 6) + F.lit(0.0)).alias(
+            "mean_silhouette"
+        ),
     )
 
 
@@ -1019,12 +1125,21 @@ def cluster_purity(
     Returns (cluster, n_vecs, majority_label, purity) — purity
     rounded to 6.
     """
-    assigned = kmeans_fit_predict(
-        embeddings, n_centroids=n_centroids, n_iter=n_iter, seed=seed
-    ).select("vec_id", "cluster")
-    lab = embeddings.select("vec_id", F.col(label_col).alias("lab"))
+    # the probe passes arbitrary columns through its kernel, so the
+    # label rides along with the assignment — the old formulation
+    # joined the corpus-sized assignment back to the corpus on vec_id
+    # (a full shuffle of both sides) just to reattach a column the
+    # probe input already had, and computed a cos_r it then discarded
     cl = (
-        assigned.join(lab, "vec_id")
+        kmeans_fit_predict(
+            embeddings,
+            n_centroids=n_centroids,
+            n_iter=n_iter,
+            seed=seed,
+            carry=(label_col,),
+            with_score=False,
+        )
+        .select("cluster", F.col(label_col).alias("lab"))
         .groupBy("cluster", "lab")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1065,12 +1180,18 @@ def cluster_nmi(
 
     Returns one row: (n, n_clusters, n_labels, nmi) — nmi rounded 6.
     """
-    assigned = kmeans_fit_predict(
-        embeddings, n_centroids=n_centroids, n_iter=n_iter, seed=seed
-    ).select("vec_id", "cluster")
-    lab = embeddings.select("vec_id", F.col(label_col).alias("lab"))
+    # label carried through the probe kernel — see cluster_purity for
+    # why this replaces the corpus×corpus vec_id join
     cl = (
-        assigned.join(lab, "vec_id")
+        kmeans_fit_predict(
+            embeddings,
+            n_centroids=n_centroids,
+            n_iter=n_iter,
+            seed=seed,
+            carry=(label_col,),
+            with_score=False,
+        )
+        .select("cluster", F.col(label_col).alias("lab"))
         .groupBy("cluster", "lab")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint()

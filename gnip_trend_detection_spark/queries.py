@@ -3901,8 +3901,8 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gnip_trend_detection_spark.extras.similarity import kmeans_fit_predict
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_fit_predict(emb, n_centroids=8, n_iter=2, seed=7).select(
-        "vec_id", "cluster"
+    assigned = kmeans_fit_predict(
+        emb, n_centroids=8, n_iter=2, seed=7, with_score=False
     )
     return sample_per_group(
         assigned, "cluster", k=20, key_col="vec_id", seed=11
