@@ -112,7 +112,8 @@ def logreg_train_newton(
     n_iter: int = 8,
     ridge: float = 1e-6,
     with_grad: bool = False,
-) -> tuple[np.ndarray, float] | tuple[np.ndarray, float, float]:
+    with_counts: bool = False,
+) -> tuple:
     """Fit logistic regression by Newton / IRLS — the production
     solver: quadratic convergence gets to machine-precision optimum in
     ~6-8 passes where GD takes 30+, and each pass is still ONE map
@@ -128,52 +129,77 @@ def logreg_train_newton(
     is O(d^3) on a (d+1) system — dimension-bounded, like the PCA
     eigh. A small ridge keeps the Hessian invertible under separable
     data (where the MLE diverges).
+
+    The kernel derives the dimensionality from its first batch and
+    every partial row carries (cnt, pos) alongside the block, so
+    neither a schema-probe ``first()`` job nor (``with_counts=True``,
+    for the invariants certificate) a separate COUNT/SUM job over the
+    corpus is ever launched — both used to be whole extra passes.
+    ``with_counts`` appends ``(n, n_pos)`` (from the round-1 partials)
+    to the returned tuple.
     """
     feats = embs.select(
         F.col(vec_col).alias("_x"), F.col(label_col).cast("double").alias("_y")
     ).persist()
-    first = feats.first()
-    if first is None:
-        feats.unpersist()
-        if with_grad:
-            return np.zeros(0), 0.0, 0.0
-        return np.zeros(0), 0.0
-    d = len(first["_x"])
-    da = d + 1
-    n_flat = da * da + da
 
-    w = np.zeros(da, dtype=np.float64)  # [weights..., bias]
+    w = None  # [weights..., bias]; sized by the round-1 partials
+    n_total = n_pos = 0
     # with_grad: one extra partial pass AT the returned w (no update)
     # — the convergence certificate ||grad||_inf the invariants query
     # pins; the in-loop gradient is at the PREVIOUS iterate, not the
     # returned optimum
     grad_norm = float("nan")
     for it in range(n_iter + (1 if with_grad else 0)):
-        w_c = w.copy()
+        w_c = None if w is None else w.copy()
 
         def partials(batches, w_c=w_c):
-            acc = np.zeros(n_flat, dtype=np.float64)
-            seen = False
+            acc = None
+            cnt = 0
+            pos = 0.0
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                seen = True
                 X = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in pdf["_x"]]
                 )
                 Xa = np.hstack([X, np.ones((len(X), 1))])
+                da_k = Xa.shape[1]
+                if acc is None:
+                    acc = np.zeros(da_k * da_k + da_k, dtype=np.float64)
+                wk = np.zeros(da_k, dtype=np.float64) if w_c is None else w_c
                 yv = pdf["_y"].to_numpy(dtype=np.float64)
-                p = _sigmoid(Xa @ w_c)
+                p = _sigmoid(Xa @ wk)
                 r = p * (1.0 - p)
-                acc[: da * da] += ((Xa.T * r) @ Xa).ravel()
-                acc[da * da :] += Xa.T @ (p - yv)
-            if seen:
-                yield pd.DataFrame({"g": [acc.tolist()]})
+                acc[: da_k * da_k] += ((Xa.T * r) @ Xa).ravel()
+                acc[da_k * da_k :] += Xa.T @ (p - yv)
+                cnt += len(X)
+                pos += float(yv.sum())
+            if acc is not None:
+                yield pd.DataFrame(
+                    {"g": [acc.tolist()], "cnt": [cnt], "pos": [pos]}
+                )
 
-        rows = feats.mapInPandas(partials, "g array<double>").collect()
-        flat = np.zeros(n_flat, dtype=np.float64)
+        rows = feats.mapInPandas(
+            partials, "g array<double>, cnt long, pos double"
+        ).collect()
+        if not rows:  # empty input: no partial ever emitted
+            feats.unpersist()
+            out: tuple = (np.zeros(0), 0.0)
+            if with_grad:
+                out = out + (0.0,)
+            if with_counts:
+                out = out + (0, 0)
+            return out
+        if it == 0:
+            n_total = sum(int(row["cnt"]) for row in rows)
+            n_pos = int(round(sum(float(row["pos"]) for row in rows)))
+        flat = np.zeros(len(rows[0]["g"]), dtype=np.float64)
         for row in rows:
             flat += np.asarray(row["g"], dtype=np.float64)
+        da = int(round((-1.0 + np.sqrt(1.0 + 4.0 * len(flat))) / 2.0))
+        d = da - 1
+        if w is None:
+            w = np.zeros(da, dtype=np.float64)
         H = flat[: da * da].reshape(da, da) + ridge * np.eye(da)
         g = flat[da * da :]
         if it == n_iter:  # the with_grad certificate pass
@@ -181,9 +207,12 @@ def logreg_train_newton(
             break
         w = w - np.linalg.solve(H, g)
     feats.unpersist()
+    out = (w[:d], float(w[d]))
     if with_grad:
-        return w[:d], float(w[d]), grad_norm
-    return w[:d], float(w[d])
+        out = out + (grad_norm,)
+    if with_counts:
+        out = out + (n_total, n_pos)
+    return out
 
 
 def logreg_score(

@@ -1966,14 +1966,9 @@ def q_logreg_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.as_double(F.col("embedding")).alias("embedding"),
         (F.col("label") == 0).cast("double").alias("y"),
     )
-    w, b, grad_norm = classifier.logreg_train_newton(
-        e, label_col="y", n_iter=8, with_grad=True
+    w, b, grad_norm, n, n_pos = classifier.logreg_train_newton(
+        e, label_col="y", n_iter=8, with_grad=True, with_counts=True
     )
-    counts = e.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("y").cast("long")).alias("n_pos"),
-    ).first()
-    n, n_pos = int(counts["n"]), int(counts["n_pos"])
     converged = bool(grad_norm <= 1e-8 * max(n, 1))
     finite = bool(np.isfinite(w).all() and np.isfinite(b))
     return spark.createDataFrame(
