@@ -58,23 +58,39 @@ def _merge_pair(syms, left: str, right: str):
 
 
 def train_bpe(
-    docs: DataFrame, n_merges: int = 20, text_col: str = "text"
-) -> list[tuple[int, str, str, str, int]]:
+    docs: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    keep_vocab: bool = False,
+):
     """Learn ``n_merges`` BPE merges; returns
-    [(rank, left, right, merged, pair_count), ...].
+    [(rank, left, right, merged, pair_count), ...] — or, with
+    ``keep_vocab=True``, ``(merges, vocab0)`` where vocab0 is the
+    INITIAL checkpointed (n, syms) vocabulary relation (caller
+    unpersists): consumers that also need vocabulary stats read the
+    materialized vocab-sized relation instead of re-scanning and
+    re-aggregating the whole corpus a second time.
 
     Each round collects exactly ONE row (the argmax pair — count desc,
     then lexicographic, so the result is partitioning-independent).
     """
-    vocab = word_counts(docs, text_col).withColumn(
+    vocab0 = word_counts(docs, text_col).withColumn(
         "syms", F.split(F.col("word"), "")
     ).select("n", "syms")
     # localCheckpoint, not persist: each round's fold stacks ANOTHER
     # nested aggregate expression onto the plan, and by ~15 rounds the
     # accumulated lineage OOMs analysis on a small driver heap.
     # Checkpointing truncates the lineage so every round plans against
-    # a flat scan of the previous round's materialized vocab.
-    vocab = vocab.localCheckpoint(eager=True)
+    # a flat scan of the previous round's materialized vocab. LAZY
+    # (eager=False) checkpoints: each round's merged vocab is
+    # materialized BY the next round's pair-count job instead of a
+    # dedicated materialization job — one job per merge instead of
+    # two — and the last round's merged vocab (which nothing reads)
+    # is never materialized at all. The previous round's blocks are
+    # freed only after the round that consumes them has run.
+    vocab0 = vocab0.localCheckpoint(eager=False)
+    vocab = vocab0
+    to_free: list[DataFrame] = []
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
         pairs = (
@@ -93,16 +109,26 @@ def train_bpe(
             .orderBy(F.desc("cnt"), "l", "r")
         )
         top = pairs.first()
+        # `vocab` is materialized now; its parent round can be freed
+        for prev in to_free:
+            prev.unpersist()
+        to_free = []
         if top is None or top["cnt"] < 2:
             break
         left, right, cnt = top["l"], top["r"], int(top["cnt"])
         merges.append((rank, left, right, left + right, cnt))
         nxt = vocab.select(
             "n", _merge_pair(F.col("syms"), left, right).alias("syms")
-        ).localCheckpoint(eager=True)
-        vocab.unpersist()
+        ).localCheckpoint(eager=False)
+        if vocab is not vocab0 or not keep_vocab:
+            to_free.append(vocab)
         vocab = nxt
-    vocab.unpersist()
+    for prev in to_free:
+        prev.unpersist()
+    if vocab is not vocab0 or not keep_vocab:
+        vocab.unpersist()
+    if keep_vocab:
+        return merges, vocab0
     return merges
 
 

@@ -2155,32 +2155,58 @@ def q_bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gnip_trend_detection_spark.extras import bpe
 
     docs = _docs(spark, sf_dir).select("text")
-    merges = bpe.train_bpe(docs, n_merges=10)
+    # keep_vocab: the stats below read the trainer's materialized
+    # initial (n, syms) vocabulary instead of re-scanning and
+    # re-aggregating the corpus a second time (size(syms) ==
+    # length(word) — syms IS split(word, '')); both stat rollups run
+    # eagerly on the vocab-sized checkpoint, whose lifecycle ends here
+    merges, vocab0 = bpe.train_bpe(docs, n_merges=10, keep_vocab=True)
     r0 = merges[0]
     nonincr = all(
         merges[i][4] >= merges[i + 1][4] for i in range(len(merges) - 1)
     )
     concat_ok = all(m[3] == m[1] + m[2] for m in merges)
-    vocab = bpe.word_counts(docs)
-    stats = vocab.agg(
-        F.count(F.lit(1)).cast("long").alias("corpus_words"),
-        F.sum("n").cast("long").alias("corpus_tokens"),
-        F.sum((F.length("word") - 1) * F.col("n")).cast("long").alias("pair_mass"),
+    # one pass computes all four stats: pos==0 rows carry the
+    # word-level facts (count, token mass), pos>0 rows sum to the
+    # pair mass ((L-1)*n per word), and the exploded char column
+    # yields the alphabet — replacing a second corpus scan + two
+    # separate rollup jobs with a single job on the cached vocab
+    stats = (
+        vocab0.select("n", F.posexplode("syms").alias("pos", "ch"))
+        .agg(
+            F.sum(F.when(F.col("pos") == 0, 1)).cast("long").alias(
+                "corpus_words"
+            ),
+            F.sum(F.when(F.col("pos") == 0, F.col("n"))).cast("long").alias(
+                "corpus_tokens"
+            ),
+            F.sum(F.when(F.col("pos") > 0, F.col("n"))).cast("long").alias(
+                "pair_mass"
+            ),
+            F.count_distinct("ch").cast("long").alias("alphabet_size"),
+        )
+        .first()
     )
-    alpha = vocab.select(
-        F.explode(F.split(F.col("word"), "")).alias("ch")
-    ).agg(F.count_distinct("ch").cast("long").alias("alphabet_size"))
-    return stats.crossJoin(F.broadcast(alpha)).select(
-        "corpus_words",
-        "corpus_tokens",
-        "pair_mass",
-        "alphabet_size",
-        F.lit(r0[1]).alias("rank0_left"),
-        F.lit(r0[2]).alias("rank0_right"),
-        F.lit(r0[4]).cast("long").alias("rank0_count"),
-        F.lit(len(merges) == 10).alias("n_merges_full"),
-        F.lit(nonincr).alias("counts_nonincreasing"),
-        F.lit(concat_ok).alias("merged_is_concat"),
+    vocab0.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["corpus_words"]),
+                int(stats["corpus_tokens"]),
+                int(stats["pair_mass"]),
+                int(stats["alphabet_size"]),
+                r0[1],
+                r0[2],
+                int(r0[4]),
+                len(merges) == 10,
+                nonincr,
+                concat_ok,
+            )
+        ],
+        "corpus_words long, corpus_tokens long, pair_mass long, "
+        "alphabet_size long, rank0_left string, rank0_right string, "
+        "rank0_count long, n_merges_full boolean, "
+        "counts_nonincreasing boolean, merged_is_concat boolean",
     )
 
 
