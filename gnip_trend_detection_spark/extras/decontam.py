@@ -266,8 +266,16 @@ def decontaminate_fuzzy(
         minhash_signatures,
     )
 
-    c_sigs = minhash_signatures(corpus, text_col=text_col)
-    b_sigs = minhash_signatures(benchmark, text_col=text_col)
+    # Both signature relations feed several plan branches (banding,
+    # shingle explode for the verify join, set sizes); without a
+    # persist each branch re-runs the tokenize+shingle+minhash kernel
+    # from the parquet scan — 3 corpus-sized kernel passes where one
+    # suffices. Lazy persist: the single final action materializes
+    # each once and every branch reads the cached blocks
+    # (MEMORY_AND_DISK, so a big corpus spills instead of OOMing; the
+    # bench clears the cache after every query).
+    c_sigs = minhash_signatures(corpus, text_col=text_col).persist()
+    b_sigs = minhash_signatures(benchmark, text_col=text_col).persist()
     c_bands = band_rows(c_sigs, rows_per_band=2)
     b_bands = band_rows(b_sigs, rows_per_band=2).select(
         F.col("b"),
@@ -286,8 +294,16 @@ def decontaminate_fuzzy(
     b_sh = b_sigs.select(
         F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("sh")
     ).distinct()
-    c_sz = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
-    b_sz = b_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("nb"))
+    # set sizes straight off the per-doc shingle arrays — the old
+    # explode → distinct → groupBy count paid two extra shuffles for
+    # a number each cached signature row already determines
+    c_sz = c_sigs.select(
+        "doc_id", F.size(F.array_distinct("shingles")).alias("na")
+    )
+    b_sz = b_sigs.select(
+        F.col("doc_id").alias("bench_id"),
+        F.size(F.array_distinct("shingles")).alias("nb"),
+    )
     inter = (
         cand.join(c_sh, "doc_id")
         .join(b_sh, ["bench_id", "sh"])

@@ -467,14 +467,18 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
+        # EAGER on purpose: round 1 reads edges from two independent
+        # stages (the neighbor side and the label side) — left lazy,
+        # both race to compute the same un-materialized subtree
         .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # round 1's job reads cached edges
     )
+    prev = None
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
@@ -482,8 +486,12 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
         # carry the old label through the update join so the fixpoint
-        # check is a filter over the SAME checkpointed relation — one
-        # join + one agg per round, not a second full label join
+        # check reads the SAME checkpointed relation. The checkpoint
+        # is LAZY and the fixpoint probe is a full-pass aggregate, so
+        # ONE job per round both materializes the new labels and
+        # returns the changed count (the old eager-checkpoint +
+        # filter/limit/count pair was two jobs per round); the
+        # previous round's blocks are freed once consumed.
         stepped = (
             labels.join(nbr, labels["doc_id"] == nbr["nid"], "left")
             .select(
@@ -494,15 +502,18 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            stepped.filter(F.col("cluster_id") != F.col("old_cluster_id"))
-            .limit(1)
-            .count()
-        )
+        changed = stepped.agg(
+            F.sum(
+                (F.col("cluster_id") != F.col("old_cluster_id")).cast("long")
+            ).alias("c")
+        ).first()["c"]
+        if prev is not None:
+            prev.unpersist()
+        prev = stepped
         labels = stepped.select("doc_id", "cluster_id")
-        if changed == 0:
+        if not changed:
             break
     size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
     return labels.select(

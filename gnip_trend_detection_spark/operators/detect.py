@@ -55,6 +55,12 @@ def detect_mad_outliers(
     """
     from gnip_trend_detection_spark.operators.quantile import exact_quantiles_by
 
+    # the (bounded, grid-sized) counts relation feeds the median
+    # histogram, the deviation histogram AND the final scoring join —
+    # lazy persist so the one action materializes the rebin once
+    # instead of replaying the event scan + aggregate per branch
+    # (bench clears the cache after each query)
+    counts = counts.persist()
     med = exact_quantiles_by(counts, value_col, [0.5], by=group_col).select(
         group_col, F.col("quantile_value").alias("__med")
     )
