@@ -111,13 +111,17 @@ def cms_heavy_hitters_contract(
     """
     spark = df.sparkSession
     hh = heavy_hitters(df, col, k=k)
-    n_total = df.count()
+    # One pass: the row total rides the sketch aggregation instead of
+    # a dedicated count job (guide §1.2 — 3 input scans -> 2 for this
+    # query; both aggregates are map-side combined in the same stage).
     sk_row = df.agg(
+        F.count(F.lit(1)).alias("n"),
         F.expr(
             f"count_min_sketch({col}, CAST({eps} AS DOUBLE), "
             f"CAST({confidence} AS DOUBLE), {seed})"
-        ).alias("sk")
+        ).alias("sk"),
     ).first()
+    n_total = sk_row["n"]
     jvm = spark._jvm
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         jvm.java.io.ByteArrayInputStream(bytes(sk_row["sk"]))

@@ -326,9 +326,15 @@ def winnow_fingerprints(
     import numpy as np
     import pandas as pd
 
+    from gnip_trend_detection_spark.functions.parallel import (
+        ensure_map_parallelism,
+    )
+
     lt = F.lower(F.col(text_col))
-    t = docs.select("doc_id", lt.alias("lt")).filter(
-        F.length("lt") >= k + w - 1
+    t = ensure_map_parallelism(
+        docs.select("doc_id", lt.alias("lt")).filter(
+            F.length("lt") >= k + w - 1
+        )
     )
 
     def wf(batches):
@@ -417,12 +423,23 @@ def bm25_scores(
     """
     terms = sorted(set(query_terms))
     tarr = F.array(*[F.lit(t) for t in terms])
-    t = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    from gnip_trend_detection_spark.functions.parallel import (
+        ensure_map_parallelism,
+    )
+
+    src = ensure_map_parallelism(
+        docs.select("doc_id", F.col(text_col).alias("__t"))
+    )
+    t = src.select("doc_id", tokens(F.col("__t")).alias("toks"))
     dl = F.size("toks").cast("double")
     tfs = F.transform(
         tarr, lambda term: F.size(F.filter(F.col("toks"), lambda x: x == term))
     )
-    per_doc = t.select("doc_id", dl.alias("dl"), tfs.alias("tfs"))
+    # per_doc feeds the corpus stats AND the scoring pass; it is
+    # |terms|+2 columns per doc (output-sized), so a lazy persist runs
+    # the tokenize + per-term tf HOF map once instead of twice (guide
+    # §5.2); the §2.2 guard above keeps it off 1-2 local splits.
+    per_doc = t.select("doc_id", dl.alias("dl"), tfs.alias("tfs")).persist()
 
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -532,6 +549,14 @@ def bigram_logppl(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (AQE broadcasts the LM sides when they fit) → per-doc
     re-aggregation. V attaches as a 1-row broadcast. No all-pairs, no
     windows, nothing single-partition.
+
+    V is derived from the LM's key set instead of a third tokenize
+    pass over the corpus: every token of a >= 2-token doc occurs as w1
+    or w2 of one of its bigrams (position i < n-1 is a prefix,
+    position n-1 a successor), so distinct(w1 ∪ w2) over the corpus
+    bigrams IS the distinct unigram vocabulary of the bigram-bearing
+    corpus — value-identical, oracle re-verified (guide §1.2: don't
+    compute what another relation already holds).
     """
     t = docs.select("doc_id", tokens(F.col(text_col)).alias("toks")).filter(
         F.size("toks") > 1
@@ -549,9 +574,8 @@ def bigram_logppl(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tf = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
     lm = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     pre = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = (
-        t.select(F.explode("toks").alias("w"))
-        .agg(F.count_distinct("w").cast("double").alias("vsz"))
+    vocab = lm.select(F.explode(F.array("w1", "w2")).alias("w")).agg(
+        F.count_distinct("w").cast("double").alias("vsz")
     )
     return (
         tf.join(lm, ["w1", "w2"])

@@ -28,7 +28,13 @@ def ensure_map_parallelism(df: DataFrame, target: int | None = None) -> DataFram
     """Round-robin repartition ``df`` up to ``target`` (default: the
     session's ``defaultParallelism``) iff its current partition count
     is lower. No-op — no added Exchange — when the input already has
-    enough splits, which is the production case."""
+    enough splits, which is the production case.
+
+    Streaming DataFrames are returned untouched: the partition-count
+    probe (``df.rdd``) is illegal on a streaming plan, and micro-batch
+    sources size their own splits per trigger."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -950,7 +950,12 @@ def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail distortion."""
     from gnip_trend_detection_spark.operators.quantile import exact_quantiles
 
-    scores = text.quality_score(_docs(spark, sf_dir))
+    # The scored relation feeds BOTH the threshold histogram and the
+    # gate filter; without a persist each side replays the quality
+    # kernel over the corpus (2 scans in the r06 plan capture). It is
+    # output-sized (two columns), so a lazy persist makes the single
+    # action run the kernel once (guide §5.2).
+    scores = text.quality_score(_docs(spark, sf_dir)).persist()
     thr = exact_quantiles(scores, "quality_micro", [0.3]).select(
         F.col("quantile_value").alias("__thr")
     )
@@ -1479,10 +1484,13 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gnip_trend_detection_spark.extras.sketch import (
         cms_heavy_hitters_contract,
     )
-
-    toks = _docs(spark, sf_dir).select(
-        F.explode(text.tokens(F.col("text"))).alias("tok")
+    from gnip_trend_detection_spark.functions.parallel import (
+        ensure_map_parallelism,
     )
+
+    toks = ensure_map_parallelism(
+        _docs(spark, sf_dir).select(F.col("text"))
+    ).select(F.explode(text.tokens(F.col("text"))).alias("tok"))
     return cms_heavy_hitters_contract(toks, "tok", k=100)
 
 

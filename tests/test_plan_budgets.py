@@ -99,7 +99,9 @@ EXCHANGE_CEILING = {
     # subtree under both passes; AQE/reuse collapse at runtime
     "mad_outliers": 17,
     # one arity up from unigram_logppl: (doc, w1, w2) tf agg + the
-    # lm and prefix roll-ups + two term joins, all keyed
+    # lm and prefix roll-ups + two term joins, all keyed. r06: the
+    # vocab size comes off the lm relation (whose exchange is reused)
+    # instead of a separate corpus explode
     "bigram_logppl": 11,
     # bigram_logppl's ladder + the KN continuation roll-ups (distinct
     # successors ride the prefix agg; distinct predecessors and the
@@ -115,8 +117,12 @@ EXCHANGE_CEILING = {
     # candidate-then-verify across two relations: corpus + bench
     # signature aggs, band-probe distinct, shingle-set distincts +
     # sizes, intersection agg, per-doc hit agg, final left join —
-    # every exchange keyed, the bench side broadcast throughout
-    "decontaminate_fuzzy": 10,
+    # every exchange keyed, the bench side broadcast throughout.
+    # r06: both signature relations lazily persisted — the static
+    # count re-expands the signature-agg exchange under the banding /
+    # verify / set-size consumers (collapsed by the cache at
+    # runtime); measured 11 in a bare session
+    "decontaminate_fuzzy": 13,
     # contingency checkpoint feeds four consumers (joint + both
     # marginals + total); the static plan still counts each branch's
     # exchange — all are contingency-cell-sized (k x labels rows)
