@@ -143,10 +143,21 @@ def split_dataset(
     so near-duplicates within a domain cannot straddle train/test.
     Plan: scan + case expression, zero shuffle.
     """
+    return df.withColumn("split", split_expr(weights, F.col(key_col), seed))
+
+
+def split_expr(weights: dict[str, float], key: Column, seed: int = 42) -> Column:
+    """The pure column expression behind :func:`split_dataset`: the
+    key's deterministic uniform draw bucketed into cumulative [0,1)
+    intervals ordered by split name. Exposed so consumers that already
+    HOLD a key column (e.g. the doc ids of an LSH candidate pair) can
+    compute the assignment in place instead of joining the assigned
+    corpus back by key — same values by construction, zero join, zero
+    extra scan (optimization guide §2.4: remove shuffles outright)."""
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"weights must sum to 1, got {total}")
-    u = uniform_draw(F.col(key_col), seed)
+    u = uniform_draw(key, seed)
     expr = None
     acc = 0.0
     items = sorted(weights.items())
@@ -155,8 +166,7 @@ def split_dataset(
         cond = u < F.lit(acc)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = items[-1][0]
-    expr = expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)
-    return df.withColumn("split", expr)
+    return expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)
 
 
 def sample_per_group(

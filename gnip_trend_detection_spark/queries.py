@@ -694,14 +694,20 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.lsh_candidate_pairs(sigs, rows_per_band=2).filter(
         F.col("jaccard") >= 0.5
     )
-    splits = sample.split_dataset(
-        corpus.select("doc_id"),
-        {"train": 0.75, "val": 0.125, "test": 0.125},
-        key_col="doc_id",
+    # the split is a PURE expression of the doc id (split_dataset is
+    # withColumn of sample.split_expr), so both sides' assignments are
+    # computed in place on the pair row instead of materializing the
+    # assigned corpus and broadcast-joining it back twice — the r06
+    # plan capture showed 2 extra corpus scans + 2 joins for what is
+    # a hash of a column the pair already holds (guide §2.4). The
+    # pairs are LSH candidates over the same corpus, so the inner
+    # joins never dropped rows: values identical by construction,
+    # oracle re-verified at sf0.001/0.01/0.1.
+    weights = {"train": 0.75, "val": 0.125, "test": 0.125}
+    j = pairs.select(
+        sample.split_expr(weights, F.col("doc_a")).alias("sa"),
+        sample.split_expr(weights, F.col("doc_b")).alias("sb"),
     )
-    a = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
-    b = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
-    j = pairs.join(a, "doc_a").join(b, "doc_b")
     return (
         j.groupBy(
             F.least("sa", "sb").alias("split_a"),
