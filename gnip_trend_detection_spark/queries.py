@@ -1703,7 +1703,7 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_big = li.join(F.broadcast(big), "l_orderkey", "left_semi")
     agg = (
         li_big.join(orders, li_big["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy(
             "c_name",
             "c_custkey",
@@ -1740,7 +1740,7 @@ def q_tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg((rev_cents.cast("double") / 10000.0).alias("revenue"))
@@ -1771,7 +1771,7 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(
-            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+            cust, orders["o_custkey"] == cust["c_custkey"]
         )
         .groupBy("l_orderkey", "o_orderdate")
         .agg((rev_cents.cast("double") / 10000.0).alias("revenue"))
@@ -1812,8 +1812,8 @@ def q_tpch_q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(
             F.broadcast(nations_in_region),
@@ -2296,7 +2296,7 @@ def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("long")
-    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
     agg = j.agg(
         F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0))).alias(
             "promo_cents"
@@ -2913,7 +2913,7 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     joined = (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
         .select(
             "n_name",
@@ -2971,7 +2971,7 @@ def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
     )
     li = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(part.select("p_partkey")),
+        part.select("p_partkey"),
         F.col("l_partkey") == F.col("p_partkey"),
         "left_semi",
     )
@@ -3009,7 +3009,7 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     return (
         per_supp.join(F.broadcast(mx), F.col("__rc") == F.col("__mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -3086,8 +3086,8 @@ def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__n1k"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__n2k"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -3130,14 +3130,14 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     j = (
         li.join(
-            F.broadcast(part.select("p_partkey")),
+            part.select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("__ck"), "left_semi")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(snat), F.col("s_nationkey") == F.col("__sk"))
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -3168,7 +3168,7 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     qty = F.round(F.col("l_quantity") * 100).cast("long")
-    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -3236,7 +3236,7 @@ def q_tpch_q21_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         blamed.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "numwait")
     )
 
@@ -3265,7 +3265,7 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         best.join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("cheapest_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("cheapest_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_brand", "min_price", "cheapest_suppkey", "s_name")
     )
 
@@ -3295,7 +3295,7 @@ def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit_u = F.sum(F.round(amount * 10000).cast("long"))
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -3326,7 +3326,7 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
     )
     scoped = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     per_part = scoped.groupBy("l_partkey").agg(cents.alias("__vc"))
@@ -3392,7 +3392,7 @@ def q_tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     return (
         pairs.join(
-            F.broadcast(complaints),
+            complaints,
             pairs["l_suppkey"] == complaints["s_suppkey"],
             "left_anti",
         )
