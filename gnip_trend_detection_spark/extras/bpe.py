@@ -57,11 +57,81 @@ def _merge_pair(syms, left: str, right: str):
     return F.aggregate(syms, F.array().cast("array<string>"), step)
 
 
+def _safe_merge_prefix(
+    rows: list, exhausted_ok: bool
+) -> list[tuple[str, str, int]]:
+    """Driver-side selection of the merges that can be applied in ONE
+    vocab pass while provably reproducing the one-merge-per-round
+    sequential order (guide §1.2: fewer passes, same answer).
+
+    ``rows`` is the pair table head ordered exactly as sequential
+    training ranks it (count desc, then (l, r) lexicographic). Take
+    the maximal prefix of pairwise SYMBOL-DISJOINT pairs, stopping at
+    the first conflicting row C, then keep only prefix pairs with
+    count STRICTLY greater than C's count. Why that reproduces the
+    sequential argmax at every intermediate round i:
+
+    - a pair sharing no symbol with any earlier accepted merge keeps
+      its count exactly (merging (a,b)→ab only changes counts of pairs
+      touching a or b, and every newly created pair contains the new
+      symbol ab);
+    - every count-changed pair and every parent of a newly created
+      pair therefore shares a symbol with an accepted merge, i.e. is
+      CONFLICTING, so it ranks at/after C and its (old) count is
+      <= count(C) — and new/changed counts only ever DECREASE from the
+      parent's old count (each occurrence of (x, ab) / (ab, y) /
+      (ab, ab) maps 1:1 onto an occurrence of the old pair (x, a) /
+      (b, y) / (b, a));
+    - accepted pairs have count > count(C), so at round i the
+      unaffected accepted pair P_i still beats every changed/new pair
+      outright, and beats every unaffected pair below it by the
+      original ordering (ties among old pairs keep their old relative
+      (l, r) order).
+
+    The strict-count cut guards the tie case where a NEW pair (whose
+    (l, r) ordering is arbitrary) reaches exactly count(C). When the
+    cut empties the prefix the top row alone is returned — the round-1
+    argmax is always the sequential choice. ``exhausted_ok=False``
+    (the head was fully consumed without a conflict) applies the same
+    strict cut against the LAST seen row, since an unseen row below
+    the head could be the first conflict with an equal count."""
+    if not rows or rows[0]["cnt"] < 2:
+        return []
+    accepted: list[tuple[str, str, int]] = []
+    seen: set[str] = set()
+    cut: int | None = None
+    for row in rows:
+        left, right, cnt = row["l"], row["r"], int(row["cnt"])
+        if cnt < 2:
+            # sequential training stops at the first sub-2 argmax;
+            # every conflicting pair ranks at/after this row, so no
+            # later round can see a count >= 2 either — but only the
+            # accepted prefix strictly above 2 is provably ordered
+            cut = max(cnt, 1)
+            break
+        if left in seen or right in seen:
+            cut = cnt
+            break
+        accepted.append((left, right, cnt))
+        seen.add(left)
+        seen.add(right)
+    else:
+        if not exhausted_ok:
+            # head exhausted without a conflict: an unseen row may
+            # conflict at the tail count, so apply the strict cut there
+            cut = int(rows[-1]["cnt"]) if rows else None
+    if cut is not None:
+        kept = [m for m in accepted if m[2] > cut]
+        accepted = kept if kept else accepted[:1]
+    return accepted
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int = 20,
     text_col: str = "text",
     keep_vocab: bool = False,
+    merge_batch: int = 16,
 ):
     """Learn ``n_merges`` BPE merges; returns
     [(rank, left, right, merged, pair_count), ...] — or, with
@@ -71,9 +141,14 @@ def train_bpe(
     materialized vocab-sized relation instead of re-scanning and
     re-aggregating the whole corpus a second time.
 
-    Each round collects exactly ONE row (the argmax pair — count desc,
-    then lexicographic, so the result is partitioning-independent).
-    """
+    Each round collects the ordered HEAD of the pair table (count
+    desc, then lexicographic — partitioning-independent) and applies
+    every merge in the provably-safe disjoint prefix
+    (:func:`_safe_merge_prefix`) in ONE vocab pass, instead of one
+    job per merge — result IDENTICAL to sequential training by the
+    prefix argument, pinned by tests/test_properties.py's batched-vs-
+    sequential sweep. ``merge_batch`` caps merges applied per round
+    (1 = classic sequential argmax collect)."""
     vocab0 = word_counts(docs, text_col).withColumn(
         "syms", F.split(F.col("word"), "")
     ).select("n", "syms")
@@ -92,7 +167,8 @@ def train_bpe(
     vocab = vocab0
     to_free: list[DataFrame] = []
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(n_merges):
+    head_k = max(16, merge_batch * 4)
+    while len(merges) < n_merges:
         pairs = (
             vocab.select(
                 "n",
@@ -108,18 +184,24 @@ def train_bpe(
             .agg(F.sum("n").alias("cnt"))
             .orderBy(F.desc("cnt"), "l", "r")
         )
-        top = pairs.first()
+        rows = pairs.take(head_k)
         # `vocab` is materialized now; its parent round can be freed
         for prev in to_free:
             prev.unpersist()
         to_free = []
-        if top is None or top["cnt"] < 2:
+        # fewer rows than asked = the WHOLE pair table is in hand, so
+        # no unseen row can be the first conflict
+        accepted = _safe_merge_prefix(rows, exhausted_ok=len(rows) < head_k)
+        accepted = accepted[: min(merge_batch, n_merges - len(merges))]
+        if not accepted:
             break
-        left, right, cnt = top["l"], top["r"], int(top["cnt"])
-        merges.append((rank, left, right, left + right, cnt))
-        nxt = vocab.select(
-            "n", _merge_pair(F.col("syms"), left, right).alias("syms")
-        ).localCheckpoint(eager=False)
+        syms_col = F.col("syms")
+        for left, right, cnt in accepted:
+            merges.append((len(merges), left, right, left + right, cnt))
+            syms_col = _merge_pair(syms_col, left, right)
+        nxt = vocab.select("n", syms_col.alias("syms")).localCheckpoint(
+            eager=False
+        )
         if vocab is not vocab0 or not keep_vocab:
             to_free.append(vocab)
         vocab = nxt

@@ -1021,7 +1021,13 @@ def segment_dedup(
             ).alias("clean_text"),
         )
     )
-    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    # per-doc segment totals are a ROW-LOCAL function of the token
+    # array (posexplode of the k-slice transform always emits exactly
+    # n_seg non-null rows), so computing them on `t` instead of
+    # re-aggregating `segs` drops a third full tokenize+explode pass —
+    # the seg histogram and the join's probe side are the only
+    # consumers of the exploded relation left (guide §1.2)
+    totals = t.select("doc_id", n_seg.cast("long").alias("n_segments"))
     return totals.join(kept, "doc_id", "left").select(
         "doc_id",
         F.col("n_segments").cast("long").alias("n_segments"),

@@ -130,14 +130,24 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     both round away from zero — the same discipline as the integer-
     cent money sums."""
     t = docs.withColumn("toks", tokens(F.col(text_col))).filter(F.size("toks") > 0)
-    n = F.size("toks").cast("double")
-    nd = F.size(F.array_distinct("toks")).cast("double")
+    return t.select(
+        "doc_id",
+        quality_micro_expr(F.col("toks")).alias("quality_micro"),
+    )
+
+
+def quality_micro_expr(toks_col: Column) -> Column:
+    """:func:`quality_score`'s blend as a pure expression of an
+    already-tokenized array — shared with q_quality_blend's fused
+    single-scan path so the two can never drift."""
+    n = F.size(toks_col).cast("double")
+    nd = F.size(F.array_distinct(toks_col)).cast("double")
     chars = F.aggregate(
-        F.transform(F.col("toks"), lambda x: F.length(x).cast("double")),
+        F.transform(toks_col, lambda x: F.length(x).cast("double")),
         F.lit(0.0),
         lambda a, b: a + b,
     )
-    stops = F.size(F.filter(F.col("toks"), lambda x: x.isin(*EN_STOPWORDS))).cast(
+    stops = F.size(F.filter(toks_col, lambda x: x.isin(*EN_STOPWORDS))).cast(
         "double"
     )
     quality = (
@@ -146,10 +156,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least((chars / n) / 8.0, F.lit(1.0)) * 0.25
         + (stops / n) * 0.25
     )
-    return t.select(
-        "doc_id",
-        F.round(quality * 1000000.0).cast("long").alias("quality_micro"),
-    )
+    return F.round(quality * 1000000.0).cast("long")
 
 
 def gopher_rules(
@@ -255,9 +262,21 @@ def repetition_stats(
         "doc_id",
         total.cast("long").alias("n_ngrams"),
         distinct.cast("long").alias("n_distinct_ngrams"),
-        F.round(
-            F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
-        ).alias("dup_ngram_frac"),
+        dup_ngram_frac_expr(F.col("toks"), n).alias("dup_ngram_frac"),
+    )
+
+
+def dup_ngram_frac_expr(toks_col: Column, n: int = 2) -> Column:
+    """:func:`repetition_stats`' dup_ngram_frac as a pure expression of
+    an already-tokenized array (only defined for size >= n rows) —
+    shared with q_quality_blend's fused single-scan path."""
+    from gnip_trend_detection_spark.extras.dedup import shingles
+
+    grams = shingles(toks_col, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.round(
+        F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
     )
 
 

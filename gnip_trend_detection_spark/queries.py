@@ -2100,14 +2100,33 @@ def q_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gnip_trend_detection_spark.operators.rank import competition_ranks
 
     docs = _docs(spark, sf_dir)
-    q = text.quality_score(docs)
+    # quality_micro and dup_ngram_frac are both pure row-local
+    # expressions of the token array (text.quality_micro_expr /
+    # dup_ngram_frac_expr — the exact expressions quality_score and
+    # repetition_stats emit), so they come from ONE tokenize scan with
+    # no join; the old q ⋈ r join of two corpus-derived relations and
+    # its second tokenize pass are gone (guide §1.2, §2.4). The fused
+    # filter is size >= 2: the inner joins dropped 1-token docs anyway
+    # (repetition_stats has no bigram support there), so the kept row
+    # set is identical by construction.
+    qr = (
+        docs.withColumn("toks", text.tokens(F.col("text")))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            text.quality_micro_expr(F.col("toks")).alias("quality_micro"),
+            text.dup_ngram_frac_expr(F.col("toks"), 2).alias(
+                "dup_ngram_frac"
+            ),
+        )
+    )
     p = text.unigram_logppl(docs).select("doc_id", "log_ppl")
-    r = text.repetition_stats(docs).select("doc_id", "dup_ngram_frac")
     j = (
-        q.select("doc_id", "quality_micro")
-        .join(p, "doc_id")
-        .join(r, "doc_id")
-        .localCheckpoint()
+        qr.join(p, "doc_id")
+        .select("doc_id", "quality_micro", "log_ppl", "dup_ngram_frac")
+        # LAZY: the count() below materializes the checkpoint in the
+        # same job instead of a dedicated materialization job (§5.2)
+        .localCheckpoint(eager=False)
     )
     n = j.count()  # bounded: one scalar off the checkpointed relation
     denom = float(max(n - 1, 1))
