@@ -485,29 +485,36 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("src").alias("nid"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        # carry the old label through the update join so the fixpoint
-        # check reads the SAME checkpointed relation. The checkpoint
-        # is LAZY and the fixpoint probe is a full-pass aggregate, so
-        # ONE job per round both materializes the new labels and
-        # returns the changed count (the old eager-checkpoint +
-        # filter/limit/count pair was two jobs per round); the
-        # previous round's blocks are freed once consumed.
+        # carry a per-row CHANGED flag through the update join so the
+        # fixpoint check reads the SAME checkpointed relation. The
+        # checkpoint is LAZY and the fixpoint probe is a full-pass
+        # aggregate, so ONE job per round both materializes the new
+        # labels and returns the changed count (the old eager-
+        # checkpoint + filter/limit/count pair was two jobs per round;
+        # re-measured interleaved r07 after the r06 driver flagged a
+        # regression: lazy+sum 1.66s vs eager+limit 1.80s min-of-5 at
+        # sf0.1 — the one-job shape stands). The flag is a BOOLEAN
+        # instead of carrying the old label column: the checkpoint
+        # blocks are corpus-proportional at scale, so each row stores
+        # 1 byte of probe state rather than another 8-byte id (§2.3
+        # narrower types). Previous round's blocks freed once consumed.
         stepped = (
             labels.join(nbr, labels["doc_id"] == nbr["nid"], "left")
             .select(
                 "doc_id",
-                F.col("cluster_id").alias("old_cluster_id"),
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("chg"),
             )
             .localCheckpoint(eager=False)
         )
         changed = stepped.agg(
-            F.sum(
-                (F.col("cluster_id") != F.col("old_cluster_id")).cast("long")
-            ).alias("c")
+            F.sum(F.col("chg").cast("long")).alias("c")
         ).first()["c"]
         if prev is not None:
             prev.unpersist()

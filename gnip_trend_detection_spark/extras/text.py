@@ -229,15 +229,27 @@ def lang_id(spark: SparkSession, docs: DataFrame, text_col: str = "text") -> Dat
         .groupBy("doc_id", "lang")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
-    best = hits.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    # argmax by (n_hits desc, lang asc) as a lexicographic struct-MIN
+    # over (-n_hits, lang) — value-identical to the old row_number
+    # window (integer key, and (doc_id, lang) is unique so no order
+    # ties exist), but a hash aggregate with map-side combine instead
+    # of an exchange + per-doc sort + WindowExec (guide §2.4)
+    best = hits.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_hits")).alias("neg"),
+                F.col("lang").alias("lang"),
+                F.col("n_hits").alias("n_hits"),
+            )
+        ).alias("w")
+    )
     return (
         docs.select("doc_id")
         .join(best, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("lang", F.lit("und")).alias("predicted_lang"),
-            F.coalesce("n_hits", F.lit(0)).alias("n_stopword_hits"),
+            F.coalesce(F.col("w.lang"), F.lit("und")).alias("predicted_lang"),
+            F.coalesce(F.col("w.n_hits"), F.lit(0)).alias("n_stopword_hits"),
         )
     )
 

@@ -27,6 +27,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size post-shuffle partitions by BYTES, not by core count:
+        # parallelismFirst=true (the default) stops coalescing at
+        # defaultParallelism, which schedules `cpus` tasks for a
+        # 15 MB aggregate — pure per-task overhead locally and the
+        # opposite of the guide's 100 MB-1 GB partition sizing at
+        # scale (guide §2.2, §9). The advisory size is the scale-
+        # dependent knob: parameterized, 16m default for the local
+        # fixtures, 256m documented for a real cluster (guide §9).
+        # Explicit repartition(n) calls (the §2.2 kernel-parallelism
+        # guard) are user-specified and never coalesced by AQE.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "16m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
