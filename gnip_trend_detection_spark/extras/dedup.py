@@ -215,6 +215,60 @@ def band_rows(
     )
 
 
+def band_collision_pairs(
+    sigs: DataFrame,
+    rows_per_band: int = 2,
+    max_band: int | None = None,
+    out_cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> DataFrame:
+    """Distinct (a < b) band-collision pairs — the ONE candidate
+    generator both lsh_candidate_pairs and lsh_eval call, so the
+    bucketing they report on can never drift apart (ADVICE r06).
+
+    The band self-join expansion and the pair dedupe are CPU-QUADRATIC
+    in bucket size but tiny in BYTES (two longs per pair), so AQE's
+    byte-based partition coalescing serializes them: measured on a
+    10x sf0.1 replica, the whole expansion stage coalesced onto 2
+    tasks of 5.7 s each — p50 == max, i.e. under-parallelism, NOT key
+    skew (the §2.5 salting question answered by measurement: hash
+    partitioning spreads band buckets fine; `max_band` stays the
+    production lever for boilerplate buckets). Both relations are
+    therefore explicitly repartitioned BY KEY to the session's shuffle
+    partition count — user-specified partitioning that AQE never
+    coalesces; at cluster scale shuffle.partitions is sized 2-3x total
+    cores (session.py), exactly what the planner's exchange would use,
+    and the pinned pair shuffle carries keys, not payloads (§8)."""
+    n_parts = int(
+        sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    bands = band_rows(sigs, rows_per_band).repartition(
+        n_parts, "b", "band_val"
+    )
+    if max_band is not None:
+        bn = F.count(F.lit(1)).over(Window.partitionBy("b", "band_val"))
+        bands = bands.withColumn("__bn", bn).filter(F.col("__bn") <= max_band).drop(
+            "__bn"
+        )
+    a = bands.alias("a")
+    bb = bands.alias("bb")
+    ca, cb = out_cols
+    return (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("bb.b"))
+            & (F.col("a.band_val") == F.col("bb.band_val"))
+            & (F.col("a.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias(ca), F.col("bb.doc_id").alias(cb))
+        # partitioning by the FIRST pair column alone still satisfies
+        # the dedupe's clustering requirement (equal pairs co-locate),
+        # keeps the distinct at n_parts tasks, and pre-partitions for
+        # a downstream join on that column
+        .repartition(n_parts, ca)
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, rows_per_band: int = 2, max_band: int | None = None
 ) -> DataFrame:
@@ -235,25 +289,9 @@ def lsh_candidate_pairs(
     corpus once per branch — at 100 TB this intermediate is exactly
     what you'd checkpoint to storage before the self-join."""
     sigs = sigs.persist()
-    bands = band_rows(sigs, rows_per_band)
-
-    if max_band is not None:
-        bn = F.count(F.lit(1)).over(Window.partitionBy("b", "band_val"))
-        bands = bands.withColumn("__bn", bn).filter(F.col("__bn") <= max_band).drop(
-            "__bn"
-        )
-
-    a = bands.alias("a")
-    bb = bands.alias("bb")
-    cand = (
-        a.join(
-            bb,
-            (F.col("a.b") == F.col("bb.b"))
-            & (F.col("a.band_val") == F.col("bb.band_val"))
-            & (F.col("a.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
-        .distinct()
+    cand = band_collision_pairs(sigs, rows_per_band, max_band)
+    n_parts = int(
+        sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
 
     # verified Jaccard over row-local DISTINCT shingle arrays (already
@@ -266,6 +304,10 @@ def lsh_candidate_pairs(
     sa, sb = sh.alias("sa"), sh.alias("sb")
     return (
         cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        # the per-pair array_intersect is the same CPU-heavy/byte-light
+        # shape as the expansion above: pin the second join's input
+        # partitioning so the verify work stays n_parts-wide too
+        .repartition(n_parts, "doc_b")
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .select(
             "doc_a",
@@ -360,6 +402,13 @@ def lsh_eval(
     # same way as ngram fingerprint buckets: cap shingle doc-frequency
     # or evaluate on a sample (recall/precision are estimates of a
     # corpus property; a uniform doc sample is unbiased for them).
+    # NOTE (r07, measured): unlike the band join, this self-join must
+    # NOT pin its partitioning by key. Shingle doc-frequencies are
+    # genuinely skewed (hot shingles), and the per-key expansion is
+    # df^2, so AQE's skew-join splitting on the ENSURE_REQUIREMENTS
+    # exchanges is what keeps the hot keys from serializing: pinning
+    # `shd.repartition(n, "s")` here (the band_collision_pairs move)
+    # disabled that and tripled the 10x-replica time (27.6s -> 85.6s).
     a = shd.alias("a")
     b = shd.alias("b")
     inter = (
@@ -382,19 +431,10 @@ def lsh_eval(
     # join's multiplicity can't be pruned by the optimizer, so those
     # joins stay in the plan unless we skip them at build time
     # (guide §1.2 step 1: don't compute things you throw away).
-    # Same bucketing by construction: identical band_rows input.
-    _ba, _bb = band_rows(sigs, rows_per_band).alias("a"), band_rows(
-        sigs, rows_per_band
-    ).alias("bb")
-    cand = (
-        _ba.join(
-            _bb,
-            (F.col("a.b") == F.col("bb.b"))
-            & (F.col("a.band_val") == F.col("bb.band_val"))
-            & (F.col("a.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("pa"), F.col("bb.doc_id").alias("pb"))
-        .distinct()
+    # Same bucketing by construction: the SHARED band_collision_pairs
+    # helper is the one candidate generator (ADVICE r06).
+    cand = band_collision_pairs(
+        sigs, rows_per_band, out_cols=("pa", "pb")
     )
     tagged = truep.select(
         "pa", "pb", F.lit(1).alias("__t"), F.lit(0).alias("__c")

@@ -78,6 +78,13 @@ BNLJ_OK = {
 
 # measured (2026-08, Spark 4.1) + 2 slack; unlisted queries get DEFAULT
 EXCHANGE_CEILING = {
+    # r07: band_collision_pairs pins three BY-KEY repartitions (bands,
+    # pair dedupe, verify probe side) so AQE's byte-based coalescing
+    # can't serialize the CPU-quadratic/byte-light expansion stages
+    # (measured 2 tasks x 5.7s at 10x sf0.1) — two extra static
+    # exchanges on every banded-LSH path, all keyed, all pair-id-sized
+    "lsh_candidate_pairs": 8,
+    "split_leakage": 9,
     "ngram_jaccard": 24,
     # static count re-expands the persisted token-array base under
     # the index build and both verify-join branches, and the cand
