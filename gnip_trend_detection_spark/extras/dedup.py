@@ -12,11 +12,55 @@ by bucket size (hot buckets can be salted or capped).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gnip_trend_detection_spark.extras.text import tokens
 from gnip_trend_detection_spark.functions.parallel import ensure_map_parallelism
+
+
+def _expansion_width(df: DataFrame) -> int | None:
+    """Width for the pinned band-join exchanges, or None to skip the
+    pin: the input's Catalyst byte estimate / SPARK_GRAFT_BAND_TASK_BYTES
+    (default 128 KB) clamped to [1, spark.sql.shuffle.partitions], and
+    None when the estimate is under SPARK_GRAFT_BAND_PIN_MIN_BYTES
+    (default 1 MB).
+
+    The band expansion / pair dedupe / verify stages are CPU-QUADRATIC
+    in bucket size but tiny in BYTES, so sizing them by their own
+    shuffle bytes (what AQE does) serializes them at scale: on the 10x
+    sf0.1 replica (bands est ~2.8 MB) the whole expansion coalesced
+    onto 2 equal 5.7 s tasks. But the pin is ~4 extra stage boundaries
+    — pre-pin, the sf0.1 plan runs the band join as a pure broadcast
+    join with ZERO shuffles of the bands relation — and at fixture
+    scale that stage overhead is the whole cost: an unconditional pin
+    measured +0.7-1.4 s per LSH query at sf0.1 on local[32] while the
+    expansion's total CPU is well under a second. So the pin engages
+    only when the byte estimate says the quadratic work can use the
+    width (guide §2.2: derive partitioning from the input, never pin a
+    constant tuned for one deployment): sf0.1 (~280 KB) → no pin, the
+    10x replica → ~22 tasks (the measured knee where the expansion
+    stops straggling), cluster scale → the clamp binds, giving exactly
+    the width the planner's own exchange would use. The 128 KB unit is
+    deliberately ~32x smaller than the session's advisory partition
+    size because the per-byte CPU cost of these stages is that much
+    higher than a byte-bound shuffle's; both knobs are env-
+    parameterized for deployments whose docs-per-byte differ."""
+    spark = df.sparkSession
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    unit = int(os.environ.get("SPARK_GRAFT_BAND_TASK_BYTES", str(128 * 1024)))
+    min_bytes = int(
+        os.environ.get("SPARK_GRAFT_BAND_PIN_MIN_BYTES", str(1024 * 1024))
+    )
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return cap
+    if est < min_bytes:
+        return None
+    return max(1, min(cap, (est + unit - 1) // unit))
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -233,17 +277,20 @@ def band_collision_pairs(
     skew (the §2.5 salting question answered by measurement: hash
     partitioning spreads band buckets fine; `max_band` stays the
     production lever for boilerplate buckets). Both relations are
-    therefore explicitly repartitioned BY KEY to the session's shuffle
-    partition count — user-specified partitioning that AQE never
-    coalesces; at cluster scale shuffle.partitions is sized 2-3x total
-    cores (session.py), exactly what the planner's exchange would use,
-    and the pinned pair shuffle carries keys, not payloads (§8)."""
-    n_parts = int(
-        sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    bands = band_rows(sigs, rows_per_band).repartition(
-        n_parts, "b", "band_val"
-    )
+    therefore explicitly repartitioned BY KEY — user-specified
+    partitioning that AQE never coalesces — to a width DERIVED FROM
+    THE INPUT SIZE (`_expansion_width`: bands' Catalyst byte estimate
+    / 128 KB, clamped to shuffle.partitions), and NOT AT ALL when the
+    estimate is fixture-small (the pin is ~4 extra stage boundaries;
+    below ~1 MB of band rows the plan's natural zero-shuffle broadcast
+    join beats any width — measured +0.7-1.4 s per query at sf0.1).
+    At cluster scale the clamp binds (shuffle.partitions is 2-3x total
+    cores, session.py — exactly what the planner's exchange would
+    use). The pinned pair shuffle carries keys, not payloads (§8)."""
+    bands = band_rows(sigs, rows_per_band)
+    n_parts = _expansion_width(bands)
+    if n_parts is not None:
+        bands = bands.repartition(n_parts, "b", "band_val")
     if max_band is not None:
         bn = F.count(F.lit(1)).over(Window.partitionBy("b", "band_val"))
         bands = bands.withColumn("__bn", bn).filter(F.col("__bn") <= max_band).drop(
@@ -252,21 +299,19 @@ def band_collision_pairs(
     a = bands.alias("a")
     bb = bands.alias("bb")
     ca, cb = out_cols
-    return (
-        a.join(
-            bb,
-            (F.col("a.b") == F.col("bb.b"))
-            & (F.col("a.band_val") == F.col("bb.band_val"))
-            & (F.col("a.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias(ca), F.col("bb.doc_id").alias(cb))
+    pairs = a.join(
+        bb,
+        (F.col("a.b") == F.col("bb.b"))
+        & (F.col("a.band_val") == F.col("bb.band_val"))
+        & (F.col("a.doc_id") < F.col("bb.doc_id")),
+    ).select(F.col("a.doc_id").alias(ca), F.col("bb.doc_id").alias(cb))
+    if n_parts is not None:
         # partitioning by the FIRST pair column alone still satisfies
         # the dedupe's clustering requirement (equal pairs co-locate),
         # keeps the distinct at n_parts tasks, and pre-partitions for
         # a downstream join on that column
-        .repartition(n_parts, ca)
-        .distinct()
-    )
+        pairs = pairs.repartition(n_parts, ca)
+    return pairs.distinct()
 
 
 def lsh_candidate_pairs(
@@ -290,9 +335,7 @@ def lsh_candidate_pairs(
     what you'd checkpoint to storage before the self-join."""
     sigs = sigs.persist()
     cand = band_collision_pairs(sigs, rows_per_band, max_band)
-    n_parts = int(
-        sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n_parts = _expansion_width(sigs)
 
     # verified Jaccard over row-local DISTINCT shingle arrays (already
     # materialized in sigs): array_intersect on the joined pair beats
@@ -302,13 +345,14 @@ def lsh_candidate_pairs(
         "doc_id", F.array_distinct("shingles").alias("sh")
     ).withColumn("sz", F.size("sh"))
     sa, sb = sh.alias("sa"), sh.alias("sb")
-    return (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+    half = cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+    if n_parts is not None:
         # the per-pair array_intersect is the same CPU-heavy/byte-light
         # shape as the expansion above: pin the second join's input
         # partitioning so the verify work stays n_parts-wide too
-        .repartition(n_parts, "doc_b")
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        half = half.repartition(n_parts, "doc_b")
+    return (
+        half.join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",

@@ -82,7 +82,10 @@ EXCHANGE_CEILING = {
     # pair dedupe, verify probe side) so AQE's byte-based coalescing
     # can't serialize the CPU-quadratic/byte-light expansion stages
     # (measured 2 tasks x 5.7s at 10x sf0.1) — two extra static
-    # exchanges on every banded-LSH path, all keyed, all pair-id-sized
+    # exchanges on every banded-LSH path, all keyed, all pair-id-sized.
+    # The pins engage only above _expansion_width's byte threshold
+    # (fixture scans stay pin-free), so these are ceilings for the
+    # pinned shape, not the local one
     "lsh_candidate_pairs": 8,
     "split_leakage": 9,
     "ngram_jaccard": 24,
