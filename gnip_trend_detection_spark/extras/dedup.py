@@ -259,11 +259,15 @@ def band_rows(
     )
 
 
+_AUTO_WIDTH = "auto"
+
+
 def band_collision_pairs(
     sigs: DataFrame,
     rows_per_band: int = 2,
     max_band: int | None = None,
     out_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    n_parts: int | None | str = _AUTO_WIDTH,
 ) -> DataFrame:
     """Distinct (a < b) band-collision pairs — the ONE candidate
     generator both lsh_candidate_pairs and lsh_eval call, so the
@@ -286,9 +290,16 @@ def band_collision_pairs(
     join beats any width — measured +0.7-1.4 s per query at sf0.1).
     At cluster scale the clamp binds (shuffle.partitions is 2-3x total
     cores, session.py — exactly what the planner's exchange would
-    use). The pinned pair shuffle carries keys, not payloads (§8)."""
+    use). The pinned pair shuffle carries keys, not payloads (§8).
+
+    ``n_parts``: the pin width — pass the value probed from the
+    UNPERSISTED signature plan (callers that persist first must do
+    this: an unmaterialized InMemoryRelation reports the Long.MaxValue
+    default estimate, which forces the conservative full-width pin).
+    Default "auto" probes this function's own input."""
     bands = band_rows(sigs, rows_per_band)
-    n_parts = _expansion_width(bands)
+    if n_parts is _AUTO_WIDTH:
+        n_parts = _expansion_width(bands)
     if n_parts is not None:
         bands = bands.repartition(n_parts, "b", "band_val")
     if max_band is not None:
@@ -333,9 +344,12 @@ def lsh_candidate_pairs(
     Spark's lineage recompute from re-tokenizing and re-hashing the
     corpus once per branch — at 100 TB this intermediate is exactly
     what you'd checkpoint to storage before the self-join."""
-    sigs = sigs.persist()
-    cand = band_collision_pairs(sigs, rows_per_band, max_band)
+    # probe the pin width BEFORE persisting: an unmaterialized
+    # InMemoryRelation reports the Long.MaxValue default estimate,
+    # which would force the conservative full-width pin at any scale
     n_parts = _expansion_width(sigs)
+    sigs = sigs.persist()
+    cand = band_collision_pairs(sigs, rows_per_band, max_band, n_parts=n_parts)
 
     # verified Jaccard over row-local DISTINCT shingle arrays (already
     # materialized in sigs): array_intersect on the joined pair beats
@@ -419,6 +433,8 @@ def lsh_eval(
     both pinned by tests/test_dedup_clusters.py::test_lsh_eval_max_df_cap.
     """
     spark = sigs.sparkSession
+    # width probe before persist — see band_collision_pairs
+    n_parts = _expansion_width(sigs)
     sigs = sigs.persist()
     sh = sigs.select(
         "doc_id", F.array_distinct("shingles").alias("sh")
@@ -478,7 +494,7 @@ def lsh_eval(
     # Same bucketing by construction: the SHARED band_collision_pairs
     # helper is the one candidate generator (ADVICE r06).
     cand = band_collision_pairs(
-        sigs, rows_per_band, out_cols=("pa", "pb")
+        sigs, rows_per_band, out_cols=("pa", "pb"), n_parts=n_parts
     )
     tagged = truep.select(
         "pa", "pb", F.lit(1).alias("__t"), F.lit(0).alias("__c")

@@ -70,6 +70,26 @@ def test_unknown_stats_pin_at_cap(spark):
     assert dedup._expansion_width(df) == cap
 
 
+def test_fixture_scale_candidate_plan_is_pin_free(spark, sf_dir):
+    # the whole point of the gate: at fixture scale the banded-LSH
+    # plan must carry NO pinned hash exchanges (the natural plan is a
+    # zero-shuffle broadcast join of the bands relation). This also
+    # guards the probe-before-persist ordering: lsh_candidate_pairs
+    # persists sigs, and an unmaterialized InMemoryRelation reports
+    # the Long.MaxValue default estimate — probing after persist
+    # silently re-pins every path at full width.
+    import re
+
+    from gnip_trend_detection_spark import queries as q
+
+    df = q.ALL["lsh_candidate_pairs"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pins = re.findall(r"hashpartitioning\([^)]*\), REPARTITION_BY_NUM", plan)
+    assert pins == [], f"fixture-scale plan re-pinned: {pins}"
+
+
 def test_gated_pin_keeps_pairs_identical(spark, monkeypatch):
     # the pin toggles PARTITIONING only: candidate pairs from the
     # pinned and unpinned shapes of band_collision_pairs must match

@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BOUNDING = ("Aggregate", "GlobalLimit", "LocalLimit", "Sample")
 
 
-def _walk(node, in_hint, out):
+def _walk(node, in_hint, out, hint_counter):
     name = node.getClass().getSimpleName()
     if in_hint:
         if name.startswith(BOUNDING):
@@ -40,12 +40,13 @@ def _walk(node, in_hint, out):
             return
     entering = in_hint
     if name == "ResolvedHint":
+        hint_counter[0] += 1  # counted on the tree, not via toString
         # strategy() prints e.g. "broadcast"; only broadcast hints force
         if "broadcast" in node.hints().toString():
             entering = True
     children = node.children()
     for i in range(children.size()):
-        _walk(children.apply(i), entering, out)
+        _walk(children.apply(i), entering, out, hint_counter)
 
 
 def main() -> None:
@@ -67,13 +68,13 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - report and continue
             flagged[name] = [f"BUILD ERROR: {e}"]
             continue
-        plan = df._jdf.queryExecution().optimizedPlan()
         # optimizer may fold hints into join nodes; use the ANALYZED
         # plan where ResolvedHint still exists
         plan = df._jdf.queryExecution().analyzed()
         leaves: list[str] = []
-        _walk(plan, False, leaves)
-        n_hints += plan.toString().count("ResolvedHint")
+        hint_counter = [0]
+        _walk(plan, False, leaves, hint_counter)
+        n_hints += hint_counter[0]
         if leaves:
             flagged[name] = leaves
     for name, leaves in sorted(flagged.items()):
