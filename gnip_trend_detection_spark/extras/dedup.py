@@ -911,14 +911,28 @@ def source_overlap(
         )
     else:
         raise ValueError(f"unknown hash_impl: {hash_impl!r}")
-    gs = (
+    # ONE shuffle of the exploded gram stream (by g) carries both
+    # downstream aggregations: collect_set dedupes (source, g) pairs
+    # with map-side partial sets — the old dropDuplicates + regroup
+    # shape shuffled the stream by (source, g) and then shuffled the
+    # whole distinct relation AGAIN by g (guide §2.3/§2.4; the r07
+    # fusion). Per-source gram inventories fall out of the same
+    # relation: |{(s, g)}| = Σ_g |sources(g)|, so sizes come from
+    # exploding the per-gram sets instead of a second corpus-derived
+    # aggregate. The persisted relation is one row per distinct gram
+    # (bounded by the old distinct-pairs relation); released by the
+    # caller per the session.release_cached lifecycle contract.
+    gby = (
         t.select("source", F.explode(grams).alias("g"))
-        .dropDuplicates(["source", "g"])
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
         .persist()
     )
-    sizes = gs.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
-
-    ss = F.sort_array(F.collect_set("source"))
+    sizes = (
+        gby.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
     combos = F.flatten(
         F.transform(
             F.col("ss"),
@@ -929,8 +943,7 @@ def source_overlap(
         )
     )
     inter = (
-        gs.groupBy("g").agg(ss.alias("ss"))
-        .select(F.explode(combos).alias("p"))
+        gby.select(F.explode(combos).alias("p"))
         .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("overlap"))
