@@ -47,20 +47,37 @@ def curate(
         .filter(F.col("doc_id") == F.col("__canon"))
         .drop("__canon")
     )
-    # integer micro-unit compare: the gate cannot sit on a float
-    # rounding tie (quality_min is converted once, driver-side)
-    quality = text.quality_score(canon, text_col).filter(
-        F.col("quality_micro") >= int(round(quality_min * 1000000))
-    )
-    langs = text.lang_id(canon.sparkSession, canon, text_col).select(
-        "doc_id", "predicted_lang"
+    # quality_micro and predicted_lang are both pure row-local
+    # expressions of the token array (the SAME shared expression trees
+    # quality_score and lang_id emit — factored helpers, so they
+    # cannot drift), so the gate + language stages run in ONE select
+    # over canon instead of two more canon-subtree replays joined back
+    # on doc_id (guide §1.2 order-1, §2.4). Set identity with the old
+    # three-way inner join: quality_score dropped zero-token docs (the
+    # size filter here), lang_id emitted every canon doc (computed in
+    # place here), and the decontam join below is unchanged.
+    # Integer micro-unit compare: the gate cannot sit on a float
+    # rounding tie (quality_min is converted once, driver-side).
+    toks = F.col("__toks")
+    pred = text.lang_pred_from_toks(toks)
+    scored = (
+        canon.withColumn("__toks", text.tokens(F.col(text_col)))
+        .filter(F.size("__toks") > 0)
+        .select(
+            "doc_id",
+            text.quality_micro_expr(toks).alias("quality_micro"),
+            pred["predicted_lang"].alias("predicted_lang"),
+        )
+        .filter(
+            F.col("quality_micro") >= int(round(quality_min * 1000000))
+        )
     )
     clean = (
         decontam.decontaminate(canon, benchmark, text_col, n=ngram_n)
         .filter(F.col("n_hit") == 0)
         .select("doc_id")
     )
-    kept = quality.join(langs, "doc_id").join(clean, "doc_id")
+    kept = scored.join(clean, "doc_id")
     out = sample.stratified_sample(
         kept,
         "predicted_lang",

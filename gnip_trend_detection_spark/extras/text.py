@@ -217,40 +217,61 @@ def gopher_rules(
     )
 
 
+def lang_pred_from_toks(toks_col: Column) -> Column:
+    """Row-local struct(predicted_lang, n_stopword_hits) over an
+    already-tokenized (non-null) array: per-language token-occurrence
+    hit counts against the LITERAL wordlists, argmax by
+    (n_hits desc, lang asc) as an array_min over (-n_hits, lang)
+    structs. Value-identical to the exploded broadcast-join + grouped
+    struct-min shape it replaces: the hit count per (doc, lang) is the
+    number of token occurrences in that language's word set either
+    way (wordlists are disjoint-free constants, each token matches at
+    most one word per language), zero-hit languages never entered the
+    argmax (inner join) and are filtered here, and the lexicographic
+    struct order is the same tuple. 'und'/0 when no list matches."""
+    def _hits(ws: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks_col, lambda x: x.isin(*ws)))
+
+    cands = F.array(
+        *[
+            F.struct(
+                (-_hits(ws)).alias("neg"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ws in sorted(LANG_WORDLISTS.items())
+        ]
+    )
+    best = F.array_min(F.filter(cands, lambda s: s["neg"] < 0))
+    return F.struct(
+        F.coalesce(best["lang"], F.lit("und")).alias("predicted_lang"),
+        F.coalesce(-best["neg"].cast("long"), F.lit(0).cast("long")).alias(
+            "n_stopword_hits"
+        ),
+    )
+
+
 def lang_id(spark: SparkSession, docs: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram-free heuristic language ID: argmax stopword-hit count
     against per-language wordlists; ties broken lexicographically;
-    'und' when no list matches. The wordlist is a broadcast dim."""
-    rows = [(lang, w) for lang, ws in LANG_WORDLISTS.items() for w in ws]
-    words = spark.createDataFrame(rows, "lang string, word string")
-    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tokval"))
-    hits = (
-        tok.join(F.broadcast(words), tok["tokval"] == words["word"])
-        .groupBy("doc_id", "lang")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    'und' when no list matches.
+
+    The wordlists are compile-time constants (4 langs x 10 words), so
+    the whole decision is a row-local expression of the token array —
+    the previous shape (explode every token, broadcast-join the word
+    'dim', two grouped aggregates, left-join back onto the corpus)
+    paid two corpus-token shuffles and a join for a 40-way set
+    membership (guide §1.2 order-1, §2.4). Value identity is argued
+    in :func:`lang_pred_from_toks`; docs with NULL text or zero
+    tokens produced no exploded rows before and fold to the same
+    ('und', 0) through the empty-array coalesce here."""
+    toks = F.coalesce(
+        tokens(F.col(text_col)), F.array().cast("array<string>")
     )
-    # argmax by (n_hits desc, lang asc) as a lexicographic struct-MIN
-    # over (-n_hits, lang) — value-identical to the old row_number
-    # window (integer key, and (doc_id, lang) is unique so no order
-    # ties exist), but a hash aggregate with map-side combine instead
-    # of an exchange + per-doc sort + WindowExec (guide §2.4)
-    best = hits.groupBy("doc_id").agg(
-        F.min(
-            F.struct(
-                (-F.col("n_hits")).alias("neg"),
-                F.col("lang").alias("lang"),
-                F.col("n_hits").alias("n_hits"),
-            )
-        ).alias("w")
-    )
-    return (
-        docs.select("doc_id")
-        .join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("w.lang"), F.lit("und")).alias("predicted_lang"),
-            F.coalesce(F.col("w.n_hits"), F.lit(0)).alias("n_stopword_hits"),
-        )
+    p = lang_pred_from_toks(toks)
+    return docs.select(
+        "doc_id",
+        p["predicted_lang"].alias("predicted_lang"),
+        p["n_stopword_hits"].alias("n_stopword_hits"),
     )
 
 

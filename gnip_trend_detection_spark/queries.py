@@ -3852,11 +3852,19 @@ def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-quality audit: per source, how often the heuristic
     lang_id prediction agrees with the corpus's declared lang column —
     the metadata-trust check run before lang-conditional curation
-    rules are applied. Composition of text.lang_id (broadcast wordlist
-    argmax) + one grouped aggregate."""
+    rules are applied. lang_id is a row-local expression of the token
+    array (extras/text.py:lang_pred_from_toks), so the prediction is
+    computed in place on the one corpus scan instead of joining the
+    lang_id relation back on doc_id — same values by construction
+    (lang_id IS docs.select of this expression), one scan and one
+    grouped aggregate, zero joins (guide §2.4)."""
     docs = _docs(spark, sf_dir)
-    pred = text.lang_id(spark, docs, "text")
-    j = docs.select("doc_id", "lang", "source").join(pred, "doc_id")
+    p = text.lang_pred_from_toks(
+        F.coalesce(text.tokens(F.col("text")), F.array().cast("array<string>"))
+    )
+    j = docs.select(
+        "lang", "source", p["predicted_lang"].alias("predicted_lang")
+    )
     return j.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum((F.col("lang") == F.col("predicted_lang")).cast("long")).alias(
