@@ -48,37 +48,35 @@ def benchmark_gram_set(
     return out.filter(F.col("idx").isNotNull()).select("gram").distinct()
 
 
-def benchmark_bloom(
+def _bloom_word_rows(
     benchmark: DataFrame,
     text_col: str = "text",
     n: int = 4,
     n_bits: int = 1 << 20,
     k: int = 5,
-):
-    """Bloom-filter sketch of the benchmark gram set, built as a
-    DISTRIBUTED aggregation: each gram maps to ``k`` bit positions via
-    double hashing h_i = (xxhash64(g) + i*xxhash64(g, 1)) mod n_bits,
-    positions fold to 64-bit words with a bit_or hash aggregate, and
-    only the <= n_bits/64-row word relation reaches the driver (128 KB
-    of bits for the default 2^20). Spark's own BloomFilterAggregate is
-    optimizer-internal (runtime filters), so this is the public-API
-    equivalent. Returns (numpy uint64 word array, n_bits, k).
-    """
-    import numpy as np
-
+) -> DataFrame:
+    """Sparse (widx long, word long) Bloom word relation over the
+    benchmark gram set, built as a DISTRIBUTED aggregation: each gram
+    maps to ``k`` bit positions via double hashing
+    h_i = (xxhash64(g) + i*xxhash64(g, 1)) mod n_bits, positions fold
+    to 64-bit words with a bit_or hash aggregate — at most n_bits/64
+    rows ever leave the aggregate (128 KB of bits for the default
+    2^20). Spark's own BloomFilterAggregate is optimizer-internal
+    (runtime filters), so this is the public-API equivalent."""
     assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
     grams = benchmark_gram_set(benchmark, text_col, n)
     # pre-reduce both hashes mod m BEFORE combining: h1 + i*h2 on raw
     # xxhash64 longs overflows int64 (ANSI error); with m a power of
     # two, ((h1 mod m) + i*(h2 mod m)) mod m is the same position and
-    # stays < 2^23 — and the numpy probe computes the identical
-    # reduced formula (masking the uint64 view == pmod for 2^k)
+    # stays < 2^23 — and both probes (numpy in benchmark_bloom
+    # callers, the JVM expression in decontaminate_bloom) compute the
+    # identical reduced formula
     h1 = F.pmod(F.xxhash64("gram"), F.lit(n_bits))
     h2 = F.pmod(F.xxhash64("gram", F.lit(1)), F.lit(n_bits))
     pos = F.explode(
         F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)) for i in range(k)])
     ).alias("pos")
-    words = (
+    return (
         grams.select(pos)
         .select(
             (F.col("pos") / 64).cast("long").alias("widx"),
@@ -88,8 +86,22 @@ def benchmark_bloom(
         )
         .groupBy("widx")
         .agg(F.bit_or("mask").alias("word"))
-        .collect()
     )
+
+
+def benchmark_bloom(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+):
+    """Driver-side view of :func:`_bloom_word_rows`: collect the
+    sparse word relation into a dense numpy uint64 array. Returns
+    (numpy uint64 word array, n_bits, k)."""
+    import numpy as np
+
+    words = _bloom_word_rows(benchmark, text_col, n, n_bits, k).collect()
     bits = np.zeros(n_bits // 64, dtype=np.uint64)
     for r in words:
         bits[r["widx"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
@@ -109,38 +121,47 @@ def decontaminate_bloom(
     The exact-broadcast probe in `decontaminate` needs the whole
     benchmark gram set in every executor; fine for MB-scale
     benchmarks, not for a 100M-gram eval union. Here the corpus grams
-    probe a broadcast ~128 KB bit array first (vectorized numpy over
-    JVM-computed xxhash64 pairs — Arrow-batched, zero shuffle), and
-    only the might-contain sliver (true hits + ~0.1% false positives)
-    feeds the exact broadcast join that removes false positives. Bloom
-    filters have NO false negatives, so the output is bit-identical to
+    probe a broadcast ~128 KB word array first, and only the
+    might-contain sliver (true hits + ~0.1% false positives) feeds the
+    exact broadcast join that removes false positives. Bloom filters
+    have NO false negatives, so the output is bit-identical to
     `decontaminate` — same oracle — while the join input shrinks by
     the prefilter's rejection rate (~99% on clean corpora).
+
+    The probe is a pure JVM expression: the dense word array rides a
+    one-row broadcast relation and each gram tests its k bit
+    positions with element_at + shiftright inside whole-stage codegen
+    — the previous shape shipped every corpus gram through an
+    ArrowEvalPython boundary to a numpy probe and paid a separate
+    driver collect job to build the python-side broadcast (guide §4.1
+    — eliminate the JVM<->Python boundary; §1.2 — one job instead of
+    two). Identical candidate decisions: same reduced double-hash
+    formula, same word layout (and even a different false-positive
+    set could not change the output — the exact join removes FPs).
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    bits, m, kk = benchmark_bloom(benchmark, text_col, n, n_bits, k)
-    sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast(bits)
-
-    # no type hints: this module uses postponed annotations, which
-    # stringify the pd.Series hints pandas_udf's resolver needs — the
-    # explicit (fn, returnType) form sidesteps that
-    def _might_contain(h1, h2):
-        w = bc.value
-        mask = np.uint64(m - 1)
-        a = h1.to_numpy(dtype=np.int64).astype(np.uint64) & mask
-        b = h2.to_numpy(dtype=np.int64).astype(np.uint64) & mask
-        ok = np.ones(len(a), dtype=bool)
-        for i in range(kk):
-            pos = (a + np.uint64(i) * b) & mask
-            word = w[(pos >> np.uint64(6)).astype(np.int64)]
-            ok &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
-        return pd.Series(ok)
-
-    might_contain = pandas_udf(_might_contain, "boolean")
+    m = n_bits
+    words = _bloom_word_rows(benchmark, text_col, n, n_bits, k)
+    # dense 1-row array: range fills the unset words with 0, the
+    # sort_array(collect_list(struct)) keeps the order deterministic
+    # regardless of partitioning; n_bits/64 longs = 128 KB broadcast
+    dense = (
+        words.sparkSession.range(m // 64)
+        .select(F.col("id").alias("widx"))
+        .join(words, "widx", "left")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("widx"),
+                        F.coalesce(
+                            F.col("word"), F.lit(0).cast("long")
+                        ).alias("word"),
+                    )
+                )
+            ).alias("s")
+        )
+        .select(F.transform(F.col("s"), lambda x: x["word"]).alias("__bw"))
+    )
 
     bench = benchmark_gram_set(benchmark, text_col, n).withColumnRenamed(
         "gram", "__g"
@@ -155,10 +176,23 @@ def decontaminate_bloom(
         .alias("grams"),
     )
     ex = gr.select("doc_id", F.posexplode_outer("grams").alias("idx", "gram"))
-    cand = might_contain(F.xxhash64("gram"), F.xxhash64("gram", F.lit(1)))
+    h1 = F.pmod(F.xxhash64("gram"), F.lit(m))
+    h2 = F.pmod(F.xxhash64("gram", F.lit(1)), F.lit(m))
+    ex = ex.join(F.broadcast(dense)).withColumns(
+        {f"__p{i}": F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)}
+    )
+    cand = None
+    for i in range(k):
+        bit = F.expr(
+            f"(shiftright(element_at(__bw, cast(__p{i} div 64 as int) + 1), "
+            f"cast(__p{i} % 64 as int)) & 1) = 1"
+        )
+        cand = bit if cand is None else (cand & bit)
     # null-out the join key on bloom-rejected rows: they keep their row
-    # (n_grams still counts every gram) but never reach the hash probe
-    ex = ex.withColumn("__g", F.when(cand, F.col("gram")))
+    # (n_grams still counts every gram) but never reach the hash probe;
+    # the select drops the word array and probe positions before the
+    # per-doc aggregate's exchange (guide §2.3)
+    ex = ex.select("doc_id", "idx", F.when(cand, F.col("gram")).alias("__g"))
     probed = ex.join(F.broadcast(bench), "__g", "left")
     return (
         probed.groupBy("doc_id")
