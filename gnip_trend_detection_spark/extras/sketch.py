@@ -109,18 +109,31 @@ def cms_heavy_hitters_contract(
     the distributed part; the bounded driver-side step just queries
     the returned sketch for the |heavy hitters| candidate items.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = df.sparkSession
     hh = heavy_hitters(df, col, k=k)
     # One pass: the row total rides the sketch aggregation instead of
     # a dedicated count job (guide §1.2 — 3 input scans -> 2 for this
     # query; both aggregates are map-side combined in the same stage).
-    sk_row = df.agg(
+    sk_df = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.expr(
             f"count_min_sketch({col}, CAST({eps} AS DOUBLE), "
             f"CAST({confidence} AS DOUBLE), {seed})"
         ).alias("sk"),
-    ).first()
+    )
+    # The sketch aggregate and the exact heavy-hitter pipeline are
+    # independent actions over the same input; submitting them from
+    # two driver threads lets the scheduler back-fill the tail of one
+    # job with the other's tasks (guide §2.6) — wall time ~max instead
+    # of sum of the two scans. Results are unchanged: both jobs are
+    # deterministic and share nothing but the immutable input.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        sk_fut = pool.submit(sk_df.first)
+        hh_fut = pool.submit(hh.collect)
+        sk_row = sk_fut.result()
+        hh_rows = hh_fut.result()
     n_total = sk_row["n"]
     jvm = spark._jvm
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
@@ -128,7 +141,7 @@ def cms_heavy_hitters_contract(
     )
     slack = int(eps * n_total) + 1
     rows = []
-    for r in hh.collect():
+    for r in hh_rows:
         est = int(cms.estimateCount(r["item"]))
         rows.append(
             (
