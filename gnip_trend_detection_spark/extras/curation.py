@@ -58,10 +58,18 @@ def curate(
     # place here), and the decontam join below is unchanged.
     # Integer micro-unit compare: the gate cannot sit on a float
     # rounding tie (quality_min is converted once, driver-side).
+    # the token array is materialized ONCE per row via the generate
+    # barrier — a plain withColumn alias is inlined into all ~14
+    # quality+lang references during optimization, re-tokenizing per
+    # reference (measured 2x wall at the 10x replica)
     toks = F.col("__toks")
     pred = text.lang_pred_from_toks(toks)
     scored = (
-        canon.withColumn("__toks", text.tokens(F.col(text_col)))
+        text.materialize_col(
+            canon.select("doc_id", text_col),
+            text.tokens(F.col(text_col)),
+            "__toks",
+        )
         .filter(F.size("__toks") > 0)
         .select(
             "doc_id",

@@ -217,6 +217,30 @@ def gopher_rules(
     )
 
 
+def materialize_col(df: DataFrame, expr: Column, out_col: str) -> DataFrame:
+    """Append ``expr`` as a column that is evaluated exactly ONCE per
+    row, via an outer-generate barrier: posexplode_outer(array(expr))
+    makes the value a GENERATOR OUTPUT attribute, which neither
+    CollapseProject nor filter-pushdown alias substitution can inline
+    back into consuming expressions. A plain withColumn/select alias
+    is substituted into every reference during optimization, so an
+    expensive expression (tokenize) referenced N times by row-local
+    consumers (quality blend, language ID) is re-evaluated N times per
+    row — measured 2x wall at the 10x replica for the fused curation
+    pipeline. Same trick and same outer-generate reasoning as
+    queries._explode_arr (a plain Generate would let
+    InferFiltersFromGenerate push `size(...) > 0` below the
+    projection, re-inlining the tree it exists to materialize); the
+    isnotnull(pos) filter restores inner semantics and cannot be
+    pushed below the Generate because pos is generated. A NULL expr
+    value survives as a NULL cell (array(NULL) emits pos=0, val=NULL).
+    """
+    out = df.select(
+        "*", F.posexplode_outer(F.array(expr)).alias("__mat_pos", out_col)
+    )
+    return out.filter(F.col("__mat_pos").isNotNull()).drop("__mat_pos")
+
+
 def lang_pred_from_toks(toks_col: Column) -> Column:
     """Row-local struct(predicted_lang, n_stopword_hits) over an
     already-tokenized (non-null) array: per-language token-occurrence
@@ -263,12 +287,16 @@ def lang_id(spark: SparkSession, docs: DataFrame, text_col: str = "text") -> Dat
     membership (guide §1.2 order-1, §2.4). Value identity is argued
     in :func:`lang_pred_from_toks`; docs with NULL text or zero
     tokens produced no exploded rows before and fold to the same
-    ('und', 0) through the empty-array coalesce here."""
+    ('und', 0) through the empty-array coalesce here. The token array
+    is materialized once per row through the generate barrier
+    (:func:`materialize_col`) so the 8 references inside the argmax
+    struct do not re-tokenize."""
     toks = F.coalesce(
         tokens(F.col(text_col)), F.array().cast("array<string>")
     )
-    p = lang_pred_from_toks(toks)
-    return docs.select(
+    t = materialize_col(docs.select("doc_id", text_col), toks, "__toks")
+    p = lang_pred_from_toks(F.col("__toks"))
+    return t.select(
         "doc_id",
         p["predicted_lang"].alias("predicted_lang"),
         p["n_stopword_hits"].alias("n_stopword_hits"),

@@ -2109,8 +2109,17 @@ def q_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter is size >= 2: the inner joins dropped 1-token docs anyway
     # (repetition_stats has no bigram support there), so the kept row
     # set is identical by construction.
+    # the token array is materialized once per row via the generate
+    # barrier (text.materialize_col) — the plain withColumn alias was
+    # inlined into every quality/repetition reference by the
+    # optimizer, re-tokenizing ~9x per row (same trap measured 2x at
+    # the 10x replica on the curation pipeline)
     qr = (
-        docs.withColumn("toks", text.tokens(F.col("text")))
+        text.materialize_col(
+            docs.select("doc_id", "text"),
+            text.tokens(F.col("text")),
+            "toks",
+        )
         .filter(F.size("toks") >= 2)
         .select(
             "doc_id",
@@ -3859,10 +3868,15 @@ def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang_id IS docs.select of this expression), one scan and one
     grouped aggregate, zero joins (guide §2.4)."""
     docs = _docs(spark, sf_dir)
-    p = text.lang_pred_from_toks(
-        F.coalesce(text.tokens(F.col("text")), F.array().cast("array<string>"))
+    t = text.materialize_col(
+        docs.select("lang", "source", "text"),
+        F.coalesce(
+            text.tokens(F.col("text")), F.array().cast("array<string>")
+        ),
+        "__toks",
     )
-    j = docs.select(
+    p = text.lang_pred_from_toks(F.col("__toks"))
+    j = t.select(
         "lang", "source", p["predicted_lang"].alias("predicted_lang")
     )
     return j.groupBy("source").agg(

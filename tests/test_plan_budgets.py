@@ -42,6 +42,7 @@ BNLJ_OK = {
     "cosine_neardup_blocked", # broadcast block-id frame (n_blocks rows)
     "correlation_pairs_dense",  # broadcast block ids
     "embedding_covariance",     # broadcast 1-row vector count n
+    "decontaminate_bloom",  # broadcast 1-row dense Bloom word array (n_bits/64 longs)
     "dsir_scores",         # broadcast 1-row (N_t, N_r, V) LM totals
     "global_quantiles",    # broadcast len(qs)-row quantile targets
     "quality_percentile_gate",  # broadcast 1-row threshold + 1-row target
